@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query over the driver testdata tables.
+  *
+  * @param name   stable key used by the driver (CORRECTNESS_r{N}.json / BENCH)
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle (t2). None means
+  *               the op is not SQL-expressible — the driver falls back to a
+  *               rows-only check.
+  * @param fn     (spark, sfDir) => result DataFrame. Results MUST be
+  *               deterministic: total ORDER BY with unique tiebreakers,
+  *               rounded doubles, integer sums cast identically on both
+  *               sides (DuckDB sum(int) is HUGEINT → always CAST AS BIGINT
+  *               in the oracle SQL).
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame,
+)
+
+/** Parquet table loaders for the driver-generated testdata
+  * (/root/repo/TESTDATA.md). One parquet file per table.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+  )
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long and convert with exact
+    * integer division (a double roundtrip would lose precision above 2^53
+    * ns ≈ 1970+104 days). DuckDB truncates ns→µs the same way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY §7.4): the reference's "meta deck summary"
+    * kernel (meta_llm_tables.py:8-76) over testdata sf0.001 —
+    * scan → broadcast dim join → rule-cascade classification → WLD
+    * conditional counts → share-of-total → sample_ok flag → games desc.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val seg =
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000, "big_building")
+        .when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "industrial")
+        .otherwise("other")
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(seg.as("segment_class"),
+        when(col("o_orderstatus") === "F", "win")
+          .when(col("o_orderstatus") === "O", "loss")
+          .otherwise("draw").as("result"))
+      .groupBy(col("segment_class"))
+      .agg(operators.Wld.counts(col("result")).head, operators.Wld.counts(col("result")).tail: _*)
+      .withColumn("win_rate", operators.Det.rate(col("wins").cast("double") / col("games")))
+      .withColumn("share", operators.Det.rate(col("games").cast("double") / sum(col("games")).over(Window.partitionBy())))
+      .withColumn("sample_ok", col("games") >= 20)
+      .orderBy(col("games").desc, col("segment_class"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.all.map(sp => sp.name -> sp.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    QueryCatalog.all.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
+}
+
+/** All registered query specs, grouped by operator family. */
+object QueryCatalog {
+  def all: Seq[QuerySpec] =
+    operators.RelationalQueries.specs
 }

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine numeric helpers.
+  *
+  * `round()` is NOT portable across engines: Spark rounds the shortest
+  * decimal representation HALF_UP (1222.745 → 1222.75) while DuckDB
+  * rounds the binary double (1222.74499999… → 1222.74). Both are
+  * defensible; they differ on half-ulp boundaries. `floor(x*s + 0.5)/s`
+  * runs the SAME IEEE-754 ops on the same bits in both engines, so the
+  * result is bit-identical. Oracle SQL must use the same formula.
+  */
+object Det {
+
+  /** Bit-portable round-to-scale: floor(x * 10^d + 0.5) / 10^d.
+    * Oracle twin: `floor(x * 1eD + 0.5) / 1eD`. */
+  def rnd(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    floor(c * s + lit(0.5)) / lit(s)
+  }
+
+  /** 2-decimal money rounding. Oracle: floor(x*100 + 0.5)/100. */
+  def money(c: Column): Column = rnd(c, 2)
+
+  /** 6-decimal rate rounding. Oracle: floor(x*1e6 + 0.5)/1e6. */
+  def rate(c: Column): Column = rnd(c, 6)
+}
