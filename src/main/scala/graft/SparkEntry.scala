@@ -46,5 +46,9 @@ object SparkEntry {
 /** All registered query specs, grouped by operator family. */
 object QueryCatalog {
   def all: Seq[QuerySpec] =
-    operators.RelationalQueries.specs
+    operators.RelationalQueries.specs ++
+      operators.TextQueries.specs ++
+      operators.DedupQueries.specs ++
+      operators.SimilarityQueries.specs ++
+      operators.EventQueries.specs
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (BASELINE.json north_star):
+  * exact (hash-groupBy), MinHash+LSH near-dup, n-gram Jaccard, SimHash.
+  *
+  * Every hash is md5 (bit-identical in Spark and DuckDB), so even the
+  * MinHash signatures and LSH band hashes are oracle-checkable — the
+  * whole shingle→minhash→band→bucket-join→verify pipeline runs in both
+  * engines and must agree exactly.
+  *
+  * Scale notes (100 TB): all pipelines are explode + hash-agg + equi-join
+  * — no cross joins. The LSH band join keys on (band, band_hash), so
+  * candidate generation shuffles only 16-byte signatures, never text.
+  * The exact-Jaccard inverted-index join drops shingles with document
+  * frequency > 25 (stop-shingles): a shingle seen in d docs contributes
+  * d² join pairs, so ultra-common shingles are both useless for dedup
+  * and quadratic at scale — the standard mitigation.
+  */
+object DedupQueries {
+
+  private val NumHashes = 16
+  private val RowsPerBand = 2 // 8 bands × 2 rows → ~90% recall at J=0.5
+
+  /** Distinct word-bigram shingles per doc: (doc_id, s). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))).as("s"))
+
+  private val shinglesSql =
+    """SELECT doc_id,
+      |       unnest(list_distinct(list_transform(generate_series(0, len(t)-2),
+      |              i -> t[i+1] || ' ' || t[i+2]))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Exact dedup: hash-groupBy on content, keep the smallest doc_id
+    * (deterministic canonical representative). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dupes"))
+      .orderBy(col("keep_id"))
+
+  private val q24Sql =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dupes
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** MinHash + LSH near-dup detection, verified with exact Jaccard:
+    * shingle → 16 minhashes (min of md5(h:shingle)) → 8 band signatures
+    * → bucket self-join → candidate pairs → exact-Jaccard filter ≥ 0.5.
+    * Lexicographic min over md5 hex == a valid random permutation min. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mh = sh
+      .select(col("doc_id"), col("s"), explode(expr(s"sequence(0, ${NumHashes - 1})")).as("h"))
+      .withColumn("hv", md5(concat(col("h").cast("string"), lit(":"), col("s"))))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("hv")).as("mh"))
+    val bands = mh
+      .withColumn("band", expr(s"h DIV $RowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",", array_sort(collect_list(
+        concat_ws(":", lpad(col("h").cast("string"), 2, "0"), col("mh")))))).as("bh"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("icnt"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q25Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |hx AS (
+       |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
+       |),
+       |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || mh, ',' ORDER BY h)) AS bh
+       |  FROM mh GROUP BY doc_id, h // $RowsPerBand
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Exact n-gram Jaccard over an inverted-index join, with stop-shingle
+    * filtering (df ≤ 25). Jaccard is computed over the filtered shingle
+    * sets (self-consistent; common shingles carry no dedup signal). */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") <= 25)
+    val rs = sh.join(rare.select(col("s")), Seq("s"))
+    val sizes = rs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = rs.select(col("doc_id").as("doc_a"), col("s"))
+      .join(rs.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("icnt"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q26Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** 16-bit SimHash per document from token md5 nibbles: bit i set iff
+    * Σ_tokens (nibble_i odd ? +1 : -1) > 0. Token multiplicity counts
+    * (SimHash weights = term frequency). */
+  private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(oddNibbles: _*), 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val simhash = (0 until 16)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tk.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q27Sql = {
+    val inList = oddNibbles.map(n => s"'$n'").mkString(",")
+    val bitSums = (0 until 16)
+      .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n |  ")
+    val value = (0 until 16)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM tk GROUP BY doc_id)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
+    QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
+    QuerySpec("q26_ngram_jaccard", Some(q26Sql), q26),
+    QuerySpec("q27_simhash", Some(q27Sql), q27),
+  )
+}

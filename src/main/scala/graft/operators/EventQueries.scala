@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over `events` — the batch twins of the
+  * Structured Streaming parity suite (SURVEY §2.10). Each query here
+  * uses the SAME window/aggregation expressions a `readStream` pipeline
+  * would (`window()`, `session_window()`), executed in batch mode so the
+  * DuckDB oracle can check them; graft.streaming hosts the streaming
+  * forms. Timestamps surface as epoch millis (BIGINT) — raw timestamp
+  * hashing across engines is precision-fragile.
+  */
+object EventQueries {
+
+  // ---------------------------------------------------------------- q30
+  /** Tumbling 1-hour windows per event_type (groupBy(window(...)) — the
+    * literal streaming aggregation in batch mode). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.rnd(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  private val q30Sql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+      | count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows. The oracle reconstructs Spark's window
+    * assignment with generate_series over aligned bucket starts. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.rnd(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  private val q31Sql =
+    """SELECT epoch_ms(ws) AS bucket_ms, event_type,
+      | count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM (
+      |  SELECT unnest(generate_series(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE,
+      |                                time_bucket(INTERVAL 15 MINUTE, ts),
+      |                                INTERVAL 15 MINUTE)) AS ws,
+      |         event_type, value
+      |  FROM events
+      |) t GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Session windows (30-minute gap) per user — `session_window()` in
+    * batch mode; the oracle sessionizes with the classic lag+cumsum
+    * construction (gap ≥ 30min starts a new session, matching Spark's
+    * half-open [start, start+gap) merge rule). */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.rnd(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  private val q32Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |), se AS (
+      |  SELECT user_id, ts, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM t
+      |)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |       count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM se GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Non-equi range join ⊕: pairs of events by the same user within 10
+    * minutes. The equi component (user_id) keys the shuffle; the range
+    * predicate filters within partitions — scale-safe (never a cross
+    * join across users). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(s, dir).select(
+      col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+    val b = Tables.events(s, dir).select(
+      col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    a.join(b,
+        col("user_id") === col("user_b") &&
+          (col("ts_b") > col("ts_a") ||
+            (col("ts_b") === col("ts_a") && col("id_b") > col("id_a"))) &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q33Sql =
+    """SELECT a.user_id, count(*) AS pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Stateful-dedup batch twin (streaming dropDuplicates under
+    * watermark): first event per (user_id, event_type) in (ts, event_id)
+    * order. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), unix_millis(col("ts")).as("first_ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q34Sql =
+    """SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ts_ms
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
+    QuerySpec("q31_sliding_window", Some(q31Sql), q31),
+    QuerySpec("q32_session_window", Some(q32Sql), q32),
+    QuerySpec("q33_range_join", Some(q33Sql), q33),
+    QuerySpec("q34_stateful_dedup", Some(q34Sql), q34),
+  )
+}

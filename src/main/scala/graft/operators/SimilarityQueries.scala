@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * q28 is the brute-force cosine top-k baseline: a sampled query set
+  * (2% of vectors) broadcast against all candidates — a
+  * BroadcastNestedLoopJoin whose cost is |Q|·|C|·dim. Correct at test
+  * scale; at 100 TB this is the oracle you validate the ANN path with,
+  * on a sampled query set exactly like this one.
+  *
+  * q29 is the scale path: sign-random-hyperplane LSH (8 deterministic
+  * md5-derived ±1 hyperplanes → 256 buckets). Search becomes an
+  * EQUI-join on bucket id — a hash shuffle instead of a cross join —
+  * at the cost of recall. Dot products use codegen'd higher-order
+  * array functions (zip_with + aggregate), no UDFs.
+  *
+  * Similarity is rounded to 1e-6 BEFORE ranking (ties then broken by
+  * vec_id) so rank order is stable across engines despite last-ulp
+  * float differences.
+  */
+object SimilarityQueries {
+
+  /** vectors as double arrays + precomputed L2 norm. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  // ---------------------------------------------------------------- q28
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val base = normed(s, dir)
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", Det.rate(dot("qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
+        .cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), col("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val q28Sql =
+    """WITH nv AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+      |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |),
+      |r AS (SELECT qid, cid, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |      FROM p)
+      |SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Deterministic ±1 hyperplane component for (plane j, dim d): parity
+    * of the first md5 nibble of "j:d". Engine-independent pseudo-random. */
+  private def planeComponent(j: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ("13579bdf".contains(hex.charAt(0))) 1.0 else -1.0
+  }
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val base = normed(s, dir)
+    val bucket = (0 until 8).map { j =>
+      val plane = typedLit((0 until 64).map(d => planeComponent(j, d)))
+      val dotJ = expr(s"aggregate(zip_with(v, p$j, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+      (plane.as(s"p$j"), when(dotJ > 0, lit(1 << j)).otherwise(lit(0)))
+    }
+    val withPlanes = base.select(Seq(col("vec_id"), col("v"), col("nrm")) ++ bucket.map(_._1): _*)
+    val bucketed = withPlanes
+      .withColumn("bucket", bucket.map(_._2).reduce(_ + _))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val q = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = bucketed
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    // equi-join on bucket — the ANN win: hash shuffle, not a cross join
+    q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", Det.rate(dot("qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
+        .cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("cid"), col("sim"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
+    QuerySpec("q29_cosine_lsh", None, q29),
+  )
+}
