@@ -1,0 +1,67 @@
+package graft.battle
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end battle-domain demo: the engine-side replication of the
+  * reference's notebook flow (clash_agent_demo.ipynb cells 1-6, minus
+  * network and LLM): Phase 0 meta convergence loop → meta tables,
+  * Phase 1 user analytics from raw battle JSON, Phase 2 deterministic
+  * Q&A routing over the computed tables.
+  *
+  * Run: sbt "runMain graft.battle.BattleDemo"
+  */
+object BattleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-battle-demo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- Phase 1: raw JSON → normalize → classify → user analytics
+    println("=== Phase 1: normalize raw battle log ===")
+    val raw = BattleFixtures.rawBattlesDf(spark)
+    val normalized = Normalize(raw)
+    normalized.show(truncate = false)
+
+    val classified = BattleFixtures.classifiedBattles(spark, 60).cache()
+    println("=== user summary ===")
+    UserAnalytics.computeSummary(classified).show()
+    println("=== deck-type summary (both POVs) ===")
+    UserAnalytics.summarizeDeckTypes(classified).show()
+    println("=== card performance (best, min 3 games) ===")
+    UserAnalytics.cardPerformance(classified).show(5, truncate = false)
+    println("=== summary unpivot ===")
+    UserAnalytics.summaryTable(classified).show()
+
+    // ---- Phase 0: convergence loop → meta tables
+    println("=== Phase 0: meta convergence loop ===")
+    val batches = Iterator.continually(BattleFixtures.classifiedBattles(spark, 30)).take(10)
+    val res = MetaLoop.run(spark, batches, minTotal = 100L, minPerType = 20L, maxLoops = 10)
+    println(s"converged=${res.converged} loops=${res.loops} battles=${res.totalBattles}")
+    val participants = MetaAnalytics.participantTable(res.battles)
+    val deckSummary = MetaAnalytics.metaDeckSummary(participants, minGames = 20)
+    println("=== meta deck summary ===")
+    deckSummary.show()
+    val matrix = MetaAnalytics.symmetricMatchupMatrix(res.battles)
+    println("=== meta matchup summary (min 4 games) ===")
+    MetaAnalytics.metaMatchupSummary(matrix, minGames = 4).show(8)
+
+    // ---- Phase 2: deterministic routing + context assembly
+    println("=== Phase 2: Q&A routing ===")
+    val question = "How do I play against Beatdown decks?"
+    val (category, needs) = QnaRouter.classify(question)
+    val ctx = QnaRouter.buildContext(needs, Map(
+      "meta_deck_summary" -> deckSummary,
+      "meta_matchups" -> MetaAnalytics.metaMatchupSummary(matrix, minGames = 4)))
+    println(s"question: $question")
+    println(s"category=$category needs=${needs.mkString(",")}")
+    println(s"context (${ctx.length} chars): ${ctx.take(300)}...")
+    QnaRouter.dataHealthWarning(category, res.totalBattles).foreach(w => println(s"warning: $w"))
+
+    spark.stop()
+  }
+}
