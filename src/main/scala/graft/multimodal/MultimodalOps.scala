@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (BASELINE.json north_star): image/audio/
+  * video as opaque `binary` columns with typed metadata, processed with
+  * per-partition batch operators.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs
+  * — but everything Spark-side is real and tested: the schema, the
+  * binary column flow, the mapPartitions batch shape (decoder
+  * initialized once per partition, the per-partition-expensive-resource
+  * pattern used for real codecs/models), and the feature pipeline into
+  * the similarity operators (graft.operators.SimilarityQueries).
+  *
+  * Scale notes: media bytes never shuffle — features are extracted
+  * map-side and only the (id, Array[Float]) projection flows downstream.
+  * Partition sizing for ~MB-scale blobs is files.maxPartitionBytes-
+  * driven, not row-count-driven.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      embedding: Array[Float])
+
+  /** A "decoder" as the real pipeline would hold one: expensive to
+    * construct (codec init, model load), reused across a partition.
+    * decode() is the stub boundary: a real build links a codec here. */
+  final class StubDecoder {
+    /** STUB decode: a real implementation would decode pixels/samples.
+      * Deterministic stand-in: interpret raw bytes directly. */
+    def decode(bytes: Array[Byte]): Array[Byte] = bytes
+
+    /** 16-dim feature vector: mean of byte values per 16-way stripe —
+      * deterministic, content-sensitive, shape-identical to a model
+      * embedding. */
+    def features(decoded: Array[Byte]): Array[Float] = {
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < decoded.length) {
+        val b = i % 16
+        sums(b) += decoded(i) & 0xff
+        counts(b) += 1
+        i += 1
+      }
+      (0 until 16).map(b => if (counts(b) == 0) 0f else (sums(b).toDouble / counts(b)).toFloat).toArray
+    }
+  }
+
+  /** Deterministic fake media generator (xorshift bytes from media_id). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      var x = id * 2654435761L + 1
+      val bytes = new Array[Byte](256 + (id % 64).toInt)
+      var i = 0
+      while (i < bytes.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        bytes(i) = (x & 0xff).toByte
+        i += 1
+      }
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      MediaRow(id, kind, bytes, 64, 64, 16000, 1000L + id)
+    }
+  }
+
+  /** decode + feature-extract with the per-partition batch shape: ONE
+    * decoder per partition, streamed over rows (never materializing the
+    * partition). */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder // once per partition
+      rows.map { r =>
+        val decoded = decoder.decode(r.bytes)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, decoder.features(decoded))
+      }
+    }
+  }
+
+  /** "Resize" stub for images: crops/pads the byte payload to the target
+    * size — the plumbing (binary in, binary out, metadata update) is what
+    * a real resample kernel plugs into. */
+  def resize(spark: SparkSession, media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = java.util.Arrays.copyOf(r.bytes, targetBytes)
+        r.copy(bytes = out, width = targetBytes / 4, height = 4)
+      }
+    }
+  }
+
+  /** Frame sampling stub for video: every k-th 64-byte chunk becomes a
+    * "frame" row (media_id, frame_no, frame_bytes) — the explode shape
+    * of real frame extraction. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      r.bytes.grouped(64).zipWithIndex
+        .filter { case (_, i) => i % everyK == 0 }
+        .map { case (chunk, i) => (r.media_id, i, chunk) }
+    }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Feature table as a DataFrame shaped for SimilarityQueries
+    * (vec_id, embedding) — multimodal features feed the same ANN path. */
+  def featureTable(spark: SparkSession, media: Dataset[MediaRow]): DataFrame =
+    extractFeatures(spark, media)
+      .toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming parity suite (SURVEY §2.10). The reference is
+  * batch-only; its closest analogue is the Phase 0 accumulate-and-check
+  * loop. These transforms are the streaming forms of the EventQueries
+  * batch twins (q30-q34) — same window/agg expressions, applied to an
+  * unbounded source with watermark-driven state cleanup.
+  *
+  * Scale notes: every operator here keys state by (window, type) or
+  * (user_id, ...) so state partitions across executors; watermarks bound
+  * state size; sums/counts are partial-aggregated before the stateful
+  * store. These run identically on a Kafka/file source at 100 TB/day —
+  * the source is the only thing that changes.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class TypeProgress(event_type: String, n: Long, converged: Boolean)
+
+  /** Tumbling 1-hour windowed aggregation under a watermark (q30's
+    * streaming form). Late events beyond the watermark are dropped and
+    * their window state evicted. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1h/15m windows (q31). */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Session windows, 30-minute gap per user (q32). */
+  def sessionCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful streaming dedup under watermark (q34's streaming form):
+    * first event per (user_id, event_type) wins; state for old keys is
+    * evicted past the watermark. */
+  def dedupFirstEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
+  /** The Phase-0 loop as a streaming operator
+    * (meta_workflow.py:294-464 analogue, SURVEY §7.3): per-group
+    * accumulation with flatMapGroupsWithState that emits a progress row
+    * whenever a group's count changes, flagging convergence once the
+    * group reaches `minPerGroup`. */
+  def accumulateUntil(
+      spark: SparkSession,
+      events: Dataset[Event],
+      minPerGroup: Long): Dataset[TypeProgress] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, TypeProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (eventType, rows, state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L) + rows.size
+          state.update(seen)
+          Iterator.single(TypeProgress(eventType, seen, seen >= minPerGroup))
+      }
+  }
+}

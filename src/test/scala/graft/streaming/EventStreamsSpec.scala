@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runBatches[T](
+      name: String,
+      build: MemoryStream[Event] => org.apache.spark.sql.DataFrame,
+      outputMode: OutputMode,
+      batches: Seq[Seq[Event]]): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = build(input)
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      spark.table(name).collect()
+    } finally query.stop()
+  }
+
+  test("tumbling windowed aggregation accumulates across micro-batches") {
+    val batches = Seq(
+      Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 5.0)),
+      Seq(Event(4, ts(30), 2, "click", 3.0)))
+    val rows = runBatches("tumbling",
+      m => tumblingCounts(m.toDF()), OutputMode.Update(), batches)
+    // latest update for (hour 0, click) must show n=3, sum=6.0
+    val clickHour0 = rows.filter(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Timestamp]("bucket") == ts(0))
+    assert(clickHour0.map(_.getAs[Long]("n")).max === 3)
+    assert(clickHour0.map(_.getAs[Double]("sum_value")).max === 6.0)
+  }
+
+  test("streaming dedup keeps first event per (user, type)") {
+    val batches = Seq(
+      Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "click", 2.0)),
+      Seq(Event(3, ts(3), 1, "click", 3.0), Event(4, ts(4), 2, "click", 4.0)))
+    val rows = runBatches("dedup",
+      m => dedupFirstEvents(m.toDF()), OutputMode.Append(), batches)
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val batches = Seq(Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 1.0), // same session (gap 20m)
+      Event(3, ts(120), 1, "click", 1.0))) // new session
+    val rows = runBatches("sessions",
+      m => sessionCounts(m.toDF()), OutputMode.Complete(), batches)
+    val sessions = rows.map(r =>
+      (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toMap
+    assert(sessions(ts(0)) === 2)
+    assert(sessions(ts(120)) === 1)
+  }
+
+  test("accumulateUntil flags convergence once a group crosses the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = accumulateUntil(spark, input.toDS(), minPerGroup = 3)
+      .writeStream.format("memory").queryName("acc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "click", 1.0)))
+      query.processAllAvailable()
+      val after1 = spark.table("acc").collect()
+      assert(after1.exists(r => r.getAs[String]("event_type") == "click"
+        && r.getAs[Long]("n") == 2 && !r.getAs[Boolean]("converged")))
+      input.addData(Seq(Event(3, ts(3), 3, "click", 1.0)))
+      query.processAllAvailable()
+      val after2 = spark.table("acc").collect()
+      assert(after2.exists(r => r.getAs[String]("event_type") == "click"
+        && r.getAs[Long]("n") == 3 && r.getAs[Boolean]("converged")))
+    } finally query.stop()
+  }
+}
