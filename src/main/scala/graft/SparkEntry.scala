@@ -50,5 +50,6 @@ object QueryCatalog {
       operators.TextQueries.specs ++
       operators.DedupQueries.specs ++
       operators.SimilarityQueries.specs ++
-      operators.EventQueries.specs
+      operators.EventQueries.specs ++
+      operators.ExtendedQueries.specs
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-1 gap fills (COVERAGE.md "known gaps"): relational
+  * INTERSECT/EXCEPT, BPE-ish regex tokenization, as-of join,
+  * embedding-cosine near-dup, GROUPING SETS, JSON property extraction.
+  */
+object ExtendedQueries {
+
+  // ---------------------------------------------------------------- q35/q36
+  /** Relational INTERSECT ⊕ (SURVEY §2.8): nations having both customers
+    * and suppliers. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  private val q35Sql =
+    """SELECT c_nationkey AS k FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS k FROM supplier
+      |ORDER BY k""".stripMargin
+
+  /** Relational EXCEPT ⊕: nations with customers but no suppliers. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  private val q36Sql =
+    """SELECT c_nationkey AS k FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS k FROM supplier
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** BPE-ish regex tokenizer (north-star "token counting: whitespace +
+    * BPE-ish regex"): letter runs / digit runs / single non-alnum
+    * symbols, the GPT-2-style split restricted to constructs whose
+    * semantics are identical in Java regex (Spark) and RE2 (DuckDB). */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).cast("long").as("n_uniq_bpe"))
+      .orderBy(col("doc_id"))
+
+  private val q37Sql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+       | CAST(len(list_distinct(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS n_uniq_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** As-of join ⊕: for every 'error' event, the most recent 'click' by
+    * the same user at or before it. Spark side uses the scalable as-of
+    * pattern — union both streams, ONE sort per user, carry the last
+    * click forward with a running window — no join at all (a join-based
+    * as-of would shuffle both sides and explode on range match; this is
+    * a single shuffle + sort). Clicks are deduped per (user, ts) so the
+    * as-of key is unique and tie-independent. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts")).distinct()
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("error_event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id").as("error_event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("asof_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("error_event_id"),
+        unix_millis(col("asof_ts")).as("asof_click_ms"))
+      .orderBy(col("user_id"), col("error_event_id"))
+  }
+
+  private val q38Sql =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |     u AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+      |SELECT u.user_id, u.event_id AS error_event_id, epoch_ms(max(c.ts)) AS asof_click_ms
+      |FROM u LEFT JOIN c ON c.user_id = u.user_id AND c.ts <= u.ts
+      |GROUP BY u.user_id, u.event_id
+      |ORDER BY u.user_id, error_event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Embedding-cosine near-dup ⊕ (dedup north-star): exact all-pairs at
+    * this scale (the LSH-bucketed path is q29); sim rounded before the
+    * threshold so both engines cut identically. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("sim", Det.rate(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("na") * col("nb"))))
+      .filter(col("sim") >= 0.5)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val q39Sql =
+    """WITH nv AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+      |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.5
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** GROUPING SETS ⊕ (beyond rollup/cube): independent per-dimension
+    * subtotals + grand total. Dataset API exposes only rollup/cube, so
+    * this goes through spark.sql — the same Catalyst Aggregate(Expand)
+    * plan. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n
+        |FROM li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  private val q40Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | count(*) AS n
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** JSON property extraction from events.props (FIXTURES.md §2.1):
+    * from_json with a declared schema (Spark-first; no schema inference
+    * at scale), aggregated per event type. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        Det.rnd(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  private val q41Sql =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      | floor((avg(CAST(props->>'$.k' AS BIGINT))) * 1e4 + 0.5) / 1e4 AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q35_intersect", Some(q35Sql), q35),
+    QuerySpec("q36_except", Some(q36Sql), q36),
+    QuerySpec("q37_bpe_tokens", Some(q37Sql), q37),
+    QuerySpec("q38_asof_join", Some(q38Sql), q38),
+    QuerySpec("q39_cosine_neardup", Some(q39Sql), q39),
+    QuerySpec("q40_grouping_sets", Some(q40Sql), q40),
+    QuerySpec("q41_json_extract", Some(q41Sql), q41),
+  )
+}
