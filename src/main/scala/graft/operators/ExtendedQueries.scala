@@ -101,13 +101,11 @@ object ExtendedQueries {
   private def q39(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
     val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("sim", Det.rate(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("na") * col("nb"))))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "va", "vb") / (col("na") * col("nb"))))
       .filter(col("sim") >= 0.5)
       .select(col("vec_a"), col("vec_b"), col("sim"))
       .orderBy(col("vec_a"), col("vec_b"))

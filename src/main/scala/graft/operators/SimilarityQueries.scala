@@ -30,10 +30,7 @@ object SimilarityQueries {
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
-
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+      .withColumn("nrm", VectorMath.norm(s, "v"))
 
   // ---------------------------------------------------------------- q28
   private def q28(s: SparkSession, dir: String): DataFrame = {
@@ -42,7 +39,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = base.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(dot("qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))
@@ -94,7 +91,7 @@ object SimilarityQueries {
     // equi-join on bucket — the ANN win: hash shuffle, not a cross join
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(dot("qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))

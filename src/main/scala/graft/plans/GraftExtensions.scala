@@ -1,0 +1,20 @@
+package graft.plans
+
+import graft.functions.DotProductD
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SparkSessionExtensions): registers graft's
+  * native expressions as SQL functions. Install with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (done by Verify/Bench/tests) or `withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+  }
+}
