@@ -51,5 +51,6 @@ object QueryCatalog {
       operators.DedupQueries.specs ++
       operators.SimilarityQueries.specs ++
       operators.EventQueries.specs ++
-      operators.ExtendedQueries.specs
+      operators.ExtendedQueries.specs ++
+      operators.IvfQueries.specs
 }
