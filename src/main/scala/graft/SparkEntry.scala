@@ -52,5 +52,6 @@ object QueryCatalog {
       operators.SimilarityQueries.specs ++
       operators.EventQueries.specs ++
       operators.ExtendedQueries.specs ++
-      operators.IvfQueries.specs
+      operators.IvfQueries.specs ++
+      operators.WindowSkewQueries.specs
 }
