@@ -26,6 +26,10 @@ object Bench {
     // standard way to report the machine's actual capability.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        // each timed run pays its own persists: CacheManager matches
+        // canonicalized plans, so without this a second run would
+        // silently reuse the first run's cached intermediates
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
