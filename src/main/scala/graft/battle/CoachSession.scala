@@ -13,7 +13,8 @@ final class CoachSession(
     cardMeta: DataFrame,
     metaBatches: () => Iterator[DataFrame],
     minTotal: Long = 2000L,
-    minPerType: Long = 200L) {
+    minPerType: Long = 200L,
+    classifier: QuestionClassifier = QnaRouter) {
 
   /** ensure_meta (:557-570): Phase 0 runs once, lazily. */
   lazy val meta: MetaWorkflow.MetaTables =
@@ -33,7 +34,7 @@ final class CoachSession(
     * → health check. The returned context is what the expert LLM call
     * would receive (LLM boundary stays outside the engine). */
   def answer(question: String, user: UserWorkflow.UserTables): Answer = {
-    val (category, needs) = QnaRouter.classify(question)
+    val (category, needs) = classifier.classify(question)
     val tables = Map(
       "user_summary" -> user.summaryTable,
       "user_deck_summary" -> user.deckTypeSummary,

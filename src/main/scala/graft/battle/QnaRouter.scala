@@ -12,7 +12,15 @@ import org.apache.spark.sql.functions._
   * tables), so Phase 2 is CI-testable without network. An LLM-backed
   * implementation can replace `classify` behind the same signature.
   */
-object QnaRouter {
+/** LLM boundary (SURVEY §7.3): classification is behind this trait so
+  * the deterministic keyword default keeps Phase 2 CI-testable; an
+  * LLM-backed classifier implements the same signature with the same
+  * validation contract (unknown category → "other" + SEND_ALL). */
+trait QuestionClassifier {
+  def classify(question: String): (String, Seq[String])
+}
+
+object QnaRouter extends QuestionClassifier {
 
   val Categories: Seq[String] = Seq("user", "matchup", "card", "meta", "other")
 
