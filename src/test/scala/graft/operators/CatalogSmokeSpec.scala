@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.{QueryCatalog, SparkSpec}
+
+/** Every registered query runs on sf0.001 and is deterministic: two
+  * executions produce byte-identical ordered rows. Catches regressions
+  * without the DuckDB oracle in the loop (the oracle remains the
+  * authority for correctness at sf0.01).
+  */
+class CatalogSmokeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  QueryCatalog.all.foreach { spec =>
+    test(s"${spec.name} runs and is deterministic at sf0.001") {
+      val r1 = spec.fn(spark, dir).collect().map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case x => x
+      })
+      val r2 = spec.fn(spark, dir).collect().map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case x => x
+      })
+      assert(r1.length === r2.length)
+      assert(r1.toSeq === r2.toSeq, s"${spec.name} not deterministic")
+    }
+  }
+
+  test("every oracle-less query is documented as rows-only by intent") {
+    val rowsOnly = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // engine-specific sketches / bucketed ANN paths only
+    assert(rowsOnly === Set("q16_distinct_approx", "q29_cosine_lsh", "q42_cosine_ivf"))
+  }
+}
