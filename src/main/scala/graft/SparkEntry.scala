@@ -53,5 +53,6 @@ object QueryCatalog {
       operators.EventQueries.specs ++
       operators.ExtendedQueries.specs ++
       operators.IvfQueries.specs ++
-      operators.WindowSkewQueries.specs
+      operators.WindowSkewQueries.specs ++
+      operators.ProfilingQueries.specs
 }

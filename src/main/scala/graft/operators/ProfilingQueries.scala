@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution analytics, fuzzy matching, ordered array aggregation,
+  * and dataset profiling — the data-quality / exploration operators a
+  * training-data pipeline runs before anything else.
+  */
+object ProfilingQueries {
+
+  // ---------------------------------------------------------------- q46
+  /** Distribution window functions: percent_rank / cume_dist over order
+    * values per status (complements q44's rank/ntile family). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        Det.rate(percent_rank().over(w)).as("pct_rank"),
+        Det.rate(cume_dist().over(w)).as("cume"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  private val q46Sql =
+    """SELECT o_orderstatus, o_orderkey,
+      | floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pct_rank,
+      | floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Fuzzy matching via edit distance (dedup-adjacent: catches
+    * typo-level near-duplicate names that token methods miss). Pairs of
+    * part names sharing a brand with levenshtein ≤ 8; the brand equality
+    * keys the join (never all-pairs across the table). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.part(s, dir).select(col("p_brand"), col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+    val b = Tables.part(s, dir).select(col("p_brand").as("brand_b"), col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+    a.join(b, col("p_brand") === col("brand_b") && col("pk_a") < col("pk_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 8)
+      .select(col("p_brand"), col("pk_a"), col("pk_b"), col("dist"))
+      .orderBy(col("p_brand"), col("pk_a"), col("pk_b"))
+  }
+
+  private val q47Sql =
+    """SELECT a.p_brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+      | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 8
+      |ORDER BY a.p_brand, pk_a, pk_b""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Ordered array aggregation surfaced as a string (cross-engine-safe
+    * list compare): top-3 customers by balance per nation, joined
+    * comma-separated in rank order. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      .filter(col("rn") <= 3)
+    ranked
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("rn"), col("c_custkey")))),
+        p => p.getField("c_custkey").cast("string"))).as("top3"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q48Sql =
+    """SELECT c_nationkey, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rn) AS top3
+      |FROM (
+      |  SELECT c_nationkey, c_custkey,
+      |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer
+      |) t WHERE rn <= 3
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Dataset profiling in ONE pass: per-column null counts, distinct
+    * counts, numeric min/max — the agg computes every statistic in a
+    * single scan (no per-column jobs). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val o = Tables.orders(s, dir)
+    val stats = o.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      countDistinct(col("o_custkey")).as("distinct_custkey"),
+      countDistinct(col("o_orderstatus")).as("distinct_status"),
+      Det.money(min(col("o_totalprice"))).as("min_price"),
+      Det.money(max(col("o_totalprice"))).as("max_price"))
+    stats.select(stats.columns.map(c => col(c).cast("double").as(c)).toSeq: _*)
+      .unpivot(Array.empty[Column], "metric", "value")
+      .orderBy(col("metric"))
+  }
+
+  private val q49Sql =
+    """WITH s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS rows_,
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_custkey,
+      |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS distinct_custkey,
+      |         CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS distinct_status,
+      |         floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+      |         floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price
+      |  FROM orders)
+      |SELECT 'distinct_custkey' AS metric, distinct_custkey AS value FROM s
+      |UNION ALL SELECT 'distinct_status' AS metric, distinct_status FROM s
+      |UNION ALL SELECT 'max_price' AS metric, max_price FROM s
+      |UNION ALL SELECT 'min_price' AS metric, min_price FROM s
+      |UNION ALL SELECT 'null_custkey' AS metric, null_custkey FROM s
+      |UNION ALL SELECT 'rows' AS metric, rows_ FROM s
+      |ORDER BY metric""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
+    QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
+    QuerySpec("q48_ordered_array_agg", Some(q48Sql), q48),
+    QuerySpec("q49_profile", Some(q49Sql), q49),
+  )
+}
