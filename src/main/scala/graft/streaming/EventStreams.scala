@@ -62,6 +62,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: each error event joined to the click
+    * events by the same user in the preceding 10 minutes. Watermarks on
+    * BOTH sides + the time-range predicate bound the join state: click
+    * state can be dropped once the error-side watermark passes
+    * click.ts + 10 min (q33's range-join semantics, streaming form). */
+  def clickErrorJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val c = clicks.withWatermark("ts", watermark)
+      .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS click_ts")
+    val e = errors.withWatermark("ts", watermark)
+      .selectExpr("user_id", "event_id AS error_id", "ts AS error_ts")
+    e.join(c, expr(
+      """c_user = user_id AND
+        |error_ts >= click_ts AND
+        |error_ts <= click_ts + interval 10 minutes""".stripMargin))
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        col("click_ts"), col("error_ts"))
+  }
+
   /** The Phase-0 loop as a streaming operator
     * (meta_workflow.py:294-464 analogue, SURVEY §7.3): per-group
     * accumulation with flatMapGroupsWithState that emits a progress row

@@ -65,6 +65,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(ts(120)) === 1)
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val query = EventStreams.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Seq(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 1.0),
+        Event(3, ts(0), 2, "click", 1.0)))
+      errors.addData(Seq(
+        Event(10, ts(8), 1, "error", 1.0),   // joins clicks 1 (8m) and 2 (3m)
+        Event(11, ts(30), 2, "error", 1.0))) // click 3 is 30m earlier -> no join
+      query.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      val pairs = rows.map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("click_id"))).toSet
+      assert(pairs === Set((10L, 1L), (10L, 2L)))
+    } finally query.stop()
+  }
+
   test("accumulateUntil flags convergence once a group crosses the threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
