@@ -17,12 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * generated code, stays inside WholeStageCodegen, and allocates
   * nothing.
   *
-  * Semantics: Σ a(i)·b(i) over i < min(len(a), len(b)); null input →
-  * null (BinaryExpression null-intolerant contract); array ELEMENTS are
-  * assumed non-null (embedding vectors — guaranteed by construction
-  * here). Identical result to the HOF form on equal-length null-free
-  * arrays: both fold left-to-right in index order, so even the
-  * floating-point rounding matches.
+  * Semantics are EXACTLY those of the HOF form (so the FuseDotProduct
+  * optimizer rule is a sound rewrite on every input): null input → null;
+  * mismatched lengths → null (zip_with pads with null, null
+  * propagates through the fold); any null element → null; otherwise a
+  * left-to-right fold in index order, so even the floating-point
+  * rounding matches bit-for-bit.
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,13 +42,17 @@ case class DotProductD(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -61,12 +65,17 @@ case class DotProductD(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
