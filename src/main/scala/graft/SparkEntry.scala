@@ -54,5 +54,6 @@ object QueryCatalog {
       operators.ExtendedQueries.specs ++
       operators.IvfQueries.specs ++
       operators.WindowSkewQueries.specs ++
-      operators.ProfilingQueries.specs
+      operators.ProfilingQueries.specs ++
+      operators.TypedQueries.specs
 }
