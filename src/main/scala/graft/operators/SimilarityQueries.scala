@@ -100,8 +100,36 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** q29's hyperplanes are deterministic constants, so the whole
+    * LSH-bucketed search is oracle-expressible: the ±1 components are
+    * inlined as literal DOUBLE[] arrays. */
+  private val q29Sql: String = {
+    def planeArray(j: Int): String =
+      (0 until 64).map(d => planeComponent(j, d)).mkString("[", ", ", "]::DOUBLE[]")
+    val bucketExpr = (0 until 8)
+      .map(j => s"(CASE WHEN list_dot_product(v, ${planeArray(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM nv
+       |), p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT qid, cid, sim, bucket,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM p
+       |)
+       |SELECT qid, rn, cid, sim, CAST(bucket AS BIGINT) AS bucket
+       |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
-    QuerySpec("q29_cosine_lsh", None, q29),
+    QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
   )
 }
