@@ -36,10 +36,12 @@ object IvfQueries {
       .withColumn("nrm", VectorMath.norm(s, "v"))
 
   /** argmax-cosine cell assignment against a broadcast centroid table
-    * (cell, cv, cnrm). */
+    * (cell, cv, cnrm). The similarity is rounded to 1e-6 BEFORE the
+    * argmax (ties then break on cell id) so a last-ulp float difference
+    * can never flip an assignment between engines/runs. */
   private def assign(s: SparkSession, vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorMath.dot(s, "v", "cv") / (col("nrm") * col("cnrm")))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "v", "cv") / (col("nrm") * col("cnrm"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
       .filter(col("rk") === 1)
@@ -77,7 +79,7 @@ object IvfQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cnrm")))
+      .withColumn("csim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cnrm"))))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
       .filter(col("prk") <= NProbe)
@@ -95,7 +97,74 @@ object IvfQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Full oracle for the IVF search: seed + both Lloyd iterations +
+    * probe + search as chained CTEs. Soundness rests on the same
+    * pre-rounding discipline as the Spark side — centroid components
+    * and every similarity used for ranking are rounded to 1e-6 before
+    * comparison, so assignments cannot diverge on float noise. */
+  private val q42Sql: String = {
+    val Dims = 64
+    def rnd(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def sim(v: String, n: String, cv: String, cn: String) =
+      rnd(s"list_dot_product($v, $cv) / ($n * $cn)")
+    // argmax-cosine assignment of nv rows against centroid CTE `cent`
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, nrm, cell FROM (
+         |    SELECT nv.vec_id, nv.v, nv.nrm, c.cell,
+         |           row_number() OVER (PARTITION BY nv.vec_id
+         |             ORDER BY ${sim("nv.v", "nv.nrm", "c.cv", "c.cnrm")} DESC, c.cell) AS rk
+         |    FROM nv CROSS JOIN $cent c
+         |  ) t WHERE rk = 1
+         |)""".stripMargin
+    // per-dimension mean of the assigned vectors → new centroids
+    def updateCte(asg: String, dims: String, cent: String) =
+      s"""$dims AS (
+         |  SELECT cell, i, ${rnd(s"avg(v[i])")} AS cx
+         |  FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS i)
+         |  GROUP BY cell, i
+         |), $cent AS (
+         |  SELECT cell, list(cx ORDER BY i) AS cv,
+         |         sqrt(list_dot_product(list(cx ORDER BY i), list(cx ORDER BY i))) AS cnrm
+         |  FROM $dims GROUP BY cell
+         |)""".stripMargin
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), seed AS (
+       |  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell,
+       |         v AS cv, nrm AS cnrm
+       |  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K
+       |),
+       |${assignCte("asg1", "seed")},
+       |${updateCte("asg1", "up1", "cent1")},
+       |${assignCte("asg2", "cent1")},
+       |${updateCte("asg2", "up2", "cent2")},
+       |${assignCte("asgf", "cent2")},
+       |probes AS (
+       |  SELECT qid, qv, qn, cell FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sim("q.v", "q.nrm", "c.cv", "c.cnrm")} DESC, c.cell) AS prk
+       |    FROM (SELECT * FROM nv WHERE vec_id % 50 = 0) q CROSS JOIN cent2 c
+       |  ) t WHERE prk <= $NProbe
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid, p.cell,
+       |         ${sim("p.qv", "p.qn", "a.v", "a.nrm")} AS sim
+       |  FROM probes p JOIN asgf a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |),
+       |r AS (
+       |  SELECT qid, cid, sim, cell,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM cand
+       |)
+       |SELECT qid, rn, cid, sim, CAST(cell AS BIGINT) AS cell
+       |FROM r WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q42_cosine_ivf", None, q42),
+    QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
   )
 }

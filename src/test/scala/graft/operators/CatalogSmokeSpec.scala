@@ -28,7 +28,7 @@ class CatalogSmokeSpec extends SparkSpec {
 
   test("every oracle-less query is documented as rows-only by intent") {
     val rowsOnly = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // engine-specific only: HLL sketch and the iteratively-built IVF index
-    assert(rowsOnly === Set("q16_distinct_approx", "q42_cosine_ivf"))
+    // only the HLL sketch is inherently engine-specific
+    assert(rowsOnly === Set("q16_distinct_approx"))
   }
 }
