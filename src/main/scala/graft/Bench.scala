@@ -21,17 +21,23 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: the VM host shows heavy transient steal-time
+    // best-of-3 per query: the VM host shows heavy transient steal-time
     // noise (observed 2x swings between identical runs); min-of-N is the
     // standard way to report the machine's actual capability.
+    //
+    // The timed action is a noop-format write, not count(): under count()
+    // Catalyst's EliminateSorts legally drops a top-level ORDER BY, so
+    // final sorts would be excluded from the timing. The noop sink runs
+    // the full plan users actually execute and discards rows executor-side.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         // each timed run pays its own persists: CacheManager matches
         // canonicalized plans, so without this a second run would
         // silently reuse the first run's cached intermediates
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

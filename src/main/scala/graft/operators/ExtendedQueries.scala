@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,34 +95,122 @@ object ExtendedQueries {
       |ORDER BY u.user_id, error_event_id""".stripMargin
 
   // ---------------------------------------------------------------- q39
-  /** Embedding-cosine near-dup ⊕ (dedup north-star): exact all-pairs at
-    * this scale (the LSH-bucketed path is q29); sim rounded before the
-    * threshold so both engines cut identically. */
-  private def q39(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(s, dir)
+  /** Embedding-cosine near-dup ⊕ (dedup north-star), LSH-prefiltered.
+    *
+    * Round 1 shipped this as exact all-pairs (a BroadcastNestedLoopJoin) —
+    * quadratic by construction, a scale-killer at 100 TB. The registered
+    * form is now the scale shape: L=16 sign-hyperplane tables × B=12
+    * planes (deterministic md5-derived ±1 planes, seed offset 1000 so
+    * they are independent of q29's) generate candidate pairs via an
+    * EQUI-join on (table, bucket) over COMPACT signatures — only
+    * (vec_id, table, bucket) rows shuffle through candidate generation;
+    * the 64-dim vectors are joined back ONLY for the candidate pairs.
+    * Candidates are distinct'd across tables, exact-cosine verified, and
+    * the top-20 most-similar pairs (sim ≥ 0.3 floor) reported — the
+    * dedup-review workflow. Multi-table union recall at true near-dup
+    * sims (≥0.9): 1-(1-0.856^12)^16 ≈ 0.93, ≈1.0 at sim 0.98
+    * (NearDupRecallSpec measures it on planted duplicates; the all-pairs
+    * form lives there as ground truth, not as a registered query).
+    *
+    * The planes are deterministic constants, so the whole pipeline is
+    * oracle-expressible: the DuckDB twin inlines all 192 plane arrays
+    * and uses an OR-of-16-code-equalities candidate predicate (the
+    * oracle may be quadratic; only the engine must not be). */
+  private[operators] val NdTables = 16
+  private[operators] val NdPlanes = 12
+  private val NdSeed = 1000
+
+  private def ndPlane(t: Int, i: Int): IndexedSeq[Double] =
+    (0 until 64).map(d => SimilarityQueries.planeComponent(NdSeed + t * NdPlanes + i, d))
+
+  /** LSH-prefiltered near-dup top-k over any (vec_id, embedding) frame.
+    * Factored out so NearDupRecallSpec can run it on planted-duplicate
+    * inputs. */
+  private[graft] def nearDupTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    val nShuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // repartition: the testdata parquet is a single row-group → one scan
+    // partition in local mode; the signature kernel below would serialize
+    // on one core without this (at cluster scale the scan is already
+    // multi-partition and this is a cheap narrow-ish shuffle of id+vec).
+    // The explicit partition count matters: a bare repartition(col) is
+    // AQE-coalescible, and at this data size AQE folds it back to ONE
+    // partition — an explicit count pins the parallelism.
+    val base = emb
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", VectorMath.norm(s, "v"))
-    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .repartition(nShuffle, col("vec_id"))
+    // All 16 table codes in one pass: the native LshSignCodes kernel when
+    // GraftExtensions is installed (a flat double[] plane matrix, one
+    // tight codegen loop), else the composable when(dot > 0) form —
+    // identical codes on well-formed vectors (LshSignCodesSpec).
+    val codesCol: Column =
+      if (s.catalog.functionExists("graft_lsh_codes"))
+        expr(s"graft_lsh_codes(v, $NdSeed, $NdTables, $NdPlanes, 64)")
+      else {
+        def dotPlane(t: Int, i: Int): Column = {
+          val arr = ndPlane(t, i).map(x => if (x > 0) "1.0D" else "-1.0D")
+            .mkString("array(", ",", ")")
+          VectorMath.dot(s, "v", arr)
+        }
+        def code(t: Int): Column = (0 until NdPlanes)
+          .map(i => when(dotPlane(t, i) > 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _)
+        array((0 until NdTables).map(code): _*)
+      }
+    // The repartition between the codes Project and the posexplode is a
+    // deliberate optimizer barrier: collapsed into the Generate, the
+    // signature computation leaves whole-stage codegen and runs
+    // interpreted (measured 6× slower). The exchanged rows are compact
+    // (id + 16 ints — vectors stay behind), and the explode output is
+    // reshuffled by (t, bucket) for the join anyway.
+    val sigs = base
+      .select(col("vec_id"), codesCol.as("codes"))
+      .repartition(nShuffle, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "bucket")))
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cands.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("sim", Det.rate(VectorMath.dot(s, "va", "vb") / (col("na") * col("nb"))))
-      .filter(col("sim") >= 0.5)
+      .filter(col("sim") >= 0.3)
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
       .select(col("vec_a"), col("vec_b"), col("sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val q39Sql =
-    """WITH nv AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v,
-      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings
-      |), p AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |         floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-      |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-      |)
-      |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.5
-      |ORDER BY vec_a, vec_b""".stripMargin
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    nearDupTopK(s, Tables.embeddings(s, dir), 20)
+
+  private val q39Sql: String = {
+    def planeArray(t: Int, i: Int): String =
+      ndPlane(t, i).mkString("[", ", ", "]::DOUBLE[]")
+    def codeExpr(t: Int): String =
+      (0 until NdPlanes)
+        .map(i => s"(CASE WHEN list_dot_product(v, ${planeArray(t, i)}) > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+    val codeCols = (0 until NdTables).map(t => s"${codeExpr(t)} AS c$t").mkString(",\n         ")
+    val anyTable = (0 until NdTables).map(t => s"a.c$t = b.c$t").mkString(" OR ")
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, v, nrm,
+       |         $codeCols
+       |  FROM nv
+       |), p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyTable)
+       |)
+       |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q40
   /** GROUPING SETS ⊕ (beyond rollup/cube): independent per-dimension

@@ -372,14 +372,43 @@ object RelationalQueries {
     """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HLL sketch distinct ⊕ — approx_count_distinct; engine-specific sketch
-    * so no DuckDB oracle (rows-only check). At 100 TB this replaces the
-    * expensive exact distinct shuffle with fixed-size sketches. */
+  /** HLL sketch distinct ⊕ — approx_count_distinct. At 100 TB this replaces
+    * the expensive exact distinct shuffle with fixed-size mergeable sketches.
+    * The sketch value is engine-specific, so the oracle-checkable contract is
+    * the error bound, not the estimate: emit per-group exact, n, and
+    * `within_tol = |approx-exact|/exact <= 0.10` (rsd=0.02 ⇒ 5σ margin;
+    * rsd=0.01 would need p=14 / 16K registers whose out-of-codegen
+    * update+merge path costs ~1 s at this scale for no extra value);
+    * DuckDB's side is trivially `true`, so any out-of-bound sketch flips the
+    * hash and fails the gate. Exact distinct here exists only to state the
+    * bound — production callers use the approx column alone. */
   private def q16(s: SparkSession, dir: String): DataFrame =
+    // Shape note: do NOT co-plan countDistinct with approx_count_distinct
+    // in one agg — the distinct-agg rewrite keys the partial aggregate by
+    // (event_type, user_id) and allocates a 16 KB rsd=0.01 HLL buffer per
+    // distinct user (gigabytes of state). Instead dedup on the pair
+    // first, then take exact = count, n = sum of per-pair counts, and the
+    // HLL over the already-distinct user ids — an HLL sketch depends only
+    // on the distinct value set, so the estimate is identical, and the
+    // expensive sketch updates run on the deduped rows.
     Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"), count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("exact_users"),
+        sum(col("c")).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.10).as("within_tol"))
       .orderBy(col("event_type"))
+
+  private val q16Sql =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      | count(*) AS n, true AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q17/q18
   /** Rollup ⊕ — subtotal hierarchy; 'ALL' coalesce keeps null-ordering
@@ -448,7 +477,7 @@ object RelationalQueries {
     QuerySpec("q13_unpivot_summary", Some(q13Sql), q13),
     QuerySpec("q14_role_union", Some(q14Sql), q14),
     QuerySpec("q15_distinct_exact", Some(q15Sql), q15),
-    QuerySpec("q16_distinct_approx", None, q16),
+    QuerySpec("q16_distinct_approx", Some(q16Sql), q16),
     QuerySpec("q17_rollup", Some(q17Sql), q17),
     QuerySpec("q18_cube", Some(q18Sql), q18),
     QuerySpec("q19_hash_sample", Some(q19Sql), q19),

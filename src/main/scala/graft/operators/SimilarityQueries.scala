@@ -67,7 +67,7 @@ object SimilarityQueries {
   // ---------------------------------------------------------------- q29
   /** Deterministic ±1 hyperplane component for (plane j, dim d): parity
     * of the first md5 nibble of "j:d". Engine-independent pseudo-random. */
-  private def planeComponent(j: Int, d: Int): Double = {
+  private[operators] def planeComponent(j: Int, d: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
     if ("13579bdf".contains(hex.charAt(0))) 1.0 else -1.0

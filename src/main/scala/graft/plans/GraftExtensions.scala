@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, LshSignCodes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,6 +16,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_codes"),
+      new ExpressionInfo(classOf[LshSignCodes].getName, "graft_lsh_codes"),
+      (children: Seq[Expression]) => {
+        // (v, seed, tables, planes, dim) — trailing four are int literals
+        def intLit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+        LshSignCodes(children(0), intLit(children(1)), intLit(children(2)),
+          intLit(children(3)), intLit(children(4)))
+      }))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }

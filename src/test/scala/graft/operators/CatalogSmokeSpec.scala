@@ -26,9 +26,10 @@ class CatalogSmokeSpec extends SparkSpec {
     }
   }
 
-  test("every oracle-less query is documented as rows-only by intent") {
+  test("every registered query has a DuckDB oracle") {
+    // since round 2 even the HLL sketch is oracle-checked (q16 emits an
+    // error-bound boolean instead of the engine-specific estimate)
     val rowsOnly = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // only the HLL sketch is inherently engine-specific
-    assert(rowsOnly === Set("q16_distinct_approx"))
+    assert(rowsOnly === Set.empty[String])
   }
 }
