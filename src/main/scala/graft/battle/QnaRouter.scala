@@ -38,14 +38,23 @@ object QnaRouter extends QuestionClassifier {
     "matchup" -> Seq("matchup", "against", "versus", "vs", "counter"),
     "card" -> Seq("card", "cards"),
     "meta" -> Seq("meta", "ladder", "archetype", "popular"),
-    "user" -> Seq("my ", "me ", "i ", "win rate", "summary", "deck"))
+    "user" -> Seq("my", "me", "i", "win rate", "summary", "deck"))
 
   /** question → (category, data needs). Unknown → "other" + SEND_ALL
-    * (validation fallback, phase2_qna_workflow.py:254-265). */
+    * (validation fallback, phase2_qna_workflow.py:254-265).
+    *
+    * Keywords match on WHOLE WORDS (token sequences), not raw substrings:
+    * substring contains over-matched inside words ("i" in "hi", "me" in
+    * "game", "vs" in "favs"), silently stealing genuinely unknown
+    * questions from the documented unknown → "other" SEND_ALL fallback. */
   def classify(question: String): (String, Seq[String]) = {
-    val q = " " + question.toLowerCase.trim + " "
+    val tokens = question.toLowerCase.split("[^a-z0-9#]+").filter(_.nonEmpty).toSeq
+    def hasPhrase(kw: String): Boolean = {
+      val kwTokens = kw.split("\\s+").toSeq
+      tokens.sliding(kwTokens.size).contains(kwTokens)
+    }
     val category = keywordRules
-      .collectFirst { case (cat, kws) if kws.exists(k => q.contains(k)) => cat }
+      .collectFirst { case (cat, kws) if kws.exists(hasPhrase) => cat }
       .getOrElse("other")
     (category, DefaultNeeds(category))
   }

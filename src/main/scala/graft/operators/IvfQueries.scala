@@ -65,11 +65,23 @@ object IvfQueries {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
         .select(col("cell"), expr("transform(pc, p -> p.cx)").as("cv"))
-      centroids = updated
+      val next = updated
         .withColumn("cnrm", VectorMath.norm(s, "cv"))
         .persist()
+      // materialize the new centroids (K rows) BEFORE dropping the old
+      // ones they were computed from, then retire the superseded cache —
+      // a long Verify session must not accumulate one centroid table per
+      // Lloyd iteration per run
+      next.count()
+      centroids.unpersist()
+      centroids = next
     }
-    (assign(s, vectors, centroids).persist(), centroids)
+    val finalAssign = assign(s, vectors, centroids).persist()
+    finalAssign.count()
+    // assignments carry (v, nrm) for every vector — the big cache; the
+    // raw vector table is fully superseded by it
+    vectors.unpersist()
+    (finalAssign, centroids)
   }
 
   /** q42: nprobe ANN search for the sampled query set. */

@@ -55,12 +55,19 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Stateful streaming dedup under watermark (q34's streaming form):
-    * first event per (user_id, event_type) wins; state for old keys is
-    * evicted past the watermark. */
+    * first event per (user_id, event_type) within the watermark window
+    * wins. `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`)
+    * is what actually bounds the state: with a watermark but no
+    * event-time column among plain dropDuplicates keys, Spark never
+    * evicts dedup state, so a long-running stream grows without bound.
+    * The within-watermark form expires each key once the watermark
+    * passes its first-seen event time — at the cost that a duplicate
+    * arriving later than the watermark delay re-emits (the right trade
+    * for an at-least-once ingest pipeline). */
   def dedupFirstEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-stream interval join: each error event joined to the click
     * events by the same user in the preceding 10 minutes. Watermarks on

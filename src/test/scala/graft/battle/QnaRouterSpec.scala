@@ -14,6 +14,17 @@ class QnaRouterSpec extends SparkSpec {
     assert(needs === QnaRouter.DefaultNeeds("other"))
   }
 
+  test("keywords match whole words only, not substrings") {
+    // "hi" must not hit "i", "game" must not hit "me", "favs" must not
+    // hit "vs" — these previously stole the "other" SEND_ALL fallback
+    assert(QnaRouter.classify("hi there, explain the game")._1 === "other")
+    assert(QnaRouter.classify("list some favs please")._1 === "other")
+    assert(QnaRouter.classify("what should I play")._1 === "user")
+    assert(QnaRouter.classify("X versus Y")._1 === "matchup")
+    // multi-word phrase still matches across whitespace
+    assert(QnaRouter.classify("show win    rate please")._1 === "user")
+  }
+
   test("context JSON selects needed tables, limits rows, truncates at 4000") {
     import spark.implicits._
     val big = (0 until 500).map(i => (i.toLong, "x" * 50)).toDF("id", "pad")
