@@ -55,5 +55,6 @@ object QueryCatalog {
       operators.IvfQueries.specs ++
       operators.WindowSkewQueries.specs ++
       operators.ProfilingQueries.specs ++
-      operators.TypedQueries.specs
+      operators.TypedQueries.specs ++
+      operators.MultimodalQueries.specs
 }

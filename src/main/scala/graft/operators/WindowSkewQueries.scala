@@ -12,9 +12,8 @@ object WindowSkewQueries {
   // ---------------------------------------------------------------- q43
   /** Exact interpolated percentiles (OLAP staple; Spark `percentile` and
     * DuckDB `quantile_cont` both interpolate at rank p·(n−1)). The
-    * approximate-sketch variant for 100 TB is `approx_percentile`
-    * (engine-specific sketch, not oracle-comparable — same situation as
-    * q16's HLL). */
+    * approximate-sketch variant for 100 TB is `approx_percentile` —
+    * registered as q53 below with a rank-error-contract oracle. */
   private def q43(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -32,6 +31,62 @@ object WindowSkewQueries {
       | floor((quantile_cont(l_quantity, 0.9)) * 1e6 + 0.5) / 1e6 AS p90,
       | floor((quantile_cont(l_extendedprice, 0.5)) * 100.0 + 0.5) / 100.0 AS median_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Approximate percentiles, oracle-checked by CONTRACT (VERDICT r1
+    * "what's missing" #5 — same trick as q16's HLL bound): the
+    * approx_percentile sketch value is engine-specific (and its
+    * partition-merge order even run-specific), but its rank-error
+    * guarantee is checkable. For each (group, p) we compute the fraction
+    * of rows strictly below / at-or-below the approximate value and
+    * assert p lies within [frac_lt − ε, frac_le + ε] (ε = 0.01 ≫ the
+    * 1/accuracy = 1e-4 guarantee; frac_le−frac_lt absorbs the
+    * discrete-value mass at the quantile). The emitted row carries the
+    * EXACT interpolated percentile (both engines compute it identically)
+    * plus the bound boolean, so DuckDB's side is `true` and any
+    * out-of-contract sketch flips the hash.
+    *
+    * 100 TB note: this q is the validation harness; production uses the
+    * approx column alone — one pass, fixed-size mergeable sketches, no
+    * full sort — where q43's exact percentile would need a per-group
+    * global sort. */
+  private val Ps = Seq(0.25, 0.5, 0.9)
+
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val pArr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").cast("double").as("x"))
+    val approx = li.groupBy(col("rf"))
+      .agg(expr(s"approx_percentile(x, $pArr, 10000)").as("av"),
+        expr(s"percentile(x, $pArr)").as("ev"))
+      .select(col("rf"), posexplode(arrays_zip(col("av"), col("ev"))).as(Seq("pi", "z")))
+      .select(col("rf"), col("pi"),
+        element_at(typedLit(Ps), col("pi") + 1).as("p"),
+        col("z.av").as("av"), col("z.ev").as("ev"))
+    li.join(broadcast(approx), Seq("rf"))
+      .groupBy(col("rf"), col("p"))
+      .agg(
+        first(col("ev")).as("ev"),
+        first(col("av")).as("av"),
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("av"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("x") <= col("av"), 1L).otherwise(0L)).as("n_le"))
+      .select(
+        col("rf"), col("p"),
+        Det.rate(col("ev")).as("exact_pct"),
+        ((col("n_lt").cast("double") / col("n") <= col("p") + 0.01) &&
+          (col("n_le").cast("double") / col("n") >= col("p") - 0.01)).as("within_tol"))
+      .orderBy(col("rf"), col("p"))
+  }
+
+  private val q53Sql: String = {
+    val branches = Ps.map(p =>
+      s"""SELECT l_returnflag AS rf, $p AS p,
+         | floor((quantile_cont(l_quantity, $p)) * 1e6 + 0.5) / 1e6 AS exact_pct,
+         | true AS within_tol
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY rf, p")
+  }
 
   // ---------------------------------------------------------------- q44
   /** Window-function suite: rank / ntile / running sum / lag delta per
@@ -93,5 +148,6 @@ object WindowSkewQueries {
     QuerySpec("q43_percentiles", Some(q43Sql), q43),
     QuerySpec("q44_window_suite", Some(q44Sql), q44),
     QuerySpec("q45_skew_salted", Some(q45Sql), q45),
+    QuerySpec("q53_approx_percentile", Some(q53Sql), q53),
   )
 }
