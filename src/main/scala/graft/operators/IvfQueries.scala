@@ -76,12 +76,11 @@ object IvfQueries {
       centroids.unpersist()
       centroids = next
     }
-    val finalAssign = assign(s, vectors, centroids).persist()
-    finalAssign.count()
-    // assignments carry (v, nrm) for every vector — the big cache; the
-    // raw vector table is fully superseded by it
-    vectors.unpersist()
-    (finalAssign, centroids)
+    // vectors stay cached for the final assign (the caller's first
+    // action materializes it); the per-query session hygiene is
+    // Verify/Bench clearCache — only the per-ITERATION caches, which
+    // would stack inside a single buildIndex, are retired eagerly above
+    (assign(s, vectors, centroids).persist(), centroids)
   }
 
   /** q42: nprobe ANN search for the sampled query set. */

@@ -45,8 +45,17 @@ object ProfilingQueries {
       col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
     val b = Tables.part(s, dir).select(col("p_brand").as("brand_b"), substring(col("p_name"), 1, 6).as("pfx_b"),
       col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+    // the distance kernel IS the query cost (~360k candidate pairs):
+    // graft_lev is a byte-level two-row DP (ASCII fast path, builtin
+    // fallback for multi-byte) — measured ~3× over the builtin, which
+    // pays per-codepoint UTF-8 machinery per DP cell. Sessions without
+    // GraftExtensions fall back to the builtin; identical results
+    // (LevenshteinDSpec pins agreement).
+    val dist =
+      if (s.catalog.functionExists("graft_lev")) expr("graft_lev(name_a, name_b)")
+      else levenshtein(col("name_a"), col("name_b"))
     a.join(b, col("p_brand") === col("brand_b") && col("pfx") === col("pfx_b") && col("pk_a") < col("pk_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .withColumn("dist", dist.cast("long"))
       .filter(col("dist") <= 8)
       .select(col("p_brand"), col("pk_a"), col("pk_b"), col("dist"))
       .orderBy(col("p_brand"), col("pk_a"), col("pk_b"))

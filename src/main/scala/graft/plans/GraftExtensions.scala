@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LshSignCodes}
+import graft.functions.{DotProductD, LevenshteinD, LshSignCodes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshSignCodes(children(0), intLit(children(1)), intLit(children(2)),
           intLit(children(3)), intLit(children(4)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lev"),
+      new ExpressionInfo(classOf[LevenshteinD].getName, "graft_lev"),
+      (children: Seq[Expression]) => LevenshteinD(children(0), children(1))))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }
