@@ -88,6 +88,50 @@ object MetaWorkflow {
       loops = loop.loops,
       totalBattles = loop.totalBattles)
   }
+
+  /** Phase 0 END-TO-END from the REST source — the reference's full meta
+    * graph including its API nodes (meta_workflow.py:192-207
+    * fetch_top_players_node, :217-276 sample_initial/incremental with
+    * used-index exclusion, battle-log fetch per cohort): leaderboard →
+    * salted exact-k cohort sampling (tags never resampled across loops)
+    * → battle-log fetch through the RestClient boundary → normalize →
+    * two-sided classification → the convergence loop above.
+    *
+    * The per-loop cohort collect is bounded by cohortK (50 in the
+    * reference) and mirrors its driver-side control flow; battle data
+    * itself never leaves executors. */
+  def runFromSource(
+      spark: SparkSession,
+      client: graft.sources.RestClient,
+      cardMeta: DataFrame,
+      topLimit: Int = 1000,
+      cohortK: Int = 50,
+      minTotal: Long = 2000L,
+      minPerType: Long = 200L,
+      maxLoops: Int = 20,
+      summaryMinGames: Int = 200,
+      matchupMinGames: Int = 30): MetaTables = {
+    import graft.sources.RestBattleSource
+    val top = RestBattleSource.fetchTopPlayers(spark, client, topLimit)
+      .select(col("tag")).cache()
+    val batches = new Iterator[DataFrame] {
+      private var used: DataFrame = top.limit(0)
+      private var loopNo = 0
+      override def hasNext: Boolean = true // MetaLoop bounds via maxLoops
+      override def next(): DataFrame = {
+        loopNo += 1
+        val cohort = PlayerSampler.sampleUnused(top, used, cohortK, "tag", s"loop$loopNo")
+        val tags = cohort.collect().map(_.getString(0)).toSeq
+        used = used.union(cohort)
+        val raw = RestBattleSource.fetchBattles(spark, client, tags)
+        val normalized = Normalize(raw)
+          .withColumn("battle_key", monotonically_increasing_id())
+        val withMy = DeckType.classifyDecks(normalized, cardMeta, "my_cards", "my_deck_type", Seq("battle_key"))
+        DeckType.classifyDecks(withMy, cardMeta, "opp_cards", "opp_deck_type", Seq("battle_key"))
+      }
+    }
+    run(spark, batches, minTotal, minPerType, maxLoops, summaryMinGames, matchupMinGames)
+  }
 }
 
 /** Exact-k deterministic sampling with used-key exclusion — the Phase 0

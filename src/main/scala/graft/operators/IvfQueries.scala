@@ -50,11 +50,26 @@ object IvfQueries {
   /** Build (vec_id, v, nrm, cell) assignments + final centroids. */
   def buildIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val vectors = normed(s, dir).persist()
-    var centroids = vectors
+    // Seed cells are assigned on the driver from the collected K-row
+    // TakeOrdered result (order already total: md5 value, then vec_id) —
+    // a global row_number window over the 16 seeds would be correct but
+    // logs a scary 'No Partition Defined for Window' warning on every
+    // run. K rows on the driver is the k-means-init idiom, not a
+    // driver-side data path.
+    val seedRows = vectors
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(K)
-      .withColumn("cell", row_number().over(Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
-      .select(col("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .select(col("v"), col("nrm"))
+      .collect()
+    var centroids = s.createDataFrame(
+      s.sparkContext.parallelize(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Double](0), r.getDouble(1))
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false),
+        org.apache.spark.sql.types.StructField("cnrm", org.apache.spark.sql.types.DoubleType, false))))
       .persist()
     for (_ <- 1 to Iterations) {
       val assigned = assign(s, vectors, centroids)
