@@ -52,6 +52,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 4L))
   }
 
+  test("dedup state expires past the watermark: a far-later duplicate re-emits") {
+    // the documented dropDuplicatesWithinWatermark trade-off: with a
+    // 1-hour watermark, a duplicate key arriving days later (after its
+    // first-seen state was evicted) is treated as new — the price of
+    // BOUNDED state, vs plain dropDuplicates whose state never evicts
+    val batches = Seq(
+      Seq(Event(1, ts(1), 1, "click", 1.0)),
+      // advance watermark far past event 1's time, then repeat the key
+      Seq(Event(2, ts(24 * 60 * 7), 9, "view", 0.0)),
+      Seq(Event(3, ts(24 * 60 * 7 + 1), 1, "click", 3.0)))
+    val rows = runBatches("dedup_evict",
+      m => dedupFirstEvents(m.toDF(), watermark = "1 hour"), OutputMode.Append(), batches)
+    // event 3 re-emits despite (user 1, click) being seen in batch 1
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val batches = Seq(Seq(
       Event(1, ts(0), 1, "click", 1.0),
