@@ -98,6 +98,47 @@ object IvfQueries {
     (assign(s, vectors, centroids).persist(), centroids)
   }
 
+  /** Persist the IVF index with vectors CLUSTERED BY CELL — the layout
+    * that turns every probe into a partition-pruned scan: a search that
+    * probes nprobe of K cells reads nprobe/K of the table from storage
+    * (PartitionFilters on `cell`, proven in IvfIndexPruningSpec), which
+    * is the entire point of IVF at 100 TB. Centroids are a tiny side
+    * table read whole and broadcast at search time. */
+  def writeIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    val (assigned, centroids) = buildIndex(s, dir)
+    graft.sources.Sinks.writeParquet(assigned, s"$indexPath/vectors", partitionBy = Seq("cell"))
+    graft.sources.Sinks.writeParquet(centroids, s"$indexPath/centroids")
+    assigned.unpersist()
+    centroids.unpersist()
+  }
+
+  /** Search a persisted index: probe ranking against the broadcast
+    * centroid table, then an IN-filter on the partition column — the
+    * scan touches only the probed cell directories. */
+  def searchIndex(s: SparkSession, indexPath: String, queries: DataFrame,
+      nprobe: Int = NProbe, topK: Int = TopK): DataFrame = {
+    val centroids = s.read.parquet(s"$indexPath/centroids")
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cnrm"))))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by K
+    val vectors = s.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned scan
+      .select(col("vec_id").as("cid"), col("v").as("cv2"), col("nrm").as("cn"), col("cell"))
+    probes.join(vectors, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv2") / (col("qn") * col("cn"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("cid"), col("sim"), col("cell").cast("long").as("cell"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** q42: nprobe ANN search for the sampled query set. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centroids) = buildIndex(s, dir)
