@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // dev A/B knob; AQE ON measured FASTER even at bench scale (21.5s
+      // vs 24.0s total at sf0.1 — runtime partition coalescing beats the
+      // per-stage re-optimization latency), so the default stands
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/shuffle/parquet machinery once so the first

