@@ -33,7 +33,11 @@ object Bench {
     // Catalyst's EliminateSorts legally drops a top-level ORDER BY, so
     // final sorts would be excluded from the timing. The noop sink runs
     // the full plan users actually execute and discards rows executor-side.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (dev tool: time a subset)
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
+      .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         // each timed run pays its own persists: CacheManager matches
         // canonicalized plans, so without this a second run would

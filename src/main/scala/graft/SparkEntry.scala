@@ -56,5 +56,6 @@ object QueryCatalog {
       operators.WindowSkewQueries.specs ++
       operators.ProfilingQueries.specs ++
       operators.TypedQueries.specs ++
-      operators.MultimodalQueries.specs
+      operators.MultimodalQueries.specs ++
+      operators.CorpusQueries.specs
 }

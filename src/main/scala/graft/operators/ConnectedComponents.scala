@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation.
+  *
+  * Intended use: cluster near-duplicate candidate PAIRS (MinHash/LSH or
+  * n-gram Jaccard edges) into dedup groups so each group keeps exactly
+  * one canonical document — the step the pairwise dedup operators
+  * (q25/q26/q39) stop short of. The reference has no graph machinery at
+  * all; this is the standard missing piece of a corpus dedup pipeline.
+  *
+  * Algorithm: every round, each node offers its current label to its
+  * neighbors, then each node keeps the min of its own and all offered
+  * labels. Labels only decrease and are bounded below, so Σ labels is a
+  * strictly monotone convergence measure — fixpoint when one round
+  * leaves it unchanged. The first round is fused into initialization
+  * (label(v) = min(v, neighbors(v)) in one aggregation).
+  *
+  * This is the one operator in the engine that drops to the RDD API —
+  * the canonical justified case: an iterative graph algorithm needs a
+  * PINNED partitioner across rounds, which DataFrames cannot express.
+  * Edges are hash-partitioned by src ONCE and persisted; the label RDD
+  * comes out of every `reduceByKey` with the same partitioner, so the
+  * per-round `edges ⋈ labels` is NARROW (zero shuffle) and the only
+  * shuffle per round is the min-reduce — vs 3 AQE-replanned exchange
+  * stages per round for the DataFrame formulation (measured ~3× slower
+  * at sf0.1, and the relative gap grows with rounds). Map-side combine
+  * in reduceByKey keeps shuffled bytes ≤ one (node, label) pair per
+  * node per partition.
+  *
+  * Scale notes (100 TB):
+  *  - Per round: one narrow join + one shuffle of (node, label) pairs;
+  *    no text, no edge re-derivation, no driver data path (the
+  *    convergence checksum is a single Long).
+  *  - Rounds = seeded diameter. Near-dup components are small and
+  *    dense (diameter ≲ 5). For adversarially long chains the
+  *    O(log n)-round alternating large-star/small-star variant
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    2014) drops in here without changing callers.
+  *  - Superseded rounds are unpersisted eagerly; steady-state memory is
+  *    the edge RDD plus two label RDDs.
+  */
+object ConnectedComponents {
+
+  private val debug = sys.env.contains("GRAFT_CC_DEBUG")
+  private def dbg(msg: => String): Unit = if (debug) System.err.println(s"[cc] $msg")
+
+  /** @param nodes single column `id`
+    * @param edges columns `src`, `dst` — undirected; symmetrized inside,
+    *              so pass each pair once in either orientation
+    * @return (id, component) where component = min reachable node id
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val t0 = System.nanoTime()
+    def el = f"${(System.nanoTime() - t0) / 1e9}%.2f"
+    val spark = nodes.sparkSession
+    val parts = math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val part = new HashPartitioner(parts)
+
+    val sym: RDD[(Long, Long)] = edges.select(col("src"), col("dst")).rdd
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // neighbor-seeded init: label(v) = min(v, neighbors(v)) — round 1
+    // fused into initialization; isolated nodes seed themselves
+    val labels0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+      .union(sym) // (v, neighbor) offers: min picks the smallest neighbor or self
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def lsum(r: RDD[(Long, Long)]): Long =
+      r.aggregate(0L)((a, kv) => a + kv._2, _ + _)
+
+    var cur = labels0
+    var curSum = lsum(cur)
+    var prevSum = curSum + 1 // force ≥1 confirmation round
+    var rounds = 0
+    dbg(s"init done at ${el}s sum=$curSum")
+    while (curSum != prevSum && rounds < maxRounds) {
+      // narrow join: sym and cur share the partitioner — no shuffle here
+      val offered = sym.join(cur).map { case (_, (dst, lbl)) => (dst, lbl) }
+      val next = cur.union(offered)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the round's ONE shuffle
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      prevSum = curSum
+      curSum = lsum(next) // materializes `next` while `cur` is still cached
+      cur.unpersist(blocking = false)
+      cur = next
+      rounds += 1
+      dbg(s"round $rounds done at ${el}s sum=$curSum")
+    }
+    sym.unpersist(blocking = false)
+    spark.createDataFrame(
+      cur.map { case (id, c) => Row(id, c) },
+      StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
+  }
+}

@@ -38,7 +38,7 @@ object DedupQueries {
     * mode, which would otherwise serialize the whole minhash compute;
     * at 100 TB the scan is naturally partitioned and this is a cheap
     * doc_id-hash shuffle of raw text rows. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -46,7 +46,7 @@ object DedupQueries {
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))).as("s"))
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """SELECT doc_id,
       |       unnest(list_distinct(list_transform(generate_series(0, len(t)-2),
       |              i -> t[i+1] || ' ' || t[i+2]))) AS s
@@ -157,30 +157,45 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q26
-  /** Exact n-gram Jaccard over an inverted-index join, with stop-shingle
-    * filtering (df ≤ 25). Jaccard is computed over the filtered shingle
-    * sets (self-consistent; common shingles carry no dedup signal). */
-  private def q26(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") <= 25)
-    // persisted: consumed by sizes and both sides of the inverted-index
-    // self-join below.
-    val rs = sh.join(rare.select(col("s")), Seq("s")).persist()
-    val sizes = rs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = rs.select(col("doc_id").as("doc_a"), col("s"))
-      .join(rs.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
+  /** Exact n-gram Jaccard over a grouped inverted index, with
+    * stop-shingle filtering (df ≤ 25). Jaccard is computed over the
+    * filtered shingle sets (self-consistent; common shingles carry no
+    * dedup signal).
+    *
+    * Shape: ONE groupBy(shingle) builds sorted posting lists (after a
+    * broadcast-anti stop-shingle pre-filter so no unbounded list is ever
+    * collected — df > 25 lists die map-side); candidate pairs then
+    * EXPLODE from each ≤25-element list (≤300 struct pairs) instead of
+    * the rs ⋈ rs self-join, which shuffled the posting table twice and
+    * sorted both sides. Shared with q54's component clustering. */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: two aggregations consume it (stop-shingle df, posting lists)
+    val sh = shingles(s, dir).persist()
+    // stop-shingles are the Zipf head — a tiny, broadcastable set
+    val stop = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 25).select(col("s"))
+    val grouped = sh.join(broadcast(stop), Seq("s"), "left_anti")
+      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .persist() // consumed by pair-gen and per-doc sizes
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("icnt"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val q26Sql =
     s"""WITH sh AS ($shinglesSql),

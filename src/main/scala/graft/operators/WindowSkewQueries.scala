@@ -17,11 +17,18 @@ object WindowSkewQueries {
   private def q43(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
+      // ONE array-percentile call per column: each scalar percentile()
+      // maintains its own per-group value buffer, so asking for three
+      // quantiles of l_quantity separately would buffer (and merge) the
+      // column three times
       .agg(
-        Det.rate(expr("percentile(l_quantity, 0.25)")).as("p25"),
-        Det.rate(expr("percentile(l_quantity, 0.5)")).as("p50"),
-        Det.rate(expr("percentile(l_quantity, 0.9)")).as("p90"),
-        Det.money(expr("percentile(l_extendedprice, 0.5)")).as("median_price"))
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("qs"),
+        expr("percentile(l_extendedprice, 0.5)").as("mp"))
+      .select(col("l_returnflag"),
+        Det.rate(col("qs")(0)).as("p25"),
+        Det.rate(col("qs")(1)).as("p50"),
+        Det.rate(col("qs")(2)).as("p90"),
+        Det.money(col("mp")).as("median_price"))
       .orderBy(col("l_returnflag"))
 
   private val q43Sql =

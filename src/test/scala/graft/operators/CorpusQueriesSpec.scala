@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("connected components: chain, pair, and singleton resolve to min labels") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // 1-2-3 chain (diameter 2 — needs >1 propagation round), 5-6 pair, 4 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(nodes, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: long chain converges past many rounds") {
+    // path 0-1-2-...-9: worst-case diameter for min-label propagation
+    val n = 10L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(0L), "all chain nodes must reach label 0")
+  }
+
+  test("q54 clusters are consistent: canonical per cluster, sizes add up") {
+    val rows = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
+      .fn(spark, dir)
+      .select("doc_id", "component_id", "csize", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._1).distinct.size === rows.size, "one row per doc")
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_._4) === 1, s"component $comp must have exactly one canonical doc")
+      assert(members.find(_._4).get._1 === comp, "canonical doc is the min = component id")
+      assert(members.forall(_._3 === members.size), s"csize mismatch in component $comp")
+      assert(members.map(_._1).min === comp, "component id is the min member")
+    }
+  }
+
+  test("q57 stratified sample takes exactly min(k, stratum size) per language") {
+    val sample = CorpusQueries.specs.find(_.name == "q57_stratified_sample").get
+      .fn(spark, dir).groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = graft.Tables.documents(spark, dir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(sample(lang) === math.min(20L, n), s"stratum $lang")
+    }
+  }
+
+  test("q58 quantized ranking mostly agrees with the exact float ranking") {
+    val rows = CorpusQueries.specs.find(_.name == "q58_quantized_ann").get
+      .fn(spark, dir).select("in_exact_topk").as[Boolean].collect()
+    assert(rows.nonEmpty)
+    val recall = rows.count(identity).toDouble / rows.length
+    // 8-bit scalar quantization on 64-dim vectors barely perturbs cosine
+    // order; anything below this bound means the dequantization is wrong
+    assert(recall >= 0.8, f"top-5 agreement $recall%.2f too low")
+  }
+}
