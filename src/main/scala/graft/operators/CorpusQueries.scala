@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *  - q58 scalar-quantized ANN: global-min/max 8-bit codes (4× memory
   *    compression of float32), cosine top-k on DEQUANTIZED vectors,
   *    with per-result agreement vs the exact float ranking.
+  *  - q59 BM25 relevance scoring against a fixed query (rational idf).
+  *  - q60 incremental snapshot merge (SCD-1 / MERGE-INTO shape) with
+  *    an insert/update/keep audit column.
   *
-  * All five are DuckDB-hash-checked, including the connected-components
+  * All seven are DuckDB-hash-checked, including the connected-components
   * fixpoint (recursive CTE in the oracle) and the full quantize →
   * dequantize → rank pipeline.
   */
@@ -327,11 +330,158 @@ object CorpusQueries {
       |SELECT qid, rn, cid, sim_q, (re <= 5) AS in_exact_topk
       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** BM25 relevance scoring of the corpus against a fixed query
+    * ("spark query fast"), k1 = 1.2, b = 0.75 — the classic retrieval /
+    * quality-ranking kernel. The idf factor is the RATIONAL form
+    * (N+1)/(df+1) rather than its logarithm: ln() differs by an ulp
+    * between libm implementations, and with only a handful of distinct
+    * df values a boundary collision at the 1e-6 rounding step is not
+    * measure-zero (same reasoning as q58). ln is monotone in the
+    * rational form, so per-term ranking is unaffected; the blended
+    * score weighting is a documented deviation.
+    *
+    * Scale: tokens are filtered to the query terms BEFORE the tf
+    * aggregation (the scan+explode never shuffles non-query tokens);
+    * df and the (N, avgdl) scalars broadcast. Per-term scores pivot to
+    * fixed columns so the final sum has a deterministic order. */
+  private val Terms = Seq("spark", "query", "fast")
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val g = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(broadcast(d.withColumnRenamed("doc_id", "d_id")), col("d_id") === col("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("s",
+        (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+    val termCols = Terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_${t}"))
+    val pivoted = scored.groupBy(col("doc_id")).agg(termCols.head, termCols.tail: _*)
+    pivoted
+      .select(col("doc_id"),
+        Det.rate(col("s_spark") + col("s_query") + col("s_fast")).as("score"),
+        Det.rate(col("s_spark")).as("s_spark"),
+        Det.rate(col("s_query")).as("s_query"),
+        Det.rate(col("s_fast")).as("s_fast"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q59Sql =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('spark', 'query', 'fast')
+      |  GROUP BY doc_id, tok
+      |),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |s AS (
+      |  -- scientific-notation literals force DOUBLE: DuckDB types bare
+      |  -- 1.0/2.2 as DECIMAL and would run exact-decimal arithmetic,
+      |  -- diverging from the engine's IEEE-double math
+      |  SELECT tf.doc_id, tf.tok,
+      |         (g.n_docs + 1e0) / (df.df + 1e0) * (tf.tf * 2.2e0)
+      |           / (tf.tf + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * d.dl / g.avgdl)) AS s
+      |  FROM tf JOIN df USING (tok) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN g
+      |),
+      |p AS (
+      |  SELECT doc_id,
+      |         coalesce(max(CASE WHEN tok = 'spark' THEN s END), 0.0) AS s_spark,
+      |         coalesce(max(CASE WHEN tok = 'query' THEN s END), 0.0) AS s_query,
+      |         coalesce(max(CASE WHEN tok = 'fast' THEN s END), 0.0) AS s_fast
+      |  FROM s GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |       floor((s_spark + s_query + s_fast) * 1e6 + 0.5) / 1e6 AS score,
+      |       floor(s_spark * 1e6 + 0.5) / 1e6 AS s_spark,
+      |       floor(s_query * 1e6 + 0.5) / 1e6 AS s_query,
+      |       floor(s_fast * 1e6 + 0.5) / 1e6 AS s_fast
+      |FROM p
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Incremental snapshot merge (SCD-1 / MERGE-INTO shape): the state
+    * before the split instant is the base snapshot (latest row per
+    * (user_id, event_type)), rows after it are the delta; the merge
+    * emits the new snapshot with an action audit column — `insert`
+    * (key only in delta), `update` (delta wins over base), `keep`
+    * (untouched base key). ONE window pass computes both sides' latest
+    * rows (the split flag is part of the window partition key); the
+    * merge itself is a single hash aggregation (conditional struct
+    * max), not a join.
+    *
+    * Scale: this is the batch form of the streaming upsert sink
+    * (foreachBatch + MERGE); state and delta shuffle once each by the
+    * merge key, and the audit column is what an incremental pipeline
+    * checkpoints for reconciliation. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val latest = Tables.events(s, dir)
+      .withColumn("is_delta", col("ts") >= split)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"), col("is_delta"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    latest.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(when(!col("is_delta"), struct(col("ts"), col("value")))).as("b"),
+        max(when(col("is_delta"), struct(col("ts"), col("value")))).as("d"))
+      .select(col("user_id"), col("event_type"),
+        when(col("b").isNull, "insert").when(col("d").isNull, "keep")
+          .otherwise("update").as("action"),
+        coalesce(col("d.value"), col("b.value")).as("new_value"),
+        // epoch-ms BIGINT, not raw timestamp: Spark parquet writes ns
+        // where the oracle compare expects µs (same convention as the
+        // event-window queries)
+        expr("unix_millis(coalesce(d.ts, b.ts))").as("new_ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q60Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, value, event_id,
+      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_delta
+      |  FROM events
+      |),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, is_delta
+      |                                 ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM flagged) t
+      |  WHERE rn = 1
+      |),
+      |b AS (SELECT user_id, event_type, ts AS b_ts, value AS b_value
+      |      FROM latest WHERE NOT is_delta),
+      |d AS (SELECT user_id, event_type, ts AS d_ts, value AS d_value
+      |      FROM latest WHERE is_delta)
+      |SELECT user_id, event_type,
+      |       CASE WHEN b_ts IS NULL THEN 'insert'
+      |            WHEN d_ts IS NULL THEN 'keep'
+      |            ELSE 'update' END AS action,
+      |       coalesce(d_value, b_value) AS new_value,
+      |       epoch_ms(coalesce(d_ts, b_ts)) AS new_ts_ms
+      |FROM b FULL OUTER JOIN d USING (user_id, event_type)
+      |ORDER BY user_id, event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q55_decontamination", Some(q55Sql), q55),
     QuerySpec("q56_repetition_quality", Some(q56Sql), q56),
     QuerySpec("q57_stratified_sample", Some(q57Sql), q57),
     QuerySpec("q58_quantized_ann", Some(q58Sql), q58),
+    QuerySpec("q59_bm25_scoring", Some(q59Sql), q59),
+    QuerySpec("q60_incremental_merge", Some(q60Sql), q60),
   )
 }

@@ -91,6 +91,26 @@ object EventStreams {
         col("click_ts"), col("error_ts"))
   }
 
+  /** Stream-static enrichment join + per-category windowed rollup: the
+    * unbounded stream joined to a bounded dimension, then aggregated by
+    * the joined category. Unlike a stream-stream join this keeps ZERO
+    * join state — the static side is re-planned each micro-batch and
+    * broadcast when small, which is why enrichment dims should stay
+    * batch tables even inside a streaming pipeline (the 100 TB/day
+    * shape: fact stream ⋈ broadcast dim, state only in the window agg,
+    * bounded by the watermark). */
+  def enrichedCategoryCounts(
+      events: DataFrame,
+      typeDim: DataFrame, // (event_type, category)
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(typeDim), Seq("event_type"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col("category"), lit("other")).as("category"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("category"), col("n"), col("sum_value"))
+
   /** The Phase-0 loop as a streaming operator
     * (meta_workflow.py:294-464 analogue, SURVEY §7.3): per-group
     * accumulation with flatMapGroupsWithState that emits a progress row

@@ -103,6 +103,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim and rolls up by category") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val typeDim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val batches = Seq(
+      Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "view", 2.0)),
+      Seq(Event(3, ts(15), 1, "purchase", 9.0), Event(4, ts(20), 3, "error", 0.5)))
+    val rows = runBatches("enrich",
+      m => enrichedCategoryCounts(m.toDF(), typeDim), OutputMode.Update(), batches)
+    def latest(cat: String) =
+      rows.filter(_.getAs[String]("category") == cat).maxBy(_.getAs[Long]("n"))
+    assert(latest("engagement").getAs[Long]("n") === 2)
+    assert(latest("engagement").getAs[Double]("sum_value") === 3.0)
+    assert(latest("revenue").getAs[Double]("sum_value") === 9.0)
+    // dim miss falls back to the 'other' category, not a dropped row
+    assert(latest("other").getAs[Long]("n") === 1)
+  }
+
   test("accumulateUntil flags convergence once a group crosses the threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
