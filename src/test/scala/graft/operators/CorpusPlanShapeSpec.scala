@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape proofs for the corpus-curation operators (SCALE.md
+  * "Corpus curation"): the claims about WHAT shuffles are asserted
+  * against the final adaptive plan, not just documented. */
+class CorpusPlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = CorpusQueries.specs.find(_.name == name).get.fn(spark, dir)
+    df.collect() // force AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q55 decontamination: benchmark set joins by broadcast, never sort-merge") {
+    val p = finalPlan("q55_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark fingerprint join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "training side must not shuffle into a merge join")
+  }
+
+  test("q56 repetition filters: the only join is on per-doc aggregated partials") {
+    val p = finalPlan("q56_repetition_quality")
+    // token/bigram frequencies each reduce to one row per doc BEFORE the
+    // doc_id-keyed join of the two signals — no join ever touches text,
+    // and nothing nested-loops
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      "aggregations must sit below the doc_id join in the final plan")
+  }
+
+  test("q59 bm25: df/doclen/scalars broadcast; no sort-merge join") {
+    val p = finalPlan("q59_bm25_scoring")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q58 quantized ANN: only the sampled query set nested-loop-broadcasts") {
+    val p = finalPlan("q58_quantized_ann")
+    // the validation shape: BNLJ against the broadcast SAMPLED queries is
+    // intended; a sort-merge join would mean the full table self-joined
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
