@@ -130,11 +130,94 @@ object EventQueries {
       |  FROM events
       |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Funnel analysis: per user, how far through the ordered
+    * view → click → purchase funnel their event sequence gets
+    * (subsequence match, not adjacency), then the user count and share
+    * per funnel depth. ONE groupBy(user) builds the ordered event-type
+    * sequence (struct sort carries (ts, event_id) as the deterministic
+    * tiebreak), the depth is a regex subsequence test, and the final
+    * rollup is a 4-row aggregate.
+    *
+    * Scale: the heavy shuffle is per-user event lists — bounded by
+    * per-user activity, the same state a sessionization pipeline holds;
+    * no self-joins (the naive funnel formulation is k-1 self-joins). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"))
+        .as("seq"))
+    val depth = when(col("seq").rlike("view.*click.*purchase"), 3L)
+      .when(col("seq").rlike("view.*click"), 2L)
+      .when(col("seq").rlike("view"), 1L)
+      .otherwise(0L)
+    val perDepth = seqs.select(depth.as("funnel_depth"))
+      .groupBy(col("funnel_depth")).agg(count(lit(1)).as("users"))
+    perDepth
+      .withColumn("share", Det.rate(col("users").cast("double")
+        / sum(col("users")).over(Window.partitionBy())))
+      .orderBy(col("funnel_depth"))
+  }
+
+  private val q61Sql =
+    """WITH seqs AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id
+      |),
+      |d AS (
+      |  SELECT CAST(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+      |              WHEN regexp_matches(seq, 'view.*click') THEN 2
+      |              WHEN regexp_matches(seq, 'view') THEN 1
+      |              ELSE 0 END AS BIGINT) AS funnel_depth
+      |  FROM seqs
+      |),
+      |p AS (SELECT funnel_depth, count(*) AS users FROM d GROUP BY funnel_depth)
+      |SELECT funnel_depth, users,
+      |       floor((CAST(users AS DOUBLE) / sum(users) OVER ()) * 1e6 + 0.5) / 1e6 AS share
+      |FROM p ORDER BY funnel_depth""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Cohort retention: users bucketed by first-activity week, retention
+    * counted as distinct users active at each week offset from their
+    * own cohort day. Two hash aggregations (per-user first day, then
+    * the cohort × offset matrix) — the standard warehouse shape, no
+    * self-join of the fact table.
+    *
+    * Scale: the fact table shuffles once by user for the first-day agg
+    * and once pre-aggregated (user, cohort, offset) distinct rows for
+    * the matrix; both shrink with activity density. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val withDay = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val firstDay = withDay.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    withDay
+      .join(firstDay, Seq("user_id"))
+      .select(col("user_id"),
+        (datediff(col("first_d"), lit("2024-01-01").cast("date")).cast("long") / 7)
+          .cast("long").as("cohort_week"),
+        (datediff(col("d"), col("first_d")).cast("long") / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q62Sql =
+    """WITH wd AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fd AS (SELECT user_id, min(d) AS first_d FROM wd GROUP BY user_id)
+      |SELECT CAST(date_diff('day', DATE '2024-01-01', first_d) // 7 AS BIGINT) AS cohort_week,
+      |       CAST(date_diff('day', first_d, d) // 7 AS BIGINT) AS week_offset,
+      |       CAST(count(DISTINCT wd.user_id) AS BIGINT) AS users
+      |FROM wd JOIN fd ON fd.user_id = wd.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
     QuerySpec("q32_session_window", Some(q32Sql), q32),
     QuerySpec("q33_range_join", Some(q33Sql), q33),
     QuerySpec("q34_stateful_dedup", Some(q34Sql), q34),
+    QuerySpec("q61_funnel_depth", Some(q61Sql), q61),
+    QuerySpec("q62_cohort_retention", Some(q62Sql), q62),
   )
 }

@@ -28,6 +28,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L), "all chain nodes must reach label 0")
   }
 
+  test("connected components match a driver union-find on random graphs (property, seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val n = 2 + rnd.nextInt(30)
+      val ids = (0L until n).toSeq
+      val edges = Seq.fill(rnd.nextInt(2 * n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> {
+        // min id of the component = min over members sharing the root
+        val r = find(i); ids.filter(find(_) == r).min
+      }).toMap
+      val got = ConnectedComponents.run(
+        ids.toDF("id"),
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("q54 clusters are consistent: canonical per cluster, sizes add up") {
     val rows = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
       .fn(spark, dir)
