@@ -162,19 +162,21 @@ object DedupQueries {
     * filtered shingle sets (self-consistent; common shingles carry no
     * dedup signal).
     *
-    * Shape: ONE groupBy(shingle) builds sorted posting lists (after a
-    * broadcast-anti stop-shingle pre-filter so no unbounded list is ever
-    * collected — df > 25 lists die map-side); candidate pairs then
-    * EXPLODE from each ≤25-element list (≤300 struct pairs) instead of
-    * the rs ⋈ rs self-join, which shuffled the posting table twice and
-    * sorted both sides. Shared with q54's component clustering. */
+    * Shape: ONE shuffle by shingle serves the whole index build — the
+    * document frequency is a window count over that partitioning, the
+    * df ≤ 25 filter runs BEFORE the posting-list collect (so no
+    * unbounded list is ever aggregated; the window sort spills, a
+    * collect_list buffer would not), and the following groupBy(s)
+    * reuses the window's hash partitioning with no second exchange.
+    * Candidate pairs then EXPLODE from each ≤25-element sorted list
+    * (≤300 struct pairs) instead of the rs ⋈ rs self-join, which
+    * shuffled the posting table twice and sorted both sides. Shared
+    * with q54's component clustering. */
   private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // persisted: two aggregations consume it (stop-shingle df, posting lists)
-    val sh = shingles(s, dir).persist()
-    // stop-shingles are the Zipf head — a tiny, broadcastable set
-    val stop = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 25).select(col("s"))
-    val grouped = sh.join(broadcast(stop), Seq("s"), "left_anti")
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val grouped = shingles(s, dir)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= 25)
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .persist() // consumed by pair-gen and per-doc sizes
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
