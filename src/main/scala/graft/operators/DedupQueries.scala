@@ -254,10 +254,91 @@ object DedupQueries {
        |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q63
+  /** SimHash near-dup detection — the step q27 stops short of: a 32-bit
+    * token-level simhash, banded into 4 × 8-bit bands for candidate
+    * generation (equi-join on (band, byte), never all-pairs), then an
+    * exact hamming verify via bit_count(xor). With 4 bands and a
+    * hamming threshold of 3, banding is LOSSLESS by pigeonhole: ≤3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * matches exactly — this is recall-free candidate pruning, unlike
+    * the probabilistic MinHash bands of q25.
+    *
+    * Scale: what shuffles is (doc_id, band, byte) triples — 4 rows of
+    * ~20 bytes per doc; the verify join touches only banded candidates
+    * and compares two longs. 8-bit bands give 256 buckets per band:
+    * at N docs a bucket holds ~N/256, so candidate volume is
+    * ~4·256·(N/256)²/2 = N²/128 worst-case on a degenerate corpus —
+    * widen bands (16-bit) to trade candidate volume against the
+    * guaranteed-recall hamming radius. */
+  private def simhash32(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(oddNibbles: _*), 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val sigVal = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tk.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigVal.cast("long").as("sig"))
+  }
+
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash32(s, dir).persist()
+    val banded = sig.select(col("doc_id"), col("sig"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bh"))): _*)).as("p"))
+      .select(col("doc_id"), col("sig"), col("p.band").as("band"), col("p.bh").as("bh"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q63Sql: String = {
+    val inList = oddNibbles.map(n => s"'$n'").mkString(",")
+    val bitSums = (0 until 32)
+      .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n |    ")
+    val value = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM tk GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($value AS BIGINT) AS sig FROM bits),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band, (sig >> (8 * b.band)) & 255 AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
     QuerySpec("q26_ngram_jaccard", Some(q26Sql), q26),
     QuerySpec("q27_simhash", Some(q27Sql), q27),
+    QuerySpec("q63_simhash_neardup", Some(q63Sql), q63),
   )
 }

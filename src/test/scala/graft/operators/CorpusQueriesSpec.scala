@@ -79,6 +79,31 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q63 banded simhash candidates are pigeonhole-lossless at hamming <= 3") {
+    import org.apache.spark.sql.functions._
+    // brute-force ground truth over all signature pairs at sf0.001
+    val got = DedupQueries.specs.find(_.name == "q63_simhash_neardup").get
+      .fn(spark, dir).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val qs = DedupQueries.specs.find(_.name == "q27_simhash").get // sanity: sig pipeline alive
+    assert(qs.fn(spark, dir).count() > 0)
+    val sig = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val v = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = sig.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), v.as("sig")).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got === brute, "banding must lose no pair within the hamming radius")
+  }
+
   test("q58 quantized ranking mostly agrees with the exact float ranking") {
     val rows = CorpusQueries.specs.find(_.name == "q58_quantized_ann").get
       .fn(spark, dir).select("in_exact_topk").as[Boolean].collect()
