@@ -111,6 +111,51 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("category"), col("n"), col("sum_value"))
 
+  /** In-memory MERGE target for the foreachBatch upsert sink — the
+    * test-scale stand-in for `MERGE INTO` a warehouse table.
+    * Latest-wins per key; IDEMPOTENT per batchId, which is what turns
+    * foreachBatch's at-least-once replay (after checkpoint recovery the
+    * last batch may re-run) into exactly-once state. */
+  final class UpsertStore {
+    private val state =
+      scala.collection.mutable.Map[(Long, String), (java.sql.Timestamp, Double)]()
+    private val applied = scala.collection.mutable.Set[Long]()
+    def merge(batchId: Long,
+        rows: Seq[((Long, String), (java.sql.Timestamp, Double))]): Unit = synchronized {
+      if (!applied.add(batchId)) return // replayed batch: already applied
+      rows.foreach { case (k, v) =>
+        if (state.get(k).forall(_._1.compareTo(v._1) <= 0)) state(k) = v
+      }
+    }
+    def snapshot: Map[(Long, String), (java.sql.Timestamp, Double)] = synchronized(state.toMap)
+  }
+
+  /** foreachBatch upsert — the streaming form of the q60 incremental
+    * merge: each micro-batch reduces to its latest row per
+    * (user_id, event_type) (same window as q60), then MERGEs into the
+    * store keyed by batchId. Production swaps UpsertStore for a
+    * `MERGE INTO` against the warehouse table; the per-batch reduction
+    * and idempotence contract are identical. */
+  def startUpsert(
+      events: DataFrame,
+      store: UpsertStore,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val latest = batch
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"), col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+          .collect() // bounded: one row per active key per batch
+          .map(r => ((r.getLong(0), r.getString(1)), (r.getTimestamp(2), r.getDouble(3))))
+        store.merge(id, latest.toSeq)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The Phase-0 loop as a streaming operator
     * (meta_workflow.py:294-464 analogue, SURVEY §7.3): per-group
     * accumulation with flatMapGroupsWithState that emits a progress row

@@ -122,6 +122,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(latest("other").getAs[Long]("n") === 1)
   }
 
+  test("foreachBatch upsert keeps latest per key, ignores stale rows, dedups replayed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val store = new UpsertStore
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val query = startUpsert(input.toDF(), store, ckpt)
+    try {
+      input.addData(Seq(
+        Event(1, ts(10), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0)))
+      query.processAllAvailable()
+      assert(store.snapshot(1L -> "click")._2 === 2.0, "latest in batch wins")
+      input.addData(Seq(
+        Event(3, ts(5), 1, "click", 0.5), // stale: older than stored ts(20)
+        Event(4, ts(30), 2, "view", 9.0))) // new key
+      query.processAllAvailable()
+      val snap = store.snapshot
+      assert(snap(1L -> "click")._2 === 2.0, "stale cross-batch row must not override")
+      assert(snap(2L -> "view")._2 === 9.0)
+      // simulate an at-least-once replay of batch 0: idempotence by batchId
+      store.merge(0L, Seq((1L -> "click", (ts(10), 111.0))))
+      assert(store.snapshot(1L -> "click")._2 === 2.0, "replayed batchId must be a no-op")
+    } finally query.stop()
+  }
+
   test("accumulateUntil flags convergence once a group crosses the threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
