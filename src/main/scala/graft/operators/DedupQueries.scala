@@ -100,6 +100,11 @@ object DedupQueries {
       .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("p"))
       .select(col("doc_id"), col("n"), col("p.band").as("band"), col("p.bh").as("bh"))
       .persist()
+    // materialize BEFORE the self-join: its two scan stages run
+    // concurrently in one job, and racing a cold cache re-runs the
+    // 16-wide min-md5 aggregate (and the shingle explode under it) once
+    // per side
+    bands.count()
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
@@ -179,6 +184,10 @@ object DedupQueries {
       .filter(col("df") <= 25)
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .persist() // consumed by pair-gen and per-doc sizes
+    // materialize before the consumers: the pair-gen map stage and the
+    // sizes broadcast build are independent query stages that race a
+    // cold cache and would each run the index build
+    grouped.count()
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = grouped
@@ -289,6 +298,7 @@ object DedupQueries {
 
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val sig = simhash32(s, dir).persist()
+    sig.count() // the band self-join's two scans would race the cold cache
     val banded = sig.select(col("doc_id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bh"))): _*)).as("p"))
