@@ -122,7 +122,6 @@ object CorpusQueries {
     * side never shuffles. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val g = grams8(s, dir).persist()
-    g.count() // benchmark broadcast build + training probe race a cold cache
     val bench = g.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
     val train = g.filter(col("doc_id") % 50 =!= 0)
     // ONE aggregation: broadcast-left-join the (distinct) benchmark
@@ -277,10 +276,9 @@ object CorpusQueries {
       .withColumn("nrm", VectorMath.norm(s, "v"))
       .select(col("vec_id"), col("v"), col("nrm"), col("q"), col("sa"),
         col("dn"), col("qmn"), col("sfac"), col("nq"))
+      // persisted: the sampled-query broadcast build materializes it
+      // first, the candidate scan then reads the cache
       .persist()
-    // both join sides (sampled queries broadcast + candidates) consume
-    // the quantized table; materialize once, not once per side
-    quant.count()
     val qset = quant.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("q").as("qq"), col("sa").as("qsa"), col("dn").as("qdn"))

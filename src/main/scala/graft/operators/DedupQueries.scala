@@ -183,11 +183,11 @@ object DedupQueries {
       .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") <= 25)
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .persist() // consumed by pair-gen and per-doc sizes
-    // materialize before the consumers: the pair-gen map stage and the
-    // sizes broadcast build are independent query stages that race a
-    // cold cache and would each run the index build
-    grouped.count()
+      // persisted for its two consumers (pair-gen scan, sizes broadcast
+      // build); the broadcast build materializes first and populates the
+      // cache, so no eager count is needed (unlike the self-join races
+      // in q25/q63 — both consumers there are concurrent scan stages)
+      .persist()
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = grouped

@@ -139,6 +139,10 @@ object IvfQueries {
   /** q42: nprobe ANN search for the sampled query set. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centroids) = buildIndex(s, dir)
+    // no eager materialization here (unlike q25/q54): the k-means chain
+    // is serialized by the centroid BROADCAST stage, which materializes
+    // once before either consumer of `assigned` scans — an extra
+    // count() measured +0.35 s for nothing
     val queries = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query
