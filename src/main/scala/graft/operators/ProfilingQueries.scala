@@ -133,10 +133,69 @@ object ProfilingQueries {
       |UNION ALL SELECT 'rows' AS metric, rows_ FROM s
       |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Join-key skew profile — the operator that OPERATIONALIZES the
+    * salting/AQE-skew decision (SCALE.md "Aggregations"): for each
+    * candidate shuffle key, the key count, the heaviest key's share,
+    * the top-10 share, and the Herfindahl concentration index
+    * HHI = Σ share². All ratios are exact rationals of integer counts
+    * (HHI = Σcnt² / n² where Σcnt² is an exact integer sum — no
+    * float-summation-order sensitivity), so the profile is
+    * cross-engine deterministic. One hash agg + one tiny top-k per
+    * column; nothing but (key, count) partials ever shuffles. */
+  private def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    // top-10 via ordered limit (TakeOrderedAndProject: per-partition
+    // heaps), NOT a global row_number window, which would sort every
+    // key on one partition; the two consumers of `counts` share the
+    // same exchange (ReuseExchange — identical canonicalized subplans)
+    val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+      .agg(sum(col("c")).as("top10"))
+    val totals = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("top1"),
+      sum(col("c") * col("c")).as("sumsq"))
+    totals.crossJoin(broadcast(top10))
+      .select(
+        lit(label).as("key_col"),
+        col("n_rows"), col("n_keys"),
+        Det.rate(col("top1").cast("double") / col("n_rows")).as("top1_share"),
+        Det.rate(col("top10").cast("double") / col("n_rows")).as("top10_share"),
+        Det.rate(col("sumsq").cast("double") / (col("n_rows") * col("n_rows"))).as("hhi"))
+  }
+
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.orders(s, dir), "o_custkey", "orders.o_custkey")
+      .unionByName(keySkew(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey"))
+      .unionByName(keySkew(Tables.events(s, dir), "event_type", "events.event_type"))
+      .orderBy(col("key_col"))
+
+  private val q64Sql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table.$key' AS key_col, t.n_rows, t.n_keys,
+         |  floor((CAST(t.top1 AS DOUBLE) / t.n_rows) * 1e6 + 0.5) / 1e6 AS top1_share,
+         |  floor((CAST(u.top10 AS DOUBLE) / t.n_rows) * 1e6 + 0.5) / 1e6 AS top10_share,
+         |  floor((CAST(t.sumsq AS DOUBLE) / (CAST(t.n_rows AS DOUBLE) * t.n_rows)) * 1e6 + 0.5) / 1e6 AS hhi
+         |FROM (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys, max(c) AS top1,
+         |         CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY $key)
+         |) t CROSS JOIN (
+         |  SELECT CAST(sum(c) AS BIGINT) AS top10
+         |  FROM (SELECT c FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY $key)
+         |        ORDER BY c DESC, k LIMIT 10)
+         |) u""".stripMargin
+    Seq(one("orders", "o_custkey"), one("lineitem", "l_partkey"),
+      one("events", "event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
     QuerySpec("q48_ordered_array_agg", Some(q48Sql), q48),
     QuerySpec("q49_profile", Some(q49Sql), q49),
+    QuerySpec("q64_key_skew_profile", Some(q64Sql), q64),
   )
 }
