@@ -28,6 +28,35 @@ final class FixtureRestClient(fixtures: Map[String, String]) extends RestClient 
       throw new RuntimeException(s"Clash Royale API error 404: $path"))
 }
 
+/** Production client over the JDK's HttpURLConnection — zero extra
+  * dependencies, serializable (per-partition construction ships only
+  * the base URL + token strings to executors). Mirrors
+  * cr_client.py:24-46: bearer auth header, 10 s connect/read timeouts,
+  * non-200 → RuntimeException carrying the status. The sandbox has no
+  * egress, so UrlRestClientSpec exercises the full transport against a
+  * local JDK HttpServer instead. */
+final class UrlRestClient(
+    baseUrl: String,
+    token: String,
+    timeoutMs: Int = 10000) extends RestClient {
+  override def get(path: String): String = {
+    val conn = new java.net.URL(baseUrl + path).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    val status = conn.getResponseCode
+    val stream = if (status == 200) conn.getInputStream else conn.getErrorStream
+    val body =
+      if (stream == null) ""
+      else try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+      finally stream.close()
+    if (status != 200)
+      throw new RuntimeException(s"Clash Royale API error $status: $body")
+    body
+  }
+}
+
 /** REST battle-log / leaderboard sources (battles.py:20-44,
   * players.py:6-23) re-expressed Spark-first.
   *
