@@ -191,11 +191,77 @@ object ProfilingQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Snapshot diff / reconciliation — the regression check between two
+    * runs of a pipeline: full-outer join two snapshots on the key,
+    * compare ROW FINGERPRINTS (md5 over canonicalized fields — money
+    * as exact cents, timestamps as epoch millis, never raw float
+    * strings), classify added/removed/changed/same, and report counts
+    * plus the key range of each class. The two snapshots are derived
+    * deterministically from `orders` (key-modulus drops on each side +
+    * a price bump on a third modulus) so the oracle reproduces them.
+    *
+    * Scale: only (key, 32-byte fingerprint) pairs shuffle — never the
+    * row payload; the diff is one full-outer hash join keyed like the
+    * table, and the report is a 4-row aggregate. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    def fingerprint(df: DataFrame): DataFrame =
+      df.select(col("o_orderkey").as("k"),
+        md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+          // o_orderdate is TIMESTAMP_NTZ in parquet; the session is
+          // pinned UTC so the cast is instant-preserving vs epoch_ms
+          unix_millis(col("o_orderdate").cast("timestamp")))).as("fp"))
+    val base = Tables.orders(s, dir)
+    val snapA = fingerprint(base.filter(col("o_orderkey") % 11 =!= 0))
+    val snapB = fingerprint(
+      base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice"))))
+    snapA.withColumnRenamed("fp", "fp_a")
+      .join(snapB.withColumnRenamed("fp", "fp_b"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "same")
+          .otherwise("changed").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
+  private val q65Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k,
+      |         md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      |             epoch_ms(o_orderdate))) AS fp_a
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |         md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      |             CAST(floor((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+      |                              ELSE o_totalprice END) * 100 + 0.5) AS BIGINT),
+      |             epoch_ms(o_orderdate))) AS fp_b
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |)
+      |SELECT CASE WHEN fp_a IS NULL THEN 'added'
+      |            WHEN fp_b IS NULL THEN 'removed'
+      |            WHEN fp_a = fp_b THEN 'same'
+      |            ELSE 'changed' END AS change_type,
+      |       count(*) AS n, min(k) AS min_key, max(k) AS max_key
+      |FROM a FULL OUTER JOIN b USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
     QuerySpec("q48_ordered_array_agg", Some(q48Sql), q48),
     QuerySpec("q49_profile", Some(q49Sql), q49),
     QuerySpec("q64_key_skew_profile", Some(q64Sql), q64),
+    QuerySpec("q65_snapshot_diff", Some(q65Sql), q65),
   )
 }
