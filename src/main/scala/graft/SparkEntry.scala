@@ -19,16 +19,17 @@ object SparkEntry {
         .when(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000, "big_building")
         .when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "industrial")
         .otherwise("other")
-    Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .select(seg.as("segment_class"),
-        when(col("o_orderstatus") === "F", "win")
-          .when(col("o_orderstatus") === "O", "loss")
-          .otherwise("draw").as("result"))
-      .groupBy(col("segment_class"))
-      .agg(operators.Wld.counts(col("result")).head, operators.Wld.counts(col("result")).tail: _*)
-      .withColumn("win_rate", operators.Det.rate(col("wins").cast("double") / col("games")))
-      .withColumn("share", operators.Det.rate(col("games").cast("double") / sum(col("games")).over(Window.partitionBy())))
+    operators.Share.of(
+        Tables.orders(spark, dir)
+          .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+          .select(seg.as("segment_class"),
+            when(col("o_orderstatus") === "F", "win")
+              .when(col("o_orderstatus") === "O", "loss")
+              .otherwise("draw").as("result"))
+          .groupBy(col("segment_class"))
+          .agg(operators.Wld.counts(col("result")).head, operators.Wld.counts(col("result")).tail: _*)
+          .withColumn("win_rate", operators.Det.rate(col("wins").cast("double") / col("games"))),
+        "games", "share")
       .withColumn("sample_ok", col("games") >= 20)
       .orderBy(col("games").desc, col("segment_class"))
   }

@@ -1,6 +1,6 @@
 package graft.battle
 
-import graft.operators.{Det, Wld}
+import graft.operators.{Det, Share, Wld}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,12 +59,12 @@ object MetaAnalytics {
     * WLD + meta_share (share of total participant rows) + sample_ok
     * (games ≥ minGames flag, NOT a filter :73), games desc. */
   def metaDeckSummary(participants: DataFrame, minGames: Int = 200): DataFrame =
-    participants
-      .groupBy(col("deck_type"))
-      .agg(Wld.counts(col("result")).head, Wld.counts(col("result")).tail: _*)
-      .withColumn("win_rate", Det.rate(col("wins").cast("double") / col("games")))
-      .withColumn("meta_share",
-        Det.rate(col("games").cast("double") / sum(col("games")).over(Window.partitionBy())))
+    Share.of(
+        participants
+          .groupBy(col("deck_type"))
+          .agg(Wld.counts(col("result")).head, Wld.counts(col("result")).tail: _*)
+          .withColumn("win_rate", Det.rate(col("wins").cast("double") / col("games"))),
+        "games", "meta_share")
       .withColumn("sample_ok", col("games") >= minGames)
       .orderBy(col("games").desc, col("deck_type"))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic cross-engine numeric helpers.
@@ -26,4 +26,18 @@ object Det {
 
   /** 6-decimal rate rounding. Oracle: floor(x*1e6 + 0.5)/1e6. */
   def rate(c: Column): Column = rnd(c, 6)
+}
+
+/** Share-of-total WITHOUT an unpartitioned window: the total is a
+  * 1-row aggregate broadcast back into the frame. Numerically identical
+  * to `sum().over(Window.partitionBy())` for integer value columns
+  * (exact sum either way), but avoids the single-partition WindowExec
+  * stage and its "No Partition Defined" warning on every run. */
+object Share {
+  def of(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val total = df.agg(sum(col(valueCol)).as("__total"))
+    df.crossJoin(broadcast(total))
+      .withColumn(outCol, Det.rate(col(valueCol).cast("double") / col("__total")))
+      .drop("__total")
+  }
 }

@@ -154,9 +154,7 @@ object EventQueries {
       .otherwise(0L)
     val perDepth = seqs.select(depth.as("funnel_depth"))
       .groupBy(col("funnel_depth")).agg(count(lit(1)).as("users"))
-    perDepth
-      .withColumn("share", Det.rate(col("users").cast("double")
-        / sum(col("users")).over(Window.partitionBy())))
+    Share.of(perDepth, "users", "share")
       .orderBy(col("funnel_depth"))
   }
 

@@ -145,13 +145,14 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q06
   /** Share-of-total + sample_ok flag (meta_llm_tables.py:8-76). The
-    * unpartitioned window runs over the already-aggregated tiny table
+    * total is a 1-row broadcast over the already-aggregated tiny table
     * (#segments rows), not the fact table — safe at any scale. */
   private def q06(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("games"))
-      .withColumn("share", Det.rate(col("games").cast("double") / sum(col("games")).over(Window.partitionBy())))
+    Share.of(
+        Tables.customer(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("games")),
+        "games", "share")
       .withColumn("sample_ok", col("games") >= 20)
       .orderBy(col("games").desc, col("c_mktsegment"))
 
