@@ -69,6 +69,22 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup end-to-end: the canonical corpus contains no near-dup pair") {
+    // compose q54's clusters back onto documents — the "keep one per
+    // cluster" materialization — and assert the pipeline's guarantee:
+    // among kept docs, the near-dup kernel finds nothing
+    val clusters = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
+      .fn(spark, dir).select("doc_id", "is_canonical")
+    val kept = clusters.filter(org.apache.spark.sql.functions.col("is_canonical"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size < 500, s"expected real dedup, kept ${kept.size}/500")
+    val pairs = DedupQueries.jaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val survivors = pairs.filter { case (a, b) => kept(a) && kept(b) }
+    assert(survivors.isEmpty,
+      s"near-dup pairs must not survive canonical filtering: ${survivors.take(5).toSeq}")
+  }
+
   test("q57 stratified sample takes exactly min(k, stratum size) per language") {
     val sample = CorpusQueries.specs.find(_.name == "q57_stratified_sample").get
       .fn(spark, dir).groupBy("lang").count().as[(String, Long)].collect().toMap
