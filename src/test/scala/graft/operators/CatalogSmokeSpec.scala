@@ -26,6 +26,26 @@ class CatalogSmokeSpec extends SparkSpec {
     }
   }
 
+  test("query ids are unique and follow the q<nn>_ naming contract") {
+    val names = QueryCatalog.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    val ids = names.map(_.take(3))
+    assert(ids.distinct.size === ids.size, "duplicate query ids")
+  }
+
+  test("filters and projections reach the parquet scan (q03 pushdown)") {
+    val df = QueryCatalog.all.find(_.name == "q03_filter_project").get.fn(spark, dir)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(!scan.contains("PushedFilters: []"), "pushed-filter list is empty")
+    // projection pruning: the scan must not read every lineitem column
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_comment"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
   test("every registered query has a DuckDB oracle") {
     // since round 2 even the HLL sketch is oracle-checked (q16 emits an
     // error-bound boolean instead of the engine-specific estimate)
