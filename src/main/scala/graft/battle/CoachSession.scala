@@ -24,16 +24,10 @@ final class CoachSession(
   def analyzeUser(rawBattles: DataFrame): UserWorkflow.UserTables =
     UserWorkflow.run(spark, rawBattles, cardMeta)
 
-  final case class Answer(
-      category: String,
-      needs: Seq[String],
-      context: String,
-      warning: Option[String])
-
   /** qa_answer (:621-642): classify → select tables → assemble context
     * → health check. The returned context is what the expert LLM call
     * would receive (LLM boundary stays outside the engine). */
-  def answer(question: String, user: UserWorkflow.UserTables): Answer = {
+  def answer(question: String, user: UserWorkflow.UserTables): CoachSession.Answer = {
     val (category, needs) = classifier.classify(question)
     val tables = Map(
       "user_summary" -> user.summaryTable,
@@ -44,6 +38,14 @@ final class CoachSession(
       "meta_matchups" -> meta.matchupSummary)
     val context = QnaRouter.buildContext(needs, tables)
     val games = user.summary.collect()(0).getAs[Long]("games")
-    Answer(category, needs, context, QnaRouter.dataHealthWarning(category, games))
+    CoachSession.Answer(category, needs, context, QnaRouter.dataHealthWarning(category, games))
   }
+}
+
+object CoachSession {
+  final case class Answer(
+      category: String,
+      needs: Seq[String],
+      context: String,
+      warning: Option[String])
 }

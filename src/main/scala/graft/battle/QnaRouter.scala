@@ -73,7 +73,7 @@ object QnaRouter extends QuestionClassifier {
     val parts = needs.flatMap { name =>
       tables.get(name).map { df =>
         val rows = df.limit(topN)
-          .select(to_json(struct(df.columns.map(col): _*)).as("j"))
+          .select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("j"))
           .collect().map(_.getString(0))
         "\"" + name + "\":[" + rows.mkString(",") + "]"
       }
