@@ -136,10 +136,39 @@ object TextQueries {
       |SELECT lang, predicted, count(*) AS n FROM pred
       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Per-language vocabulary profile: token count, vocabulary size,
+    * hapax legomena (frequency-1 types), and type-token ratio — the
+    * corpus-level statistics a language-mix report starts from. Two
+    * hash aggs ((lang, token) → lang); only token partials shuffle. */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr", Det.rate(col("vocab").cast("double") / col("n_tokens")))
+      .orderBy(col("lang"))
+
+  private val q66Sql =
+    """SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  floor((CAST(count(*) AS DOUBLE) / sum(c)) * 1e6 + 0.5) / 1e6 AS ttr
+      |FROM (
+      |  SELECT lang, tok, count(*) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY lang, tok
+      |)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
     QuerySpec("q22_doc_fingerprint", Some(q22Sql), q22),
     QuerySpec("q23_lang_id_confusion", Some(q23Sql), q23),
+    QuerySpec("q66_vocab_profile", Some(q66Sql), q66),
   )
 }
