@@ -22,8 +22,14 @@ object Bench {
     // timed query doesn't absorb session startup.
     spark.range(1000000L).agg(sum("id")).collect()
     Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).collect()
-      catch { case _: Throwable => () }
+      // events needs its typed loader (parquet TIMESTAMP(NANOS) — the
+      // generic reader throws before the nanosAsLong conf is ever set,
+      // leaving events the one cold table in every timed first run)
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.limit(1).collect()
+      } catch { case _: Throwable => () }
     }
     // best-of-3 per query: the VM host shows heavy transient steal-time
     // noise (observed 2x swings between identical runs); min-of-N is the

@@ -96,9 +96,26 @@ object ConnectedComponents {
       rounds += 1
       dbg(s"round $rounds done at ${el}s sum=$curSum")
     }
-    sym.unpersist(blocking = false)
-    spark.createDataFrame(
+    // A maxRounds exit without sum-convergence means labels are only
+    // partially propagated — silently returning them would hand the
+    // caller WRONG components (a chain longer than maxRounds hops).
+    // Fail loudly; callers with adversarially deep graphs should raise
+    // maxRounds or use the O(log n) star-contraction variant.
+    require(curSum == prevSum,
+      s"ConnectedComponents did not converge in $maxRounds rounds " +
+        s"(graph diameter exceeds maxRounds); raise maxRounds")
+    // Materialize into the SQL cache and release the RDD persists before
+    // returning: callers' cache hygiene is spark.catalog.clearCache(),
+    // which clears SQL-cached DataFrames but NOT raw RDD persists — a
+    // still-persisted label RDD would leak one block-manager entry per
+    // invocation (bench warmup + 3 timed runs + every spec).
+    val out = spark.createDataFrame(
       cur.map { case (id, c) => Row(id, c) },
       StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sym.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
+    out
   }
 }

@@ -191,10 +191,15 @@ object EventQueries {
     val firstDay = withDay.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
     withDay
       .join(firstDay, Seq("user_id"))
+      // explicit floor() on BOTH sides: Spark's cast-truncate and DuckDB's
+      // `//` disagree on negative day-diffs (and `//` itself changed
+      // truncate→floor across DuckDB versions), so neither implicit form
+      // is portable. week_offset is ≥ 0 by construction but cohort_week
+      // goes negative for any event before the 2024-01-01 epoch.
       .select(col("user_id"),
-        (datediff(col("first_d"), lit("2024-01-01").cast("date")).cast("long") / 7)
+        floor(datediff(col("first_d"), lit("2024-01-01").cast("date")) / 7)
           .cast("long").as("cohort_week"),
-        (datediff(col("d"), col("first_d")).cast("long") / 7).cast("long").as("week_offset"))
+        floor(datediff(col("d"), col("first_d")) / 7).cast("long").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -203,8 +208,8 @@ object EventQueries {
   private val q62Sql =
     """WITH wd AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
       |fd AS (SELECT user_id, min(d) AS first_d FROM wd GROUP BY user_id)
-      |SELECT CAST(date_diff('day', DATE '2024-01-01', first_d) // 7 AS BIGINT) AS cohort_week,
-      |       CAST(date_diff('day', first_d, d) // 7 AS BIGINT) AS week_offset,
+      |SELECT CAST(floor(date_diff('day', DATE '2024-01-01', first_d) / 7) AS BIGINT) AS cohort_week,
+      |       CAST(floor(date_diff('day', first_d, d) / 7) AS BIGINT) AS week_offset,
       |       CAST(count(DISTINCT wd.user_id) AS BIGINT) AS users
       |FROM wd JOIN fd ON fd.user_id = wd.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
