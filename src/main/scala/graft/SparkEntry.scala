@@ -57,5 +57,6 @@ object QueryCatalog {
       operators.ProfilingQueries.specs ++
       operators.TypedQueries.specs ++
       operators.MultimodalQueries.specs ++
-      operators.CorpusQueries.specs
+      operators.CorpusQueries.specs ++
+      operators.MiningQueries.specs
 }

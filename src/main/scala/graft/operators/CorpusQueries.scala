@@ -478,6 +478,83 @@ object CorpusQueries {
       |FROM b FULL OUTER JOIN d USING (user_id, event_type)
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Corpus-curation filter funnel (the C4/RefinedWeb pipeline shape):
+    * every document is attributed to the FIRST filter that rejects it —
+    * too short → repetitive (top-token fraction, Gopher-style; 0.15
+    * suits this corpus's flat synthetic token distribution) → exact
+    * duplicate (not the min doc_id of its md5 group) → near duplicate
+    * (the high-id side of a q26 Jaccard pair, i.e. "keep first
+    * occurrence") — else kept. Output is the per-stage doc count and
+    * share: the attribution report every curation run ships with.
+    *
+    * Scale: one token explode + two-level hash agg for the stats, one
+    * window-min over md5 partitions for exact-dup, and the near-dup
+    * side is dedup OUTPUT (tiny, broadcast into a left join). Stage
+    * attribution is a single CASE — no per-filter rescans of the
+    * corpus. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val stats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_c"))
+    val nearDup = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val staged = docs
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(stats, Seq("doc_id"))
+      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tok") < 30, "short")
+          .when(col("top_c").cast("double") / col("n_tok") > 0.15, "repetitive")
+          .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("is_near").isNotNull, "near_dup")
+          .otherwise("kept").as("stage"))
+    Share.of(staged.groupBy(col("stage")).agg(count(lit(1)).as("docs")), "docs", "share")
+      .orderBy(col("stage"))
+  }
+
+  private val q70Sql =
+    s"""WITH sh AS (${DedupQueries.shinglesSql}),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |nd AS (
+       |  SELECT DISTINCT doc_b FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |),
+       |st AS (SELECT doc_id, string_split(text, ' ') AS t, md5(text) AS fp FROM documents),
+       |tstat AS (
+       |  SELECT doc_id, len(t) AS n_tok,
+       |         (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok)) AS top_c
+       |  FROM st
+       |),
+       |keepfirst AS (SELECT fp, min(doc_id) AS keep_id FROM st GROUP BY fp),
+       |lab AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN t.n_tok < 30 THEN 'short'
+       |         WHEN CAST(t.top_c AS DOUBLE) / t.n_tok > 0.15 THEN 'repetitive'
+       |         WHEN s.doc_id <> k.keep_id THEN 'exact_dup'
+       |         WHEN s.doc_id IN (SELECT doc_b FROM nd) THEN 'near_dup'
+       |         ELSE 'kept' END AS stage
+       |  FROM st s JOIN tstat t ON t.doc_id = s.doc_id JOIN keepfirst k ON k.fp = s.fp
+       |),
+       |agg AS (SELECT stage, count(*) AS docs FROM lab GROUP BY stage)
+       |SELECT stage, CAST(docs AS BIGINT) AS docs,
+       |       floor(CAST(docs AS DOUBLE) / CAST((SELECT sum(docs) FROM agg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+       |FROM agg ORDER BY stage""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q55_decontamination", Some(q55Sql), q55),
@@ -486,5 +563,6 @@ object CorpusQueries {
     QuerySpec("q58_quantized_ann", Some(q58Sql), q58),
     QuerySpec("q59_bm25_scoring", Some(q59Sql), q59),
     QuerySpec("q60_incremental_merge", Some(q60Sql), q60),
+    QuerySpec("q70_curation_funnel", Some(q70Sql), q70),
   )
 }

@@ -214,6 +214,39 @@ object EventQueries {
       |FROM wd JOIN fd ON fd.user_id = wd.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Event-type transition matrix (first-order Markov chain over each
+    * user's event sequence): per (current, next) pair, the transition
+    * count and P(next | current). One shuffle by user for the lead()
+    * window, then a hash aggregation whose output is |types|² rows —
+    * the per-row probability window runs on that tiny aggregate, so the
+    * fact table is never re-shuffled. Order within a user is total
+    * (ts, event_id), so lead() is deterministic in both engines. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byCur = Window.partitionBy(col("cur_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        Det.rate(col("n").cast("double") / sum(col("n")).over(byCur)))
+      .orderBy(col("cur_type"), col("next_type"))
+  }
+
+  private val q67Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS cur_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n,
+      |       floor(CAST(count(*) AS DOUBLE)
+      |             / CAST(sum(count(*)) OVER (PARTITION BY cur_type) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS prob
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -222,5 +255,6 @@ object EventQueries {
     QuerySpec("q34_stateful_dedup", Some(q34Sql), q34),
     QuerySpec("q61_funnel_depth", Some(q61Sql), q61),
     QuerySpec("q62_cohort_retention", Some(q62Sql), q62),
+    QuerySpec("q67_transition_matrix", Some(q67Sql), q67),
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining operators over the corpus and its dedup graph:
+  *
+  *  - q68 skip-gram co-occurrence lift: token-pair association strength
+  *    within a ±3-position window (the word2vec/GloVe co-occurrence
+  *    shape). Pair generation is a LINEAR higher-order-function pass
+  *    over the token array (3 offsets per position, codegen'd) — never
+  *    a positional self-join, which would do |doc|² comparisons per
+  *    document inside each join group. The association score is the
+  *    observed/expected ratio ("lift") rather than log-PMI: identical
+  *    ranking (log is monotone) without `ln()` in hashed output, which
+  *    is not bit-portable across libm implementations.
+  *  - q69 triangle count over the near-dup graph (q26's edge set):
+  *    the standard motif signal that near-dup pairs form coherent
+  *    clusters rather than chains — high triangle density means CC
+  *    clustering (q54) is safe to collapse aggressively.
+  *
+  * Scale notes (100 TB):
+  *  - q68 shuffles (w1, w2, count) partial aggregates — map-side
+  *    combine collapses each partition's pairs before exchange; the
+  *    unigram/total side is a broadcast (bounded vocabulary; an open
+  *    web-scale vocab would switch the two small joins to shuffle
+  *    joins on w1/w2 without touching the kernel).
+  *  - q69 joins edges-to-edges: the near-dup edge set is orders of
+  *    magnitude smaller than the corpus (it is dedup OUTPUT). Edges
+  *    are stored lowid→highid, which is exactly the degree-orientation
+  *    trick that bounds worklist blowup on hub nodes — each triangle
+  *    is enumerated once as (a<b<c), never 6×.
+  */
+object MiningQueries {
+
+  private val CoWindow = 3
+  private val MinPairCount = 5
+  private val TopK = 30
+
+  // ---------------------------------------------------------------- q68
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val tk = toks.select(explode(col("t")).as("tok"))
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tk.agg(count(lit(1)).as("n_total"))
+    // unordered co-occurring pair per (position, offset ≤ 3): linear in
+    // tokens, stays inside whole-stage codegen; self-pairs excluded
+    val pairs = toks.select(explode(expr(
+      s"""filter(flatten(transform(sequence(1, $CoWindow), d ->
+         |  transform(sequence(0, size(t) - 1), i ->
+         |    CASE WHEN i + d <= size(t) - 1 AND t[i] <> t[i + d] THEN
+         |      struct(least(t[i], t[i + d]) AS w1, greatest(t[i], t[i + d]) AS w2)
+         |    ELSE NULL END))), p -> p IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPairCount)
+    pairs
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      // ((double)n_ab * N) / ((double)ca * cb): every product < 2^53 so
+      // both engines compute identical doubles (see Det scaladoc)
+      .withColumn("lift", Det.rate(
+        col("n_ab").cast("double") * col("n_total") /
+          (col("ca").cast("double") * col("cb"))))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(TopK)
+      .select(col("w1"), col("w2"), col("n_ab"), col("lift"))
+  }
+
+  private val q68Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, p, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS p
+       |    FROM documents)
+       |),
+       |uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT count(*) AS n FROM tk),
+       |pr AS (
+       |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2, count(*) AS cab
+       |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND $CoWindow
+       |  WHERE a.tok <> b.tok
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w1, w2, CAST(cab AS BIGINT) AS n_ab,
+       |       floor(CAST(cab AS DOUBLE) * (SELECT n FROM tot)
+       |             / (CAST(ua.c AS DOUBLE) * ub.c) * 1e6 + 0.5) / 1e6 AS lift
+       |FROM pr JOIN uni ua ON ua.tok = w1 JOIN uni ub ON ub.tok = w2
+       |WHERE cab >= $MinPairCount
+       |ORDER BY lift DESC, w1, w2 LIMIT $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    e.count() // two triangle-join scans + the node explode race a cold cache
+    val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("b2"), col("doc_b").as("c")), col("b") === col("b2"))
+      .join(e.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+      .persist()
+    tri.count()
+    tri.agg(count(lit(1)).as("triangles"))
+      .crossJoin(
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+          .agg(countDistinct(col("x")).as("tri_nodes")))
+  }
+
+  private val q69Sql =
+    s"""WITH sh AS (${DedupQueries.shinglesSql}),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |e AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+       |            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |)
+       |SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS triangles,
+       |       CAST(count(DISTINCT x) AS BIGINT) AS tri_nodes
+       |FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q68_cooccurrence_lift", Some(q68Sql), q68),
+    QuerySpec("q69_triangle_count", Some(q69Sql), q69),
+  )
+}
