@@ -118,4 +118,91 @@ object ConnectedComponents {
     cur.unpersist(blocking = false)
     out
   }
+
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): converges in O(log n) rounds regardless of graph
+    * DIAMETER, where min-label propagation ([[run]]) needs diameter
+    * rounds. Use this for adversarially deep graphs (long near-dup
+    * chains); use [[run]] for the shallow dense components typical of
+    * near-dup clusters (fewer rounds, one shuffle per round).
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u)  — halves the height of tall subtrees.
+    *  - small-star(u): u and every neighbor v ≤ u attach to m
+    *    — flattens local minima into stars.
+    *
+    * Both phases only ever emit (child, parent) pairs with
+    * parent < child, so the edge set stays oriented hi→lo and the
+    * fixpoint is a forest of depth-1 stars rooted at component minima.
+    * Each phase is one groupByKey (neighborhoods) + one distinct
+    * (edge dedup) — two shuffles of the shrinking edge set, never of
+    * node text or payloads. Convergence is detected by an exact edge
+    * multiset checksum (count + order-independent hash sum), and
+    * non-convergence within maxRounds throws rather than returning
+    * partial labels (same contract as [[run]]). */
+  def runStars(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    val parts = math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val part = new HashPartitioner(parts)
+
+    def canon(e: RDD[(Long, Long)]): RDD[(Long, Long)] = e
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .filter { case (hi, lo) => hi != lo }
+      .distinct(parts)
+
+    // (count, unordered hash sum): exact multiset identity for edge sets
+    // (sum of per-edge hashes is permutation-invariant; Long overflow is
+    // deterministic and harmless for an equality check)
+    def checksum(e: RDD[(Long, Long)]): (Long, Long) =
+      e.aggregate((0L, 0L))(
+        (a, kv) => (a._1 + 1L, a._2 + (kv._1 * 1000003L + kv._2)),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+
+    def neighborhoods(e: RDD[(Long, Long)]) = e
+      .flatMap { case (hi, lo) => Seq((hi, lo), (lo, hi)) }
+      .groupByKey(part)
+
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      canon(neighborhoods(e).flatMap { case (u, vs) =>
+        val m = math.min(u, vs.min)
+        vs.iterator.filter(_ > u).map(v => (v, m))
+      })
+
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      canon(neighborhoods(e).flatMap { case (u, vs) =>
+        val m = math.min(u, vs.min)
+        vs.iterator.filter(_ <= u).map(v => (v, m)) ++ Iterator((u, m))
+      })
+
+    var cur = canon(edges.select(col("src"), col("dst")).rdd
+      .map(r => (r.getLong(0), r.getLong(1))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curSum = checksum(cur)
+    var prevSum = (curSum._1 + 1L, curSum._2)
+    var rounds = 0
+    while (curSum != prevSum && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+      prevSum = curSum
+      curSum = checksum(next) // materializes next while cur is still cached
+      cur.unpersist(blocking = false)
+      cur = next
+      rounds += 1
+      dbg(s"stars round $rounds edges=${curSum._1}")
+    }
+    require(curSum == prevSum,
+      s"star-contraction did not converge in $maxRounds rounds")
+    // fixpoint edges are (leaf, root) stars; roots and isolated nodes
+    // label themselves
+    val labels = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+      .union(cur)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+    val out = spark.createDataFrame(
+      labels.map { case (id, c) => Row(id, c) },
+      StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cur.unpersist(blocking = false)
+    out
+  }
 }
