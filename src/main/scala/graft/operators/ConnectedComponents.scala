@@ -119,6 +119,21 @@ object ConnectedComponents {
     out
   }
 
+  /** Production entry point: min-label propagation (cheapest for the
+    * shallow dense components near-dup graphs actually have), falling
+    * back to O(log n) star contraction iff the graph turns out deeper
+    * than maxRounds hops. The fallback recomputes from scratch — it is
+    * the rare path by construction, and correctness beats the wasted
+    * rounds when it fires. */
+  def auto(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    try run(nodes, edges, maxRounds)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("did not converge") =>
+        dbg("min-label hit round cap; falling back to star contraction")
+        runStars(nodes, edges)
+    }
+
   /** Alternating large-star / small-star connected components
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014): converges in O(log n) rounds regardless of graph

@@ -52,7 +52,7 @@ object CorpusQueries {
     // of the big side beyond the hash)
     val touched = pairs.select(col("src").as("id"))
       .unionByName(pairs.select(col("dst").as("id"))).distinct()
-    val comp = ConnectedComponents.run(touched, pairs)
+    val comp = ConnectedComponents.auto(touched, pairs)
     val singles = nodes.join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     // cluster size via ONE window pass (groupBy+join would re-scan and

@@ -53,6 +53,14 @@ class StarContractionSpec extends SparkSpec {
     assert(got.values.forall(_ === 0L), "every chain node must label to 0")
   }
 
+  test("auto falls back to star contraction on a deep chain") {
+    val n = 120L
+    val nodes = nodesDf(0L until n)
+    val edges = edgesDf((0L until n - 1).map(i => (i, i + 1)))
+    val got = labels(ConnectedComponents.auto(nodes, edges)) // run() would throw
+    assert(got.size === n && got.values.forall(_ === 0L))
+  }
+
   test("runStars on an edgeless graph labels every node to itself") {
     val nodes = nodesDf(Seq(7L, 8L, 9L))
     val got = labels(ConnectedComponents.runStars(nodes, edgesDf(Seq.empty)))
