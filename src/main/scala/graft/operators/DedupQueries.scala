@@ -177,7 +177,11 @@ object DedupQueries {
     * (≤300 struct pairs) instead of the rs ⋈ rs self-join, which
     * shuffled the posting table twice and sorted both sides. Shared
     * with q54's component clustering. */
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared inverted-index pair kernel: (doc_a, doc_b, icnt, na, nb)
+    * for every doc pair sharing ≥ 1 rare shingle — the overlap triple
+    * that Jaccard (q26/q54), containment (q71), and any other set
+    * similarity are arithmetic over. */
+  private[operators] def pairStats(s: SparkSession, dir: String): DataFrame = {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val grouped = shingles(s, dir)
       .withColumn("df", count(lit(1)).over(byShingle))
@@ -199,11 +203,14 @@ object DedupQueries {
     inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+  }
+
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   private def q26(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -344,11 +351,65 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Shingle CONTAINMENT (Broder 1997): |A∩B| / |A| — the asymmetric
+    * companion to Jaccard that catches subset duplication (a short doc
+    * quoted wholesale inside a longer one scores containment ≈ 1 while
+    * Jaccard stays low because the union is dominated by the long doc).
+    * Reuses q26's inverted-index pair kernel for |A∩B|, then scores
+    * BOTH directions of every pair and keeps max-side containment
+    * ≥ 0.8 with Jaccard < 0.5 — i.e. precisely the near-dups the
+    * symmetric measures (q25/q26) are blind to.
+    *
+    * Scale shape is q26's: one shuffle by shingle, df-capped posting
+    * lists, pair counts from bounded explodes; the containment score is
+    * arithmetic on the same (icnt, na, nb) triple. */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
+      // a doc with only a couple of rare shingles is "contained" in
+      // anything sharing them — require a minimally meaningful set
+      .filter(least(col("na"), col("nb")) >= 5)
+      .withColumn("containment",
+        Det.rate(col("icnt").cast("double") / least(col("na"), col("nb"))))
+      .withColumn("jaccard",
+        Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
+      .filter(col("containment") >= 0.8 && col("jaccard") < 0.5)
+      .withColumn("contained_doc",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("contained_doc"), col("containment"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q71Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b, za.n AS na, zb.n AS nb,
+       |    floor((CAST(icnt AS DOUBLE) / least(za.n, zb.n)) * 1e6 + 0.5) / 1e6 AS containment,
+       |    floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |       CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+       |       containment, jaccard
+       |FROM scored
+       |WHERE least(na, nb) >= 5 AND containment >= 0.8 AND jaccard < 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
     QuerySpec("q26_ngram_jaccard", Some(q26Sql), q26),
     QuerySpec("q27_simhash", Some(q27Sql), q27),
     QuerySpec("q63_simhash_neardup", Some(q63Sql), q63),
+    QuerySpec("q71_containment", Some(q71Sql), q71),
   )
 }
