@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *  - q59 BM25 relevance scoring against a fixed query (rational idf).
   *  - q60 incremental snapshot merge (SCD-1 / MERGE-INTO shape) with
   *    an insert/update/keep audit column.
+  *  - q70 curation filter funnel (round 4): first-rejecting-filter
+  *    attribution across short/repetitive/exact-dup/near-dup stages.
   *
-  * All seven are DuckDB-hash-checked, including the connected-components
+  * All are DuckDB-hash-checked, including the connected-components
   * fixpoint (recursive CTE in the oracle) and the full quantize →
   * dequantize → rank pipeline.
   */
