@@ -114,6 +114,7 @@ object ConnectedComponents {
       StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    dbg(s"materialized labels at ${el}s")
     sym.unpersist(blocking = false)
     cur.unpersist(blocking = false)
     out
