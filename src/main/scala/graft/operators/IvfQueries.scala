@@ -165,37 +165,41 @@ object IvfQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** Full oracle for the IVF search: seed + both Lloyd iterations +
-    * probe + search as chained CTEs. Soundness rests on the same
-    * pre-rounding discipline as the Spark side — centroid components
-    * and every similarity used for ranking are rounded to 1e-6 before
-    * comparison, so assignments cannot diverge on float noise. */
-  private val q42Sql: String = {
-    val Dims = 64
-    def rnd(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
-    def sim(v: String, n: String, cv: String, cn: String) =
-      rnd(s"list_dot_product($v, $cv) / ($n * $cn)")
-    // argmax-cosine assignment of nv rows against centroid CTE `cent`
-    def assignCte(name: String, cent: String) =
-      s"""$name AS (
-         |  SELECT vec_id, v, nrm, cell FROM (
-         |    SELECT nv.vec_id, nv.v, nv.nrm, c.cell,
-         |           row_number() OVER (PARTITION BY nv.vec_id
-         |             ORDER BY ${sim("nv.v", "nv.nrm", "c.cv", "c.cnrm")} DESC, c.cell) AS rk
-         |    FROM nv CROSS JOIN $cent c
-         |  ) t WHERE rk = 1
-         |)""".stripMargin
-    // per-dimension mean of the assigned vectors → new centroids
-    def updateCte(asg: String, dims: String, cent: String) =
-      s"""$dims AS (
-         |  SELECT cell, i, ${rnd(s"avg(v[i])")} AS cx
-         |  FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS i)
-         |  GROUP BY cell, i
-         |), $cent AS (
-         |  SELECT cell, list(cx ORDER BY i) AS cv,
-         |         sqrt(list_dot_product(list(cx ORDER BY i), list(cx ORDER BY i))) AS cnrm
-         |  FROM $dims GROUP BY cell
-         |)""".stripMargin
+  private val Dims = 64
+  private def rnd(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+  private def sim(v: String, n: String, cv: String, cn: String) =
+    rnd(s"list_dot_product($v, $cv) / ($n * $cn)")
+
+  // argmax-cosine assignment of nv rows against centroid CTE `cent`
+  private def assignCte(name: String, cent: String) =
+    s"""$name AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT nv.vec_id, nv.v, nv.nrm, c.cell,
+       |           row_number() OVER (PARTITION BY nv.vec_id
+       |             ORDER BY ${sim("nv.v", "nv.nrm", "c.cv", "c.cnrm")} DESC, c.cell) AS rk
+       |    FROM nv CROSS JOIN $cent c
+       |  ) t WHERE rk = 1
+       |)""".stripMargin
+
+  // per-dimension mean of the assigned vectors → new centroids
+  private def updateCte(asg: String, dims: String, cent: String) =
+    s"""$dims AS (
+       |  SELECT cell, i, ${rnd(s"avg(v[i])")} AS cx
+       |  FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS i)
+       |  GROUP BY cell, i
+       |), $cent AS (
+       |  SELECT cell, list(cx ORDER BY i) AS cv,
+       |         sqrt(list_dot_product(list(cx ORDER BY i), list(cx ORDER BY i))) AS cnrm
+       |  FROM $dims GROUP BY cell
+       |)""".stripMargin
+
+  /** Shared oracle prefix: seed + both Lloyd iterations → final
+    * assignments CTE `asgf`. Replicates buildIndex exactly; soundness
+    * rests on the same pre-rounding discipline as the Spark side —
+    * centroid components and every similarity used for ranking are
+    * rounded to 1e-6 before comparison, so assignments cannot diverge
+    * on float noise. */
+  private lazy val ivfPrefixSql: String =
     s"""WITH nv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -209,7 +213,11 @@ object IvfQueries {
        |${updateCte("asg1", "up1", "cent1")},
        |${assignCte("asg2", "cent1")},
        |${updateCte("asg2", "up2", "cent2")},
-       |${assignCte("asgf", "cent2")},
+       |${assignCte("asgf", "cent2")}""".stripMargin
+
+  /** Full oracle for the IVF search: index build + probe + search. */
+  private val q42Sql: String = {
+    s"""$ivfPrefixSql,
        |probes AS (
        |  SELECT qid, qv, qn, cell FROM (
        |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cell,
@@ -232,7 +240,58 @@ object IvfQueries {
        |FROM r WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q72
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-level
+    * near-duplicates found WITHIN k-means cells only — the cluster
+    * assignment bounds the quadratic exactly like SemDeDup's k-means
+    * prefilter (within-cell pairs are N²/K per cell vs N² all-pairs;
+    * at 100 TB, K scales with N so cells stay bounded). Reuses q42's
+    * index build verbatim. For every vector with a lower-id cell-mate
+    * at cosine ≥ τ, emit the drop decision: its canonical
+    * representative (lowest-id such partner), that pair's similarity,
+    * and how many near-dup partners it had. `filter(!dropped)` is the
+    * SemDeDup retention step.
+    *
+    * The within-cell pair join is cell-equi (hash shuffle on cell,
+    * never a cross join); both sides scan the persisted assignments,
+    * with an ordered materialization first (concurrent-scan cache
+    * race, same as q25/q63). */
+  private val DedupTau = 0.4
+
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = buildIndex(s, dir)
+    assigned.count() // the pair self-join's two scans race the cold cache
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cellb"))
+    a.join(b, col("cell") === col("cellb") && col("vec_a") < col("vec_b"))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "va", "vb") / (col("na") * col("nb"))))
+      .filter(col("sim") >= DedupTau)
+      .select(col("vec_b").as("vec_id"), col("cell"), col("vec_a"), col("sim"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("vec_a")).as("rep_id"),
+        expr("min_by(sim, vec_a)").as("rep_sim"),
+        count(lit(1)).as("n_sim"))
+      .select(col("vec_id"), col("rep_id"), col("rep_sim"), col("n_sim"),
+        col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q72Sql: String =
+    s"""$ivfPrefixSql,
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+       |         ${sim("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
+       |  FROM asgf a JOIN asgf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_id, min(vec_a) AS rep_id, min_by(sim, vec_a) AS rep_sim,
+       |       CAST(count(*) AS BIGINT) AS n_sim, CAST(cell AS BIGINT) AS cell
+       |FROM (SELECT vec_b AS vec_id, vec_a, sim, cell FROM p WHERE sim >= $DedupTau)
+       |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
+    QuerySpec("q72_semantic_dedup", Some(q72Sql), q72),
   )
 }

@@ -156,6 +156,37 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming form of q67's transition matrix: per-user LAST-EVENT
+    * state (one string per active user — minimal possible state) with
+    * flatMapGroupsWithState emitting a (from, to) transition row per
+    * arriving event after the user's first. Events are ordered by
+    * (ts, event_id) WITHIN each micro-batch; cross-batch order is
+    * arrival order, which equals event-time order for an in-order
+    * source — an out-of-order source needs the batch q67 over the
+    * settled table instead (the usual lambda split: stream for the
+    * live matrix, batch for the authoritative one). Downstream, the
+    * transition rows feed the same groupBy(from, to) count as q67. */
+  def transitions(spark: SparkSession, events: Dataset[Event]): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[String]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var prev = state.getOption
+          ordered.foreach { e =>
+            prev.foreach(p => out += Transition(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** The Phase-0 loop as a streaming operator
     * (meta_workflow.py:294-464 analogue, SURVEY §7.3): per-group
     * accumulation with flatMapGroupsWithState that emits a progress row

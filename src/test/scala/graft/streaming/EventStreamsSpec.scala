@@ -166,4 +166,30 @@ class EventStreamsSpec extends SparkSpec {
         && r.getAs[Long]("n") == 3 && r.getAs[Boolean]("converged")))
     } finally query.stop()
   }
+
+  test("streaming transitions match batch lead() semantics for an in-order source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = transitions(spark, input.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 click→view (in-batch, out of arrival order to
+      // exercise the in-batch sort); user 2 first event only
+      input.addData(Seq(
+        Event(2, ts(5), 1, "view", 1.0), Event(1, ts(1), 1, "click", 1.0),
+        Event(3, ts(2), 2, "error", 1.0)))
+      query.processAllAvailable()
+      // batch 2: state carries across micro-batches — user 1 continues
+      // from "view", user 2 from "error"
+      input.addData(Seq(
+        Event(4, ts(9), 1, "purchase", 1.0), Event(5, ts(8), 2, "click", 1.0)))
+      query.processAllAvailable()
+      val got = spark.table("trans").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+        .toSet
+      assert(got === Set(
+        (1L, "click", "view"), (1L, "view", "purchase"), (2L, "error", "click")))
+    } finally query.stop()
+  }
 }
