@@ -39,9 +39,15 @@ object CorpusQueries {
     * kernel (word-bigram shingles, stop-shingle df ≤ 25, Jaccard ≥ 0.3
     * on the rounded value — identical predicate, so edges match the
     * oracle bit-for-bit). */
-  private def q54(s: SparkSession, dir: String): DataFrame = {
-    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    val pairs = DedupQueries.jaccardPairs(s, dir)
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    clustersFrom(s, Tables.documents(s, dir).select(col("doc_id").as("id")),
+      DedupQueries.jaccardPairs(s, dir))
+
+  /** Clustering body, reusable against a SHARED jaccard-pair frame
+    * (CorpusPipeline). */
+  private[operators] def clustersFrom(
+      s: SparkSession, nodes: DataFrame, jaccard: DataFrame): DataFrame = {
+    val pairs = jaccard
       .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
     // materialize the edge cache BEFORE it forks: three consumers
     // (touched, the CC loop, the singleton anti-join) would otherwise
@@ -495,7 +501,13 @@ object CorpusQueries {
     * side is dedup OUTPUT (tiny, broadcast into a left join). Stage
     * attribution is a single CASE — no per-filter rescans of the
     * corpus. */
-  private def q70(s: SparkSession, dir: String): DataFrame = {
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    funnelFrom(s, dir, DedupQueries.jaccardPairs(s, dir))
+
+  /** Funnel body, reusable against a SHARED jaccard-pair frame
+    * (CorpusPipeline). */
+  private[operators] def funnelFrom(
+      s: SparkSession, dir: String, jaccard: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
@@ -503,7 +515,7 @@ object CorpusQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_c"))
-    val nearDup = DedupQueries.jaccardPairs(s, dir)
+    val nearDup = jaccard
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
     val staged = docs

@@ -205,12 +205,17 @@ object DedupQueries {
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
   }
 
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairStats(s, dir)
+  /** Jaccard scoring over a pairStats frame (reusable against a SHARED
+    * materialization — see CorpusPipeline). */
+  private[operators] def jaccardFrom(stats: DataFrame): DataFrame =
+    stats
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardFrom(pairStats(s, dir))
 
   private def q26(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -364,8 +369,8 @@ object DedupQueries {
     * Scale shape is q26's: one shuffle by shingle, df-capped posting
     * lists, pair counts from bounded explodes; the containment score is
     * arithmetic on the same (icnt, na, nb) triple. */
-  private def q71(s: SparkSession, dir: String): DataFrame =
-    pairStats(s, dir)
+  private[operators] def containmentFrom(stats: DataFrame): DataFrame =
+    stats
       // a doc with only a couple of rare shingles is "contained" in
       // anything sharing them — require a minimally meaningful set
       .filter(least(col("na"), col("nb")) >= 5)
@@ -378,6 +383,9 @@ object DedupQueries {
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), col("contained_doc"), col("containment"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(pairStats(s, dir))
 
   private val q71Sql =
     s"""WITH sh AS ($shinglesSql),
