@@ -69,9 +69,12 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // neighbor-seeded init: label(v) = min(v, neighbors(v)) — round 1
-    // fused into initialization; isolated nodes seed themselves
-    val labels0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
-      .union(sym) // (v, neighbor) offers: min picks the smallest neighbor or self
+    // fused into initialization. Seeded from the EDGE SET alone, so only
+    // edge-incident nodes ride the loop shuffles; isolated nodes (the
+    // vast majority of a deduped corpus) join as self-labels at the end
+    // via one anti-join — they never pay a loop round.
+    val labels0 = sym
+      .map { case (u, v) => (u, math.min(u, v)) }
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -109,15 +112,27 @@ object ConnectedComponents {
     // which clears SQL-cached DataFrames but NOT raw RDD persists — a
     // still-persisted label RDD would leak one block-manager entry per
     // invocation (bench warmup + 3 timed runs + every spec).
-    val out = spark.createDataFrame(
+    val out = withIsolated(nodes, spark.createDataFrame(
       cur.map { case (id, c) => Row(id, c) },
-      StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      StructType(Seq(StructField("id", LongType), StructField("component", LongType)))))
     out.count()
     dbg(s"materialized labels at ${el}s")
     sym.unpersist(blocking = false)
     cur.unpersist(blocking = false)
     out
+  }
+
+  /** Incident labels ∪ self-labels for nodes the edge set never touched,
+    * materialized into the SQL cache (callers' hygiene is clearCache,
+    * which cannot release raw RDD persists — so the RDDs are retired
+    * before run/runStars return). */
+  private def withIsolated(nodes: DataFrame, incident: DataFrame): DataFrame = {
+    val inc = incident.persist(StorageLevel.MEMORY_AND_DISK)
+    inc.count() // cache the RDD conversion once; both consumers below read it
+    inc.unionByName(
+        nodes.select(col("id")).join(inc.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Production entry point: min-label propagation (cheapest for the
@@ -208,15 +223,15 @@ object ConnectedComponents {
     }
     require(curSum == prevSum,
       s"star-contraction did not converge in $maxRounds rounds")
-    // fixpoint edges are (leaf, root) stars; roots and isolated nodes
-    // label themselves
-    val labels = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
-      .union(cur)
+    // fixpoint edges are (leaf, root) stars — roots never appear on the
+    // hi side, so they self-label explicitly; isolated nodes join at
+    // the end like run()
+    val labels = cur
+      .flatMap { case (leaf, root) => Iterator((leaf, root), (root, root)) }
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-    val out = spark.createDataFrame(
+    val out = withIsolated(nodes, spark.createDataFrame(
       labels.map { case (id, c) => Row(id, c) },
-      StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      StructType(Seq(StructField("id", LongType), StructField("component", LongType)))))
     out.count()
     cur.unpersist(blocking = false)
     out

@@ -49,23 +49,18 @@ object CorpusQueries {
       s: SparkSession, nodes: DataFrame, jaccard: DataFrame): DataFrame = {
     val pairs = jaccard
       .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
-    // materialize the edge cache BEFORE it forks: three consumers
-    // (touched, the CC loop, the singleton anti-join) would otherwise
-    // race on the cold cache inside one job and re-run the whole
-    // shingle kernel once each (measured 2-3× on the init action)
+    // materialize the edge cache BEFORE it forks into the CC loop's
+    // consumers — racing a cold cache re-runs the whole shingle kernel
+    // once per consumer (measured 2-3× on the init action)
     pairs.count()
-    // iterate ONLY over edge-incident nodes — at corpus scale the vast
-    // majority of docs are near-dup singletons and never enter the loop;
-    // they rejoin with component = self afterwards (anti-join, no shuffle
-    // of the big side beyond the hash)
-    val touched = pairs.select(col("src").as("id"))
-      .unionByName(pairs.select(col("dst").as("id"))).distinct()
-    val comp = ConnectedComponents.auto(touched, pairs)
-    val singles = nodes.join(touched, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
+    // ConnectedComponents seeds its loop from the edge set, so only
+    // edge-incident nodes ride the rounds; the full doc set joins as
+    // self-labels in one final anti-join (near-dup singletons — the
+    // vast majority at corpus scale — never pay a loop shuffle)
+    val comp = ConnectedComponents.auto(nodes, pairs)
     // cluster size via ONE window pass (groupBy+join would re-scan and
-    // re-shuffle the union twice)
-    comp.unionByName(singles)
+    // re-shuffle the frame twice)
+    comp
       .select(col("id").as("doc_id"), col("component").as("component_id"),
         count(lit(1)).over(Window.partitionBy(col("component"))).as("csize"),
         (col("id") === col("component")).as("is_canonical"))
