@@ -247,6 +247,40 @@ object EventQueries {
       |FROM seq WHERE next_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Top user journeys: each user's first 5 events as an ordered path
+    * string, ranked by how many users share the exact path — the
+    * product-analytics companion to q61 (does a KNOWN sequence occur)
+    * and q67 (pairwise transitions): here the full path IS the group
+    * key. Order inside the collected list is made deterministic by
+    * sorting structs on the row_number, never by collect_list's
+    * arrival order (shuffle-dependent). One shuffle by user, then a
+    * hash agg whose keys are ≤ |types|⁵ strings. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), p -> p.event_type)")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path"))
+      .limit(10)
+  }
+
+  private val q73Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM seq WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS users
+      |FROM p GROUP BY path ORDER BY users DESC, path LIMIT 10""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -256,5 +290,6 @@ object EventQueries {
     QuerySpec("q61_funnel_depth", Some(q61Sql), q61),
     QuerySpec("q62_cohort_retention", Some(q62Sql), q62),
     QuerySpec("q67_transition_matrix", Some(q67Sql), q67),
+    QuerySpec("q73_top_paths", Some(q73Sql), q73),
   )
 }
