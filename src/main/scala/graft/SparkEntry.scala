@@ -58,5 +58,6 @@ object QueryCatalog {
       operators.TypedQueries.specs ++
       operators.MultimodalQueries.specs ++
       operators.CorpusQueries.specs ++
-      operators.MiningQueries.specs
+      operators.MiningQueries.specs ++
+      operators.PipelineQueries.specs
 }

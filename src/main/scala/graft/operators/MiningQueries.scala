@@ -111,8 +111,11 @@ object MiningQueries {
           .agg(countDistinct(col("x")).as("tri_nodes")))
   }
 
-  private val q69Sql =
-    s"""WITH sh AS (${DedupQueries.shinglesSql}),
+  /** Shared oracle CTE chain: shingles → rare-shingle inverted index →
+    * Jaccard-thresholded near-dup edge set `e(doc_a < doc_b)` — the
+    * SQL twin of [[DedupQueries.jaccardPairs]]. */
+  private[operators] val neardupEdgeCtes =
+    s"""sh AS (${DedupQueries.shinglesSql}),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
        |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
        |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
@@ -126,7 +129,10 @@ object MiningQueries {
        |  JOIN sizes za ON za.doc_id = doc_a
        |  JOIN sizes zb ON zb.doc_id = doc_b
        |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
-       |),
+       |)""".stripMargin
+
+  private val q69Sql =
+    s"""WITH $neardupEdgeCtes,
        |tri AS (
        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
        |  FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
@@ -136,8 +142,101 @@ object MiningQueries {
        |       CAST(count(DISTINCT x) AS BIGINT) AS tri_nodes
        |FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** PageRank (5 damped iterations, d = 0.85) over the undirected
+    * near-dup graph — ranks the "hub" documents whose removal breaks
+    * the most duplication mass, the priority order a curation pass
+    * deletes in. All arithmetic is 64-bit integer fixed-point (ranks
+    * scaled by 1e12; per-edge contribution `r div deg`, damping
+    * `(85·Σ) div 100`) so five chained divisions stay bit-identical in
+    * both engines — double division truncation is NOT portable once
+    * quotients exceed 2^53/deg, and `ln`-free integer fixed-point is
+    * this repo's standing rule for iterative numerics. The oracle
+    * unrolls the five iterations as chained CTEs — no recursive-CTE
+    * aggregation semantics to depend on.
+    *
+    * Scale notes (100 TB): the edge list is dedup OUTPUT (orders of
+    * magnitude smaller than the corpus). Each iteration is one
+    * shuffle: ranks⋈edges on src (co-partitioned by the same key every
+    * round) then a map-side-combined sum by dst. Degree rides along
+    * the persisted edge frame so it is computed once. Five iterations
+    * = five stages over a persisted edge table; the DataFrame lineage
+    * stays LINEAR in rounds (each rank frame is referenced exactly
+    * once by the next), so no checkpoint is needed at this depth —
+    * the >20-round regime is ConnectedComponents.runStars territory.
+    */
+  private val PrIters = 5
+  private val PrScale = 1000000000000L // fixed-point 1e12
+
+  /** Fixed-point PageRank kernel over an undirected edge list
+    * `und(src, dst)` (both directions present). Returns (node, r) for
+    * every node with ≥ 1 edge; r is the 1e12-scaled integer rank. */
+  private[operators] def pageRank(und: DataFrame, iters: Int = PrIters): DataFrame = {
+    // Truncate the incoming lineage before looping: the edge frame's
+    // logical plan (for q80, TWO copies of the whole shingle/pair
+    // kernel) would otherwise be re-embedded at every reference in
+    // every unrolled iteration — ~40 copies of the kernel subtree for
+    // the optimizer to chew through. persist() does NOT truncate the
+    // logical plan; re-wrapping through the RDD does. The re-wrapped
+    // frame is persisted in the SQL cache (clearCache-hygienic, no raw
+    // RDD persist to leak).
+    val cached = und.sparkSession.createDataFrame(und.rdd, und.schema).persist()
+    // deg's broadcast build materializes `und` into the cache before the
+    // probe side scans it — consumers are serialized, no eager count
+    // needed (see the cold-cache-race rule in ConnectedComponents)
+    val deg = cached.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = cached.join(broadcast(deg), Seq("src")).persist()
+    var ranks = deg.select(col("src").as("node")).withColumn("r", lit(PrScale))
+    for (_ <- 1 to iters) {
+      // an undirected node always has ≥1 incoming edge, so the groupBy
+      // key set IS the node set — no nodes-side left join needed (the
+      // oracle's LEFT JOIN + COALESCE form is value-identical; this
+      // form is one join + one aggregate per round instead of two joins)
+      ranks = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(PrScale * 15 / 100) + expr("(85 * in_sum) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val und = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    pageRank(und)
+      .orderBy(col("r").desc, col("node")).limit(20)
+      .select(col("node"), col("r"))
+  }
+
+  private val q80Sql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |         CAST(${PrScale * 15 / 100} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT u.dst AS node, sum(p.r // d.deg) AS s
+         |    FROM $prev p JOIN und u ON u.src = p.node JOIN deg d ON d.src = p.node
+         |    GROUP BY u.dst) s ON s.node = n.node
+         |)""".stripMargin
+    val iters = (1 to PrIters)
+      .map(i => iter(if (i == 1) "r0" else s"i${i - 1}", s"i$i"))
+      .mkString(",\n")
+    s"""WITH $neardupEdgeCtes,
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |        UNION ALL SELECT doc_b, doc_a FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |nodes AS (SELECT src AS node FROM deg),
+       |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT node, r FROM i$PrIters ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q68_cooccurrence_lift", Some(q68Sql), q68),
     QuerySpec("q69_triangle_count", Some(q69Sql), q69),
+    QuerySpec("q80_pagerank_neardup", Some(q80Sql), q80),
   )
 }

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators the reference pipeline stops short
+  * of but a 100 TB corpus build needs: sequence packing, mixture
+  * (re-weighting) sampling, TF-IDF term salience, and the duplicated
+  * n-gram quality signal.
+  *
+  *  - q75 sequence packing: assign documents to fixed-token-budget
+  *    training packs. Greedy global first-fit is inherently sequential;
+  *    the scalable form is bucketed sequential fill — hash documents
+  *    into B independent buckets, then one running-sum window per
+  *    bucket assigns each doc to the pack containing its start offset.
+  *    Parallelism = B (in production B = executor-core count, here 8),
+  *    and no global sort ever happens.
+  *  - q76 mixture sampling: resample the corpus to target per-source
+  *    proportions (the "data mixing" step before tokenization). Two
+  *    passes: a tiny per-source count aggregate determines the largest
+  *    feasible output under the target mix, then a per-row
+  *    deterministic hash keeps exactly rate_s of each source. The big
+  *    table is filtered map-side; only row counts shuffle.
+  *  - q77 TF-IDF: per-document top-k salient terms. The idf factor is
+  *    the RATIONAL N/df, not ln(N/df) — ln() is not bit-portable
+  *    across libm implementations and its few distinct inputs here
+  *    collide at hash boundaries (same choice as q59's BM25 idf).
+  *  - q78 duplicated n-gram fraction: the RefinedWeb-style quality
+  *    signal — per doc, the share of its distinct word bigrams that
+  *    also occur in some other document — rolled into a decile
+  *    histogram. Reuses the q26 shingle kernel.
+  *
+  * Scale notes (100 TB):
+  *  - q75 shuffles each doc's (id, token-count) pair once — 16 bytes a
+  *    row, not the text; pack assignment is a window over each bucket.
+  *  - q76's count pass and rate table are bounded by source
+  *    cardinality (broadcast); the keep-filter is a codegen'd integer
+  *    hash per row, pushed right above the scan.
+  *  - q77 keeps df/N on the vocabulary side (broadcast) and computes
+  *    tf with map-side combine on (doc_id, token).
+  *  - q78's doc-frequency uses a window over shingles (one shuffle by
+  *    shingle, shared with the q26 kernel's shape); the histogram is a
+  *    tiny final aggregate.
+  */
+object PipelineQueries {
+
+  private val PackBudget = 2048
+  private val PackBuckets = 8
+
+  // ---------------------------------------------------------------- q75
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % PackBuckets).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val seq = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("tok")).over(seq))
+      // a doc belongs to the pack containing its START offset (docs may
+      // straddle pack boundaries; the tokenizer splits them downstream)
+      .withColumn("pack",
+        floor((col("cum") - col("tok")).cast("double") / PackBudget).cast("long"))
+      .groupBy(col("bucket"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+      .withColumn("fill_rate",
+        Det.rate(col("pack_tokens").cast("double") / PackBudget))
+      .orderBy(col("bucket"), col("pack"))
+  }
+
+  private val q75Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT bucket, doc_id, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT bucket,
+       |       CAST(floor(CAST(cum - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS pack,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       |       floor(CAST(sum(tok) AS DOUBLE) / $PackBudget * 1e6 + 0.5) / 1e6 AS fill_rate
+       |FROM c GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** Relative target weight for a source: srcK → K % 4 + 1 (a 1:2:3:4
+    * mix pattern over the generator's srcN naming). */
+  private val relW = substring(col("source"), 4, 10).cast("int") % 4 + 1
+
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // pass 1: per-source counts + relative weights (tiny: |sources| rows)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_orig"))
+      .withColumn("rel", relW.cast("long"))
+    // largest feasible output size T under the target mix, and the
+    // total relative weight R — both 1-row aggregates, broadcast back
+    // (not an unpartitioned window: see Share's scaladoc)
+    val caps = counts
+      .crossJoin(broadcast(counts.agg(sum(col("rel")).as("r_tot"))))
+      .withColumn("cap", col("n_orig").cast("double") * col("r_tot") / col("rel"))
+      .agg(min(col("cap")).as("t_max"), max(col("r_tot")).as("r_tot"))
+    val rates = counts.crossJoin(broadcast(caps))
+      .withColumn("rate",
+        col("rel").cast("double") * col("t_max") / (col("r_tot") * col("n_orig")))
+    // pass 2: deterministic per-row uniform — a Weyl-style multiplicative
+    // hash, exact in 64-bit integers in both engines (rand(seed) is
+    // partition-layout-dependent and never oracle-safe)
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).cast("double")
+        < col("rate") * lit(4294967296e0))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val out = counts.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+    Share.of(out, "n_kept", "kept_share")
+      .crossJoin(broadcast(caps.select(col("r_tot"))))
+      .withColumn("target_share", Det.rate(col("rel").cast("double") / col("r_tot")))
+      .select(col("source"), col("n_orig"), col("rel"), col("n_kept"),
+        col("kept_share"), col("target_share"))
+      .orderBy(col("source"))
+  }
+
+  private val q76Sql =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_orig,
+      |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS rel
+      |  FROM documents GROUP BY source
+      |), caps AS (
+      |  SELECT min(CAST(n_orig AS DOUBLE) * r_tot / rel) AS t_max,
+      |         max(r_tot) AS r_tot
+      |  FROM (SELECT *, CAST(sum(rel) OVER () AS BIGINT) AS r_tot FROM counts)
+      |), rates AS (
+      |  SELECT source, CAST(rel AS DOUBLE) * t_max / (r_tot * n_orig) AS rate
+      |  FROM counts, caps
+      |), kept AS (
+      |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM documents d JOIN rates r ON d.source = r.source
+      |  WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |        < r.rate * 4294967296e0
+      |  GROUP BY d.source
+      |), merged AS (
+      |  SELECT c.source, c.n_orig, c.rel, COALESCE(k.n_kept, 0) AS n_kept
+      |  FROM counts c LEFT JOIN kept k ON c.source = k.source
+      |)
+      |SELECT source, n_orig, rel, n_kept,
+      |       floor(CAST(n_kept AS DOUBLE) / (SELECT sum(n_kept) FROM merged)
+      |             * 1e6 + 0.5) / 1e6 AS kept_share,
+      |       floor(CAST(rel AS DOUBLE) / (SELECT r_tot FROM caps)
+      |             * 1e6 + 0.5) / 1e6 AS target_share
+      |FROM merged ORDER BY source""".stripMargin
+
+  private val TfidfK = 3
+
+  // ---------------------------------------------------------------- q77
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.filter(col("doc_id") % 20 === 0)
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      // tf * N exact in double (< 2^53), then ONE division — the same
+      // op order as the oracle text, so bits match
+      .withColumn("score",
+        Det.rate(col("tf").cast("double") * col("n_docs") / col("df")))
+      .withColumn("rn", row_number().over(byDoc).cast("long"))
+      .filter(col("rn") <= TfidfK)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val q77Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tk GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |         floor(CAST(tf.tf AS DOUBLE) * n.n_docs / df.df * 1e6 + 0.5) / 1e6 AS score,
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |                            ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+       |                                     tf.tok) AS rn
+       |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+       |  WHERE tf.doc_id % 20 = 0
+       |)
+       |SELECT doc_id, rn, tok, tf, df, score
+       |FROM scored WHERE rn <= $TfidfK ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val bySh = Window.partitionBy(col("s"))
+    val perDoc = DedupQueries.shingles(s, dir)
+      .withColumn("docs_with", count(lit(1)).over(bySh))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        Det.rate(col("n_dup").cast("double") / col("n_grams")))
+    perDoc
+      .withColumn("decile", floor(col("dup_frac") * 10).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("grams_total"))
+      .orderBy(col("decile"))
+  }
+
+  private val q78Sql =
+    s"""WITH sh AS (${DedupQueries.shinglesSql}),
+       |dfreq AS (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS docs_with FROM sh
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM dfreq GROUP BY doc_id
+       |), frac AS (
+       |  SELECT doc_id, n_grams,
+       |         floor(CAST(n_dup AS DOUBLE) / n_grams * 1e6 + 0.5) / 1e6 AS dup_frac
+       |  FROM per_doc
+       |)
+       |SELECT CAST(floor(dup_frac * 10) AS BIGINT) AS decile,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_grams) AS BIGINT) AS grams_total
+       |FROM frac GROUP BY 1 ORDER BY decile""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
+    QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
+    QuerySpec("q77_tfidf_topk", Some(q77Sql), q77),
+    QuerySpec("q78_dupgram_fraction", Some(q78Sql), q78),
+  )
+}

@@ -128,8 +128,88 @@ object SimilarityQueries {
        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** kNN label vote — the standard embedding-space label-quality probe
+    * over a curated corpus: for each sampled query vector, take its 10
+    * cosine-nearest labeled neighbors and predict the majority label
+    * (ties → smaller label id); report per-class agreement with the
+    * vector's own label. High agreement means the embedding clusters
+    * match the taxonomy; a class with low agreement is mislabeled or
+    * entangled. Reuses q28's rounded-sim ranking so neighbor order is
+    * engine-stable; the vote and the accuracy are exact integer
+    * arithmetic on top.
+    *
+    * Scale: same broadcast-query shape as q28 — |Q| is a sample, the
+    * candidate side streams; the vote is a (qid, label) count over ≤
+    * 10·|Q| rows. The IVF/LSH variants (q29/q42/q58) are the drop-in
+    * scale path for the neighbor-gen stage.
+    */
+  private val VoteK = 10
+
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("cid"), col("label").as("nbr_label"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val nbrs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= VoteK)
+    val votes = nbrs.groupBy(col("qid"), col("true_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number()
+        .over(Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("nbr_label"))))
+      .filter(col("vr") === 1)
+    votes
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("nbr_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        Det.rate(col("n_correct").cast("double") / col("n_queries")))
+      .orderBy(col("label"))
+  }
+
+  private val q79Sql =
+    s"""WITH nv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
+       |         c.vec_id AS cid,
+       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT qid, true_label, nbr_label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM p
+       |), votes AS (
+       |  SELECT qid, true_label, nbr_label, count(*) AS votes
+       |  FROM r WHERE rn <= $VoteK GROUP BY qid, true_label, nbr_label
+       |), pred AS (
+       |  SELECT qid, true_label, nbr_label,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY votes DESC, nbr_label) AS vr
+       |  FROM votes
+       |)
+       |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       floor(CAST(sum(CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+       |FROM pred WHERE vr = 1 GROUP BY true_label ORDER BY label""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
+    QuerySpec("q79_knn_label_vote", Some(q79Sql), q79),
   )
 }

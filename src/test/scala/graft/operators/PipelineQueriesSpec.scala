@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PipelineQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    PipelineQueries.specs.find(_.name == name).get.fn(spark, dir)
+
+  // ------------------------------------------------------------- q75
+  test("q75 packing partitions every doc and every token exactly once") {
+    val packs = q("q75_sequence_packing").collect()
+    val docs = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("tok"))
+      .agg(count(lit(1)), sum(col("tok"))).as[(Long, Long)].head()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum === docs._1)
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum === docs._2)
+  }
+
+  test("q75 non-final packs are filled to the budget boundary") {
+    // pack p+1 exists ⇒ some doc STARTS at offset ≥ (p+1)·budget, so the
+    // cumulative token count through pack p must have reached that line
+    val budget = 2048L
+    q("q75_sequence_packing").collect()
+      .groupBy(_.getAs[Long]("bucket")).foreach { case (b, rows) =>
+        val byPack = rows.sortBy(_.getAs[Long]("pack"))
+        assert(byPack.map(_.getAs[Long]("pack")) === byPack.indices.map(_.toLong),
+          s"bucket $b pack ids must be contiguous from 0")
+        val cum = byPack.map(_.getAs[Long]("pack_tokens")).scanLeft(0L)(_ + _).tail
+        cum.init.zipWithIndex.foreach { case (c, p) =>
+          assert(c >= (p + 1) * budget, s"bucket $b pack $p under-filled: $c")
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- q76
+  test("q76 keeps at most the original count and fully keeps max-weight sources") {
+    val rows = q("q76_mixture_sampling").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_orig"))
+    }
+    // equal per-source counts ⇒ the max-rel sources are the binding
+    // constraint: their keep-rate is exactly 1
+    val maxRel = rows.map(_.getAs[Long]("rel")).max
+    rows.filter(_.getAs[Long]("rel") == maxRel).foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_orig"),
+        s"${r.getAs[String]("source")} should be kept whole")
+    }
+  }
+
+  test("q76 achieved mix tracks the target mix") {
+    val rows = q("q76_mixture_sampling").collect()
+    rows.foreach { r =>
+      val drift = math.abs(r.getAs[Double]("kept_share") - r.getAs[Double]("target_share"))
+      // 25 docs/source at sf0.001 → hash-sampling noise is a few docs
+      assert(drift <= 0.05, s"${r.getAs[String]("source")} drift $drift")
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("kept_share")).sum - 1.0) < 1e-3)
+  }
+
+  // ------------------------------------------------------------- q77
+  test("q77 emits ≤3 ranked terms per sampled doc with consistent scores") {
+    val rows = q("q77_tfidf_topk").collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 === 0)
+      val expected = math.floor(
+        r.getAs[Long]("tf").toDouble * nDocs / r.getAs[Long]("df") * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("score") === expected)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val byRn = rs.sortBy(_.getAs[Long]("rn"))
+      assert(byRn.map(_.getAs[Long]("rn")) === (1L to byRn.length).toSeq)
+      val scores = byRn.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $d scores not non-increasing: ${scores.toSeq}")
+    }
+  }
+
+  test("q77 ranks a doc's rarest frequent token first (hand-built fixture)") {
+    // 20-doc corpus: every doc contains 'common'; doc 0 also repeats
+    // 'rare' twice → rare has tf=2, df=1 → score 2·20/1 = 40 ≫ common's
+    val tmp = java.nio.file.Files.createTempDirectory("q77fix").toString
+    val docs = (0 until 20).map { i =>
+      val text = if (i == 0) "rare rare common" else s"common filler$i"
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = PipelineQueries.specs.find(_.name == "q77_tfidf_topk").get
+      .fn(spark, tmp).filter(col("doc_id") === 0).orderBy(col("rn")).collect()
+    assert(top.head.getAs[String]("tok") === "rare")
+    assert(top.head.getAs[Double]("score") === 40.0)
+  }
+
+  // ------------------------------------------------------------- q78
+  test("q78 histogram covers exactly the docs with ≥2 tokens") {
+    val rows = q("q78_dupgram_fraction").collect()
+    val eligible = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === eligible)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0 && d <= 10)
+    }
+    val grams = DedupQueries.shingles(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("grams_total")).sum === grams)
+  }
+
+  // ------------------------------------------------------------- q79
+  test("q79 vote accounting: one prediction per query vector") {
+    val rows = SimilarityQueries.specs.find(_.name == "q79_knn_label_vote").get
+      .fn(spark, dir).collect()
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_queries")).sum === nQueries)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct"))
+      assert(c >= 0 && c <= n)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(acc === math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  // ------------------------------------------------------------- q80
+  test("pageRank matches a driver-side fixed-point oracle on small graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val n = 3 + rnd.nextInt(12)
+      val pairs = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty) {
+        val und = (pairs ++ pairs.map(_.swap)).distinct
+        // driver oracle: identical integer fixed-point arithmetic
+        val nodes = und.map(_._1).distinct.sorted
+        val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var r = nodes.map(_ -> 1000000000000L).toMap
+        for (_ <- 1 to 5) {
+          val in = und.groupBy(_._2).view.mapValues(
+            _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+          r = nodes.map(v => v -> (150000000000L + 85 * in.getOrElse(v, 0L) / 100)).toMap
+        }
+        val got = MiningQueries.pageRank(und.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === r, s"graph $und")
+      }
+    }
+  }
+
+  test("q80 top ranks: hub of a star outranks its leaves") {
+    // star: 0 connected to 1..6, plus an isolated pair 10-11
+    val pairs = (1L to 6L).map(i => (0L, i)) :+ (10L, 11L)
+    val und = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = MiningQueries.pageRank(und).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(ranks(0L) > ranks(_)), "hub must outrank leaves")
+    assert(ranks(10L) === ranks(11L), "symmetric pair ranks equal")
+  }
+}
