@@ -95,8 +95,11 @@ object MiningQueries {
 
   // ---------------------------------------------------------------- q69
   private def q69(s: SparkSession, dir: String): DataFrame = {
-    val e = DedupQueries.jaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b")).persist()
+    // RDD re-wrap truncates the kernel lineage so the optimizer sees a
+    // leaf, not three embedded copies of the shingle/pair plan (same
+    // rationale as pageRank below)
+    val raw = DedupQueries.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val e = s.createDataFrame(raw.rdd, raw.schema).persist()
     e.count() // two triangle-join scans + the node explode race a cold cache
     val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(e.select(col("doc_a").as("b2"), col("doc_b").as("c")), col("b") === col("b2"))
