@@ -256,6 +256,109 @@ object ProfilingQueries {
       |FROM a FULL OUTER JOIN b USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Per-group equi-width histogram (the ANALYZE-style stat q49's
+    * min/max profile stops short of): each event type's value range is
+    * split into 10 equal buckets computed from its own min/max. The
+    * range pass is a tiny per-type aggregate broadcast back over the
+    * fact table — two scans, no sort, no single-partition window; the
+    * equi-DEPTH alternative (ntile) needs a per-group global sort,
+    * which is exactly what a 100 TB stats collection pass avoids.
+    * Degenerate ranges (hi == lo) collapse to bucket 0 rather than
+    * dividing by zero. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+              .cast("long"),
+            lit(9L))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), Det.rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val q81Sql =
+    """WITH rng AS (
+      |  SELECT event_type, min(value) AS lo, max(value) AS hi
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type,
+      |       CASE WHEN r.hi = r.lo THEN 0
+      |            ELSE least(CAST(floor((e.value - r.lo) / ((r.hi - r.lo) / 10)) AS BIGINT), 9)
+      |       END AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       floor((sum(e.value)) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM events e JOIN rng r ON e.event_type = r.event_type
+      |GROUP BY 1, 2 ORDER BY e.event_type, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Join-size estimation WITHOUT running the join — the CBO/AQE-style
+    * broadcast-vs-shuffle-vs-salt decision input (q64's HHI profiles
+    * one table's key; this predicts the pairing): |A⋈B| = Σ_k nA(k)·
+    * nB(k) computed over per-key COUNT tables, which are |keys| rows —
+    * tiny next to the data — so the estimate costs two hash aggs and a
+    * count-table join. Reports the predicted row count, key count, and
+    * the heaviest key's share of the output (the salting trigger) for
+    * two self-joins and one FK join. Everything is exact 64-bit
+    * integer arithmetic. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    def est(name: String, a: DataFrame, b: Option[DataFrame]): DataFrame = {
+      val ca = a.groupBy(col("k")).agg(count(lit(1)).as("na"))
+      val contrib = b match {
+        case None => ca.select(col("k"), (col("na") * col("na")).as("c"))
+        case Some(bb) =>
+          val cb = bb.groupBy(col("k")).agg(count(lit(1)).as("nb"))
+          ca.join(cb, Seq("k")).select(col("k"), (col("na") * col("nb")).as("c"))
+      }
+      val heavy = contrib.orderBy(col("c").desc, col("k")).limit(1)
+        .select(col("k").as("heaviest_key"), col("c").as("heaviest_c"))
+      contrib.agg(sum(col("c")).as("est_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(heavy))
+        .select(lit(name).as("join_name"), col("est_rows"), col("n_keys"),
+          col("heaviest_key"),
+          Det.rate(col("heaviest_c").cast("double") / col("est_rows"))
+            .as("heaviest_share"))
+    }
+    val li = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+    val ev = Tables.events(s, dir).select(col("user_id").as("k"))
+    val lo = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    val or = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    est("events_self_user", ev, None)
+      .unionByName(est("lineitem_self_partkey", li, None))
+      .unionByName(est("lineitem_orders_orderkey", lo, Some(or)))
+      .orderBy(col("join_name"))
+  }
+
+  private val q82Sql =
+    """WITH ev AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
+      |li AS (SELECT l_partkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+      |lo AS (SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+      |oo AS (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+      |c1 AS (SELECT k, na * na AS c FROM ev),
+      |c2 AS (SELECT k, na * na AS c FROM li),
+      |c3 AS (SELECT lo.k, lo.na * oo.nb AS c FROM lo JOIN oo ON lo.k = oo.k),
+      |s1 AS (SELECT 'events_self_user' AS join_name,
+      |              CAST(sum(c) AS BIGINT) AS est_rows,
+      |              CAST(count(*) AS BIGINT) AS n_keys FROM c1),
+      |s2 AS (SELECT 'lineitem_self_partkey', CAST(sum(c) AS BIGINT),
+      |              CAST(count(*) AS BIGINT) FROM c2),
+      |s3 AS (SELECT 'lineitem_orders_orderkey', CAST(sum(c) AS BIGINT),
+      |              CAST(count(*) AS BIGINT) FROM c3),
+      |h1 AS (SELECT k AS heaviest_key, c AS hc FROM c1 ORDER BY c DESC, k LIMIT 1),
+      |h2 AS (SELECT k AS heaviest_key, c AS hc FROM c2 ORDER BY c DESC, k LIMIT 1),
+      |h3 AS (SELECT k AS heaviest_key, c AS hc FROM c3 ORDER BY c DESC, k LIMIT 1)
+      |SELECT join_name, est_rows, n_keys, heaviest_key,
+      |       floor(CAST(hc AS DOUBLE) / est_rows * 1e6 + 0.5) / 1e6 AS heaviest_share
+      |FROM (SELECT s1.*, h1.* FROM s1, h1
+      |      UNION ALL SELECT s2.*, h2.* FROM s2, h2
+      |      UNION ALL SELECT s3.*, h3.* FROM s3, h3)
+      |ORDER BY join_name""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -263,5 +366,7 @@ object ProfilingQueries {
     QuerySpec("q49_profile", Some(q49Sql), q49),
     QuerySpec("q64_key_skew_profile", Some(q64Sql), q64),
     QuerySpec("q65_snapshot_diff", Some(q65Sql), q65),
+    QuerySpec("q81_equiwidth_histogram", Some(q81Sql), q81),
+    QuerySpec("q82_join_size_estimate", Some(q82Sql), q82),
   )
 }

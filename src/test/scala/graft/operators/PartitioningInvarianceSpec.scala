@@ -18,7 +18,10 @@ class PartitioningInvarianceSpec extends SparkSpec {
       })
 
   for (name <- Seq("q19_hash_sample", "q57_stratified_sample", "q28_cosine_topk",
-    "q54_cc_dedup_clusters")) {
+    "q54_cc_dedup_clusters",
+    // round 5: the Weyl-hash sampler, the per-bucket packing windows,
+    // and the iterative integer PageRank must all be layout-blind
+    "q76_mixture_sampling", "q75_sequence_packing", "q80_pagerank_neardup")) {
     test(s"$name is invariant to the shuffle partitioning") {
       val default = spark.conf.get("spark.sql.shuffle.partitions")
       val base = rows(name)

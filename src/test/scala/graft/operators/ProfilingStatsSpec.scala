@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q81 equi-width histogram and q82 join-size estimation — checked
+  * against driver-side recomputations on sf0.001. */
+class ProfilingStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    ProfilingQueries.specs.find(_.name == name).get.fn(spark, dir)
+
+  test("q81 buckets partition each event type's rows and respect the range") {
+    val rows = q("q81_equiwidth_histogram").collect()
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum === perType(t), s"type $t row leak")
+      rs.foreach { r =>
+        val b = r.getAs[Long]("bucket")
+        assert(b >= 0 && b <= 9)
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === perType.values.sum)
+  }
+
+  test("q81 bucket counts match a driver recomputation") {
+    val evs = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (t, vs) =>
+      val (lo, hi) = (vs.map(_._2).min, vs.map(_._2).max)
+      vs.toSeq.map { case (_, v) =>
+        val b = if (hi == lo) 0L
+                else math.min(math.floor((v - lo) / ((hi - lo) / 10)).toLong, 9L)
+        (t, b)
+      }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = q("q81_equiwidth_histogram").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got === expected)
+  }
+
+  test("q82 predicts the exact size of the joins it estimates") {
+    val est = q("q82_join_size_estimate").collect()
+      .map(r => r.getAs[String]("join_name") -> r.getAs[Long]("est_rows")).toMap
+    val ev = Tables.events(spark, dir).select(col("user_id").as("k"))
+    assert(est("events_self_user") ===
+      ev.join(ev.withColumnRenamed("k", "k2"), col("k") === col("k2")).count())
+    val lo = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+    val or = Tables.orders(spark, dir).select(col("o_orderkey").as("k2"))
+    assert(est("lineitem_orders_orderkey") ===
+      lo.join(or, col("k") === col("k2")).count())
+  }
+
+  test("q82 heaviest share is consistent and bounded") {
+    q("q82_join_size_estimate").collect().foreach { r =>
+      val share = r.getAs[Double]("heaviest_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n_keys") > 0)
+    }
+  }
+}
