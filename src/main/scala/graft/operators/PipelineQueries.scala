@@ -236,10 +236,61 @@ object PipelineQueries {
        |       CAST(sum(n_grams) AS BIGINT) AS grams_total
        |FROM frac GROUP BY 1 ORDER BY decile""".stripMargin
 
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  // ---------------------------------------------------------------- q83
+  /** Overlapping document chunking — the retrieval/embedding prep step
+    * (window 50 tokens, stride 40 → 10-token overlap). Chunk starts are
+    * a per-row `sequence()` explode (linear, codegen'd, no join); the
+    * report aggregates chunk counts/lengths per source. The inverse
+    * relationship to q75: packing concatenates docs up to a budget,
+    * chunking splits docs down to one. At 100 TB the explode multiplies
+    * rows ~n/stride BEFORE the shuffle, so the aggregate's map-side
+    * combine is what keeps the exchange at |sources| rows — chunk TEXT
+    * extraction (slice(t, start+1, 50)) would ride the same plan when
+    * chunks feed an embedding stage instead of a stats report. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), size(col("t")).as("n"))
+    t.select(col("doc_id"), col("source"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("start"))
+      .withColumn("clen", least(lit(ChunkSize), col("n") - col("start")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("clen") === ChunkSize, 1L).otherwise(0L)).as("full_chunks"),
+        sum(col("clen")).as("chunk_tokens"))
+      .withColumn("avg_chunk_len",
+        Det.rate(col("chunk_tokens").cast("double") / col("n_chunks")))
+      .orderBy(col("source"))
+  }
+
+  private val q83Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n,
+       |         unnest(generate_series(0, n - 1, $ChunkStride)) AS start
+       |  FROM t
+       |)
+       |SELECT source,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN least($ChunkSize, n - start) = $ChunkSize
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks,
+       |       CAST(sum(least($ChunkSize, n - start)) AS BIGINT) AS chunk_tokens,
+       |       floor(CAST(sum(least($ChunkSize, n - start)) AS DOUBLE) / count(*)
+       |             * 1e6 + 0.5) / 1e6 AS avg_chunk_len
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
     QuerySpec("q77_tfidf_topk", Some(q77Sql), q77),
     QuerySpec("q78_dupgram_fraction", Some(q78Sql), q78),
+    QuerySpec("q83_doc_chunking", Some(q83Sql), q83),
   )
 }

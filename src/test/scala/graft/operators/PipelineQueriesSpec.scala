@@ -112,6 +112,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("grams_total")).sum === grams)
   }
 
+  // ------------------------------------------------------------- q83
+  test("q83 chunk counts follow the stride formula per doc") {
+    val rows = q("q83_doc_chunking").collect()
+    // driver recomputation: ceil(n / 40) chunks per doc, lengths ≤ 50,
+    // total chunk tokens = Σ min(50, n - 40k)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .as[(String, Int)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val starts = ds.toSeq.map(_._2).flatMap(n => 0 until n by 40 map (st => (n, st)))
+      src -> (ds.length.toLong, starts.size.toLong,
+        starts.map { case (n, st) => math.min(50, n - st).toLong }.sum)
+    }
+    rows.foreach { r =>
+      val (nd, nc, tok) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_chunks") === nc)
+      assert(r.getAs[Long]("chunk_tokens") === tok)
+    }
+    assert(rows.length === expected.size)
+  }
+
   // ------------------------------------------------------------- q79
   test("q79 vote accounting: one prediction per query vector") {
     val rows = SimilarityQueries.specs.find(_.name == "q79_knn_label_vote").get
