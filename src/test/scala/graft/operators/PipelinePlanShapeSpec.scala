@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape proofs for the round-5 pipeline operators (SCALE.md
+  * "Curation pipeline"): what shuffles — and what must NOT — is
+  * asserted against the final adaptive plan. */
+class PipelinePlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = graft.QueryCatalog.all.find(_.name == name).get.fn(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan — assertions must only see what actually executed
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q75 packing: exactly one pre-aggregate exchange, and it carries ids not text") {
+    val p = finalPlan("q75_sequence_packing")
+    // window-by-bucket is the single data shuffle; the output ORDER BY adds
+    // a range exchange on the tiny aggregate only
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "pack assignment must be a window, not a join")
+    val belowWindow = p.substring(winIdx)
+    val shufflesBelowWindow = belowWindow.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shufflesBelowWindow === 1,
+      s"exactly one hash exchange may feed the packing window:\n$p")
+    // token counts must be computed BEFORE the exchange: the project
+    // under the shuffle emits tok, so only (id, bucket, count) shuffles
+    val underExchange = belowWindow.substring(
+      belowWindow.indexOf("Exchange hashpartitioning"))
+    assert(underExchange.contains("AS tok#"),
+      "the packing shuffle must carry precomputed token counts, not text")
+  }
+
+  test("q76 mixture sampling: rates reach the corpus by broadcast, never shuffle") {
+    val p = finalPlan("q76_mixture_sampling")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle to meet the |sources|-row rate table")
+  }
+
+  test("q77 tfidf: sampled-doc filter sits in the scan, df side broadcasts") {
+    val p = finalPlan("q77_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), "df join must broadcast")
+    // the % 20 sample must prune BEFORE the tf explode — in the scan's
+    // pushed/post-scan filters, not after a Generate
+    val genIdx = p.indexOf("Generate")
+    val filterIdx = p.indexOf("(doc_id")
+    assert(filterIdx >= 0, "sample filter missing from the plan")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per doc must use the rank-limit pushdown, not a full window sort")
+  }
+
+  test("q83 chunking: no join anywhere — chunk explode is a linear Generate") {
+    val p = finalPlan("q83_doc_chunking")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(p.contains("Generate"), "chunk starts must come from a sequence explode")
+  }
+
+  test("q82 join-size estimate never materializes the joins it predicts") {
+    val p = finalPlan("q82_join_size_estimate")
+    // count-table equi-joins and the 1-row heavy-hitter broadcast are
+    // fine; a CartesianProduct would mean a fact table met another one
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+}
