@@ -412,6 +412,88 @@ object DedupQueries {
        |WHERE least(na, nb) >= 5 AND containment >= 0.8 AND jaccard < 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Incremental near-dup: dedup a NEW batch against an EXISTING corpus
+    * (the daily-ingest shape; doc_id % 10 == 0 plays the batch). The
+    * pair kernel is ASYMMETRIC: posting lists are split into corpus and
+    * batch members, and candidates are generated ONLY for pairs that
+    * involve a batch doc (batch×corpus, plus batch×earlier-batch for
+    * within-batch dups) — never corpus×corpus, which is the difference
+    * between O(|batch|·postings) and re-running the full quadratic over
+    * the whole corpus every day. Emits each duplicate batch doc with
+    * its best match (highest Jaccard, lowest id) and whether the match
+    * came from the corpus or the same batch.
+    *
+    * Scale (100 TB): the corpus side's rare-shingle posting lists are
+    * exactly the persisted inverted INDEX a production pipeline keeps
+    * between runs (the q42-IVF pattern for text); only the new batch's
+    * shingles are computed and shuffled per ingest, and the per-shingle
+    * candidate work is bounded by the df cap the kernel already
+    * enforces. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val grouped = shingles(s, dir)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= 25)
+      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .persist()
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // batch-involving pairs only: (batch b, corpus c) ∪ (batch b, batch b' < b)
+    val inter = grouped
+      .select(explode(expr(
+        """flatten(transform(filter(ds, d -> d % 10 = 0), b ->
+          |  transform(filter(ds, m -> m % 10 <> 0 OR m < b),
+          |            m -> struct(b AS batch_doc, m AS match_doc))))""".stripMargin)).as("p"))
+      .select(col("p.batch_doc"), col("p.match_doc"))
+      .groupBy(col("batch_doc"), col("match_doc")).agg(count(lit(1)).as("icnt"))
+    val scored = inter
+      .join(broadcast(sizes.select(col("doc_id").as("batch_doc"), col("n").as("nb"))),
+        Seq("batch_doc"))
+      .join(broadcast(sizes.select(col("doc_id").as("match_doc"), col("n").as("nm"))),
+        Seq("match_doc"))
+      .withColumn("jaccard",
+        Det.rate(col("icnt").cast("double") / (col("nb") + col("nm") - col("icnt"))))
+      .filter(col("jaccard") >= 0.3)
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("batch_doc"))
+          .orderBy(col("jaccard").desc, col("match_doc"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_doc"), col("match_doc"), col("jaccard"),
+        when(col("match_doc") % 10 === 0, "batch").otherwise("corpus").as("match_src"))
+      .orderBy(col("batch_doc"))
+  }
+
+  private val q84Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS batch_doc, m.doc_id AS match_doc, count(*) AS icnt
+       |  FROM rs b JOIN rs m ON b.s = m.s
+       |  WHERE b.doc_id % 10 = 0
+       |    AND (m.doc_id % 10 <> 0 OR m.doc_id < b.doc_id)
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT batch_doc, match_doc,
+       |         floor((CAST(icnt AS DOUBLE) / (zb.n + zm.n - icnt)) * 1e6 + 0.5) / 1e6
+       |           AS jaccard
+       |  FROM inter
+       |  JOIN sizes zb ON zb.doc_id = batch_doc
+       |  JOIN sizes zm ON zm.doc_id = match_doc
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY batch_doc
+       |                               ORDER BY jaccard DESC, match_doc) AS rn
+       |  FROM scored WHERE jaccard >= 0.3
+       |)
+       |SELECT batch_doc, match_doc, jaccard,
+       |       CASE WHEN match_doc % 10 = 0 THEN 'batch' ELSE 'corpus' END AS match_src
+       |FROM ranked WHERE rn = 1 ORDER BY batch_doc""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -419,5 +501,6 @@ object DedupQueries {
     QuerySpec("q27_simhash", Some(q27Sql), q27),
     QuerySpec("q63_simhash_neardup", Some(q63Sql), q63),
     QuerySpec("q71_containment", Some(q71Sql), q71),
+    QuerySpec("q84_incremental_neardup", Some(q84Sql), q84),
   )
 }

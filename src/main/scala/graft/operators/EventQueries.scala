@@ -319,6 +319,106 @@ object EventQueries {
       |       TRUE AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Distribution-drift monitor between two time windows (the
+    * data-quality gate a continuously-ingesting pipeline runs per
+    * batch): per event type, bucket values into 10 equi-width bins
+    * whose bounds come from the REFERENCE window (baseline-defined
+    * bins — current-window outliers clamp into the edge bins), then
+    * compare per-bin shares. The drift statistic is the L2 distance
+    * between MILLI-SHARE histograms: each share is discretized to
+    * parts-per-million by exact integer division, so the statistic —
+    * Σ(qᵢ−pᵢ)², like a PSI without its `ln()` — is pure 64-bit integer
+    * arithmetic, bit-identical across engines and cluster layouts
+    * (the standing no-`ln`-in-hashed-output rule).
+    *
+    * Scale: bin bounds are a |types|-row broadcast; bucketing happens
+    * scan-side; everything after the (type, window, bin) count — ≤
+    * 20·|types| rows — is free. Missing bins enter as zero via the
+    * full-outer bin join, so a bin emptying out IS drift. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), (col("ts") >= split).as("is_cur"))
+    val rng = ev.filter(!col("is_cur")).groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucketed = ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(greatest(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+              .cast("long"),
+            lit(9L)), lit(0L))))
+    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("event_type"), col("is_cur"))
+      .agg(sum(col("c")).as("n"))
+    val milli = counts.join(tot, Seq("event_type", "is_cur"))
+      .select(col("event_type"), col("is_cur"), col("bucket"),
+        expr("(c * 1000000) div n").as("mshare"))
+    val p = milli.filter(!col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("pi"))
+    val q = milli.filter(col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("qi"))
+    val drift = p.join(q, Seq("event_type", "bucket"), "full")
+      .select(col("event_type"),
+        coalesce(col("pi"), lit(0L)).as("pi"), coalesce(col("qi"), lit(0L)).as("qi"))
+      .groupBy(col("event_type"))
+      .agg(sum((col("qi") - col("pi")) * (col("qi") - col("pi"))).as("drift_l2_milli"),
+        max(abs(col("qi") - col("pi"))).as("max_bucket_shift"))
+    drift
+      .join(tot.filter(!col("is_cur")).select(col("event_type"), col("n").as("ref_n")),
+        Seq("event_type"))
+      .join(tot.filter(col("is_cur")).select(col("event_type"), col("n").as("cur_n")),
+        Seq("event_type"))
+      .select(col("event_type"), col("ref_n"), col("cur_n"),
+        col("drift_l2_milli"), col("max_bucket_shift"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q85Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
+      |  FROM events
+      |), rng AS (
+      |  SELECT event_type, min(value) AS lo, max(value) AS hi
+      |  FROM ev WHERE NOT is_cur GROUP BY 1
+      |), b AS (
+      |  SELECT e.event_type, e.is_cur,
+      |         CASE WHEN r.hi = r.lo THEN 0
+      |              ELSE greatest(least(CAST(floor((e.value - r.lo)
+      |                     / ((r.hi - r.lo) / 10)) AS BIGINT), 9), 0)
+      |         END AS bucket
+      |  FROM ev e JOIN rng r ON e.event_type = r.event_type
+      |), c AS (
+      |  SELECT event_type, is_cur, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT event_type, is_cur, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1, 2
+      |), m AS (
+      |  SELECT c.event_type, c.is_cur, c.bucket,
+      |         CAST((c.c * 1000000) // t.n AS BIGINT) AS mshare
+      |  FROM c JOIN t ON c.event_type = t.event_type AND c.is_cur = t.is_cur
+      |), p AS (SELECT event_type, bucket, mshare FROM m WHERE NOT is_cur),
+      |q AS (SELECT event_type, bucket, mshare FROM m WHERE is_cur),
+      |j AS (
+      |  SELECT COALESCE(p.event_type, q.event_type) AS event_type,
+      |         COALESCE(p.mshare, 0) AS pi, COALESCE(q.mshare, 0) AS qi
+      |  FROM p FULL OUTER JOIN q
+      |    ON p.event_type = q.event_type AND p.bucket = q.bucket
+      |), d AS (
+      |  SELECT event_type,
+      |         CAST(sum((qi - pi) * (qi - pi)) AS BIGINT) AS drift_l2_milli,
+      |         CAST(max(abs(qi - pi)) AS BIGINT) AS max_bucket_shift
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT d.event_type, tr.n AS ref_n, tc.n AS cur_n,
+      |       d.drift_l2_milli, d.max_bucket_shift
+      |FROM d JOIN t tr ON tr.event_type = d.event_type AND NOT tr.is_cur
+      |       JOIN t tc ON tc.event_type = d.event_type AND tc.is_cur
+      |ORDER BY d.event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -330,5 +430,6 @@ object EventQueries {
     QuerySpec("q67_transition_matrix", Some(q67Sql), q67),
     QuerySpec("q73_top_paths", Some(q73Sql), q73),
     QuerySpec("q74_hll_sketch_rollup", Some(q74Sql), q74),
+    QuerySpec("q85_histogram_drift", Some(q85Sql), q85),
   )
 }

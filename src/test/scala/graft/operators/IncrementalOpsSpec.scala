@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q84 incremental near-dup and q85 histogram drift. */
+class IncrementalOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.QueryCatalog.all.find(_.name == name).get.fn
+
+  test("q84 agrees with the full-corpus pair set restricted to batch docs") {
+    val out = q("q84_incremental_neardup")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("batch_doc") % 10 === 0)
+      assert(r.getAs[Double]("jaccard") >= 0.3)
+      val m = r.getAs[Long]("match_doc")
+      assert(r.getAs[String]("match_src") === (if (m % 10 == 0) "batch" else "corpus"))
+    }
+    // full-corpus ground truth: q26's pair set
+    val pairs = DedupQueries.jaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    // a batch doc must appear iff it has a qualifying partner: any
+    // corpus doc, or an EARLIER batch doc
+    val expected = pairs.flatMap { case (a, b, _) =>
+      Seq(b).filter(_ % 10 == 0) ++ Seq(a).filter(x => x % 10 == 0 && b % 10 != 0)
+    }.toSet
+    assert(out.map(_.getAs[Long]("batch_doc")).toSet === expected)
+    // and its best-match score must equal the full kernel's score
+    val pairScore = pairs.map { case (a, b, j) => Set(a, b) -> j }.toMap
+    out.foreach { r =>
+      val key = Set(r.getAs[Long]("batch_doc"), r.getAs[Long]("match_doc"))
+      assert(pairScore(key) === r.getAs[Double]("jaccard"),
+        s"best-match score diverged for $key")
+    }
+  }
+
+  test("q85 accounts every event of types present in the reference window") {
+    val rows = q("q85_histogram_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("ref_n") + r.getAs[Long]("cur_n") === totals(t))
+      assert(r.getAs[Long]("max_bucket_shift") <= 1000000L)
+      assert(r.getAs[Long]("drift_l2_milli") <=
+        10L * 1000000L * 1000000L)
+    }
+  }
+
+  test("q85 reports zero drift when both windows hold the same distribution") {
+    val tmp = Files.createTempDirectory("drift_fix").toString
+    def nanos(date: String): Long =
+      java.sql.Timestamp.valueOf(s"$date 12:00:00").getTime * 1000000L
+    // the same 4 values land once before and once after the split
+    val vals = Seq(1.0, 2.0, 5.0, 9.0)
+    val events = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, nanos("2024-01-02"), 1L, "click", v, "{}"),
+        (100L + i, nanos("2024-01-20"), 1L, "click", v, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = q("q85_histogram_drift")(spark, tmp).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("drift_l2_milli") === 0L)
+    assert(rows.head.getAs[Long]("max_bucket_shift") === 0L)
+  }
+}
