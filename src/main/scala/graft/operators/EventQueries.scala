@@ -419,6 +419,50 @@ object EventQueries {
       |       JOIN t tc ON tc.event_type = d.event_type AND tc.is_cur
       |ORDER BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** SCD-2 history build: turn the event stream into validity-interval
+    * rows — for each (user, type), keep only CHANGE points (value
+    * differs from the previous event) and close each interval at the
+    * next change's timestamp (the warehouse "type-2 slowly changing
+    * dimension" from an append-only log; q60 is its SCD-1 latest-only
+    * sibling). Change detection (lag) and interval close (lead over the
+    * surviving rows) share ONE window partitioning, so the whole
+    * history build is a single shuffle by (user, type). Sampled to
+    * user_id % 50 to bound driver-checked output; timestamps surface
+    * as epoch-ms with -1 for the open interval (NULL-free output
+    * hashes portably). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .filter(col("user_id") % 50 === 0)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_millis(ts)").as("valid_from_ms"),
+        coalesce(expr("unix_millis(next_ts)"), lit(-1L)).as("valid_to_ms"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from_ms"))
+  }
+
+  private val q86Sql =
+    """WITH ch AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, value, ts, event_id,
+      |           lag(value) OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS prev_value
+      |    FROM events WHERE user_id % 50 = 0) t
+      |  WHERE prev_value IS NULL OR value <> prev_value
+      |)
+      |SELECT user_id, event_type, value,
+      |       epoch_ms(ts) AS valid_from_ms,
+      |       COALESCE(epoch_ms(lead(ts) OVER (PARTITION BY user_id, event_type
+      |                                        ORDER BY ts, event_id)), -1)
+      |         AS valid_to_ms
+      |FROM ch
+      |ORDER BY user_id, event_type, valid_from_ms""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -431,5 +475,6 @@ object EventQueries {
     QuerySpec("q73_top_paths", Some(q73Sql), q73),
     QuerySpec("q74_hll_sketch_rollup", Some(q74Sql), q74),
     QuerySpec("q85_histogram_drift", Some(q85Sql), q85),
+    QuerySpec("q86_scd2_intervals", Some(q86Sql), q86),
   )
 }

@@ -56,6 +56,24 @@ class IncrementalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q86 intervals chain: each closes at the next change, values actually change") {
+    val rows = q("q86_scd2_intervals")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .foreach { case (key, rs) =>
+        val ordered = rs.sortBy(_.getAs[Long]("valid_from_ms"))
+        ordered.zip(ordered.tail).foreach { case (a, b) =>
+          assert(a.getAs[Long]("valid_to_ms") === b.getAs[Long]("valid_from_ms"),
+            s"$key: interval gap")
+          assert(a.getAs[Double]("value") !== b.getAs[Double]("value"),
+            s"$key: consecutive intervals with unchanged value")
+        }
+        assert(ordered.last.getAs[Long]("valid_to_ms") === -1L,
+          s"$key: history must end open")
+        assert(ordered.init.forall(_.getAs[Long]("valid_to_ms") > 0))
+      }
+  }
+
   test("q85 reports zero drift when both windows hold the same distribution") {
     val tmp = Files.createTempDirectory("drift_fix").toString
     def nanos(date: String): Long =
