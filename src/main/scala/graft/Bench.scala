@@ -7,9 +7,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitioning is sized to the DATA, not the thread count:
+    // at bench scale (sf0.1) the largest shuffle moves a few MB, so the
+    // production ~128 MB/partition rule puts partitions in the single
+    // digits and every extra partition is pure task-scheduling floor.
+    // A/B at sf0.1/local[32]: 8 parts beat 32 on BOTH the light-query
+    // floor (-30 ms/query) and the heavy kernels (q54 2.2→1.8 s,
+    // q70 2.2→1.7 s, q80 1.9→1.7 s); full suite 48.1→42.5 s. At real
+    // scale this knob grows with shuffle bytes (SCALE.md) — override
+    // with SPARK_GRAFT_PARTS.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS",
+      math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // dev A/B knob; AQE ON measured FASTER even at bench scale (21.5s
