@@ -181,17 +181,26 @@ object DedupQueries {
     * for every doc pair sharing ≥ 1 rare shingle — the overlap triple
     * that Jaccard (q26/q54), containment (q71), and any other set
     * similarity are arithmetic over. */
-  private[operators] def pairStats(s: SparkSession, dir: String): DataFrame = {
+  /** Rare-shingle posting-list index: (s, ds = sorted doc ids). This is
+    * the kernel's storable intermediate — a production pipeline writes
+    * it to parquet between runs (the standing inverted index q84's
+    * incremental dedup reads); PostingIndexSpec proves a parquet
+    * round-trip of this frame reproduces the pair set byte-for-byte. */
+  private[operators] def postingIndex(s: SparkSession, dir: String): DataFrame = {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val grouped = shingles(s, dir)
+    shingles(s, dir)
       .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") <= 25)
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      // persisted for its two consumers (pair-gen scan, sizes broadcast
-      // build); the broadcast build materializes first and populates the
-      // cache, so no eager count is needed (unlike the self-join races
-      // in q25/q63 — both consumers there are concurrent scan stages)
-      .persist()
+  }
+
+  /** Pair kernel over a posting-list index frame (fresh or reloaded). */
+  private[operators] def pairStatsFrom(index: DataFrame): DataFrame = {
+    // persisted for its two consumers (pair-gen scan, sizes broadcast
+    // build); the broadcast build materializes first and populates the
+    // cache, so no eager count is needed (unlike the self-join races
+    // in q25/q63 — both consumers there are concurrent scan stages)
+    val grouped = index.persist()
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = grouped
@@ -204,6 +213,9 @@ object DedupQueries {
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
   }
+
+  private[operators] def pairStats(s: SparkSession, dir: String): DataFrame =
+    pairStatsFrom(postingIndex(s, dir))
 
   /** Jaccard scoring over a pairStats frame (reusable against a SHARED
     * materialization — see CorpusPipeline). */
@@ -431,12 +443,7 @@ object DedupQueries {
     * candidate work is bounded by the df cap the kernel already
     * enforces. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val grouped = shingles(s, dir)
-      .withColumn("df", count(lit(1)).over(byShingle))
-      .filter(col("df") <= 25)
-      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .persist()
+    val grouped = postingIndex(s, dir).persist()
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // batch-involving pairs only: (batch b, corpus c) ∪ (batch b, batch b' < b)
