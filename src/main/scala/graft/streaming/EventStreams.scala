@@ -156,6 +156,66 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Thread-safe collector for per-batch drift reports (test/demo
+    * stand-in for an alerting sink), batchId-idempotent like
+    * UpsertStore. */
+  final class DriftStore {
+    private val state =
+      scala.collection.mutable.Map[(Long, String), (Long, Long)]()
+    private val applied = scala.collection.mutable.Set[Long]()
+    def record(batchId: Long, rows: Seq[(String, Long, Long)]): Unit = synchronized {
+      if (!applied.add(batchId)) return
+      rows.foreach { case (t, drift, n) => state((batchId, t)) = (drift, n) }
+    }
+    def snapshot: Map[(Long, String), (Long, Long)] = synchronized(state.toMap)
+  }
+
+  /** Streaming form of q85's drift monitor: each micro-batch's per-type
+    * value histogram — bucketed with the STATIC reference bounds and
+    * milli-share-discretized with the same exact integer arithmetic —
+    * is compared against the reference shares, and the L2 drift lands
+    * in the store keyed by batchId. `ref` carries one row per
+    * (event_type, bucket): (event_type, lo, hi, bucket, pi); it is the
+    * persisted output of the batch q85's reference side, broadcast into
+    * every micro-batch (stream-static join — zero streaming state, the
+    * monitor itself is stateless). */
+  def startDriftMonitor(
+      events: DataFrame,
+      ref: DataFrame,
+      store: DriftStore,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val bounds = ref.select(col("event_type"), col("lo"), col("hi")).distinct()
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val counts = batch.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("bucket",
+            when(col("hi") === col("lo"), 0L)
+              .otherwise(greatest(least(
+                floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+                  .cast("long"),
+                lit(9L)), lit(0L))))
+          .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        val qShares = counts.join(tot, Seq("event_type"))
+          .select(col("event_type"), col("bucket"),
+            expr("(c * 1000000) div n").as("qi"))
+        val drift = ref.select(col("event_type"), col("bucket"), col("pi"))
+          .join(qShares, Seq("event_type", "bucket"), "full")
+          .select(col("event_type"),
+            coalesce(col("pi"), lit(0L)).as("pi"),
+            coalesce(col("qi"), lit(0L)).as("qi"))
+          .groupBy(col("event_type"))
+          .agg(sum((col("qi") - col("pi")) * (col("qi") - col("pi")))
+            .as("drift_l2_milli"))
+          .join(tot, Seq("event_type"))
+          .collect() // bounded: one row per event type per batch
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        store.record(id, drift.toSeq)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** Streaming form of q67's transition matrix: per-user LAST-EVENT

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Streaming drift monitor (q85's twin): per-micro-batch milli-share
+  * L2 against a static reference histogram. */
+class DriftMonitorSpec extends SparkSpec {
+
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("matching batch reports zero drift; a collapsed batch reports the exact L2") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // reference: uniform over 10 buckets on [0, 9] → pi = 100000 ppm each
+    val ref = (0L to 9L)
+      .map(b => ("click", 0.0, 9.0, b, 100000L))
+      .toDF("event_type", "lo", "hi", "bucket", "pi")
+    val store = new DriftStore
+    val input = MemoryStream[Event]
+    val query = startDriftMonitor(input.toDF(), ref, store,
+      Files.createTempDirectory("drift_ckpt").toString)
+    try {
+      // batch 0: one value per bucket — the reference distribution
+      input.addData((0 to 9).map(i => Event(i.toLong, ts(i), 1, "click", i.toDouble)))
+      query.processAllAvailable()
+      // batch 1: everything lands in the top bucket
+      input.addData((10 to 19).map(i => Event(i.toLong, ts(i), 1, "click", 9.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val snap = store.snapshot
+    assert(snap((0L, "click")) === ((0L, 10L)), "reference-shaped batch must show zero drift")
+    // nine buckets drop 100000 ppm each, bucket 9 gains 900000 ppm
+    val expected = 9L * 100000L * 100000L + 900000L * 900000L
+    assert(snap((1L, "click")) === ((expected, 10L)))
+  }
+}
