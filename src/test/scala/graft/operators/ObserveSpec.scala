@@ -23,7 +23,7 @@ class ObserveSpec extends SparkSpec {
     }
     val expectRows = docs.count()
     val expectShort = docs.filter(col("n_tok") < 30).count()
-    val expectTokens = docs.agg(sum(col("n_tok"))).head.getLong(0)
+    val expectTokens = docs.agg(sum(col("n_tok"))).head().getLong(0)
     assert(m("rows") === expectRows)
     assert(m("short_docs") === expectShort)
     assert(m("total_tokens") === expectTokens)
