@@ -286,11 +286,81 @@ object PipelineQueries {
        |             * 1e6 + 0.5) / 1e6 AS avg_chunk_len
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  private val PpsK = 50
+
+  // ---------------------------------------------------------------- q87
+  /** Weighted exact-k sampling by systematic PPS (Madow's method):
+    * docs are laid on a line in doc_id order, each occupying an
+    * interval equal to its token count; k equally-spaced probes at
+    * (j + ½)·W/k pick the doc under each probe. Selection probability
+    * is proportional to size, the draw count is EXACTLY k, and a doc
+    * longer than W/k can be drawn multiple times (`hits`). The whole
+    * selection is integer arithmetic — probe-under-doc is
+    * (2j+1)·W ≤ 2k·cum — so it is bit-identical across engines and
+    * layouts, unlike any real-valued exponential-clock sampler (A-ES
+    * needs ln/pow, which are not hash-portable; the q19/q57 md5
+    * samplers are the UNWEIGHTED siblings).
+    *
+    * Scale: what shuffles is (doc_id, token_count) — 16 bytes a row.
+    * The cumulative sum is one global window at this catalog's scale;
+    * a 100 TB run splits k across hash buckets exactly like q75's
+    * packing (per-bucket quotas, q57's shape) and keeps the same
+    * integer probe rule within each bucket. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    // a constant partition key is the global running sum without the
+    // single-partition-window log warning (the bucketed form is the
+    // scale path — see scaladoc)
+    val seq = Window.partitionBy(lit(0)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks.withColumn("cum", sum(col("tok")).over(seq))
+    val tot = cum.agg(max(col("cum")).as("w_tot"))
+    // probes-at-or-below a cumulative point: S(c) = #{j : (2j+1)·W ≤ 2k·c}
+    // — `div` (integer division), never `/` (double division on longs)
+    def probes(c: String): String =
+      s"CASE WHEN ${2 * PpsK} * $c - 1 - w_tot >= 0 " +
+        s"THEN (${2 * PpsK} * $c - 1 - w_tot) div (2 * w_tot) + 1 " +
+        "ELSE CAST(0 AS BIGINT) END"
+    cum.crossJoin(broadcast(tot))
+      .withColumn("hits", expr(s"${probes("cum")} - ${probes("(cum - tok)")}"))
+      .filter(col("hits") >= 1)
+      .select(col("doc_id"), col("tok"), col("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q87Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, tok,
+       |         CAST(sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |              AS BIGINT) AS cum
+       |  FROM t
+       |), w AS (SELECT max(cum) AS w_tot FROM c)
+       |SELECT doc_id, tok,
+       |       (CASE WHEN ${2 * PpsK} * cum - 1 - w_tot >= 0
+       |             THEN (${2 * PpsK} * cum - 1 - w_tot) // (2 * w_tot) + 1
+       |             ELSE 0 END
+       |        - CASE WHEN ${2 * PpsK} * (cum - tok) - 1 - w_tot >= 0
+       |               THEN (${2 * PpsK} * (cum - tok) - 1 - w_tot) // (2 * w_tot) + 1
+       |               ELSE 0 END) AS hits
+       |FROM c, w
+       |WHERE (CASE WHEN ${2 * PpsK} * cum - 1 - w_tot >= 0
+       |            THEN (${2 * PpsK} * cum - 1 - w_tot) // (2 * w_tot) + 1
+       |            ELSE 0 END
+       |       - CASE WHEN ${2 * PpsK} * (cum - tok) - 1 - w_tot >= 0
+       |              THEN (${2 * PpsK} * (cum - tok) - 1 - w_tot) // (2 * w_tot) + 1
+       |              ELSE 0 END) >= 1
+       |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
     QuerySpec("q77_tfidf_topk", Some(q77Sql), q77),
     QuerySpec("q78_dupgram_fraction", Some(q78Sql), q78),
     QuerySpec("q83_doc_chunking", Some(q83Sql), q83),
+    QuerySpec("q87_pps_sample", Some(q87Sql), q87),
   )
 }

@@ -134,6 +134,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length === expected.size)
   }
 
+  // ------------------------------------------------------------- q87
+  test("q87 draws exactly k with hits proportional to size") {
+    val rows = q("q87_pps_sample").collect()
+    assert(rows.map(_.getAs[Long]("hits")).sum === 50L, "systematic PPS is exact-k")
+    val w = Tables.documents(spark, dir)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    rows.foreach { r =>
+      val (tok, hits) = (r.getAs[Long]("tok"), r.getAs[Long]("hits"))
+      assert(hits >= 1)
+      // a doc spanning tok tokens can cover at most tok·k/W + 1 probes
+      assert(hits <= tok * 50L / w + 1, s"doc ${r.getAs[Long]("doc_id")} over-drawn")
+    }
+  }
+
   // ------------------------------------------------------------- q79
   test("q79 vote accounting: one prediction per query vector") {
     val rows = SimilarityQueries.specs.find(_.name == "q79_knn_label_vote").get
