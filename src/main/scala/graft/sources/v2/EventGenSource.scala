@@ -1,0 +1,115 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic synthetic `events`
+  * generator (`spark.read.format("graft.sources.v2.EventGenSource")
+  * .option("rows", n).option("parts", p)`). Exercises the full
+  * connector surface a production source needs — TableProvider →
+  * SupportsRead → ScanBuilder with COLUMN-PRUNING pushdown →
+  * planInputPartitions → per-partition readers — with zero I/O, so
+  * specs can pin the contract (schema, parallelism, pruned read
+  * schema, exact values) without a network or filesystem.
+  *
+  * Determinism: row i is a pure function of i (Weyl-hash value,
+  * modulo user/type), identical on any partitioning — the same
+  * layout-blindness rule every graft sampler follows. Scale: rows
+  * are generated partition-locally from [start, end) index ranges —
+  * the connector shape for any range-partitionable upstream (a REST
+  * API with offset paging, a keyspace scan, a queue with offsets). */
+class EventGenSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventGenSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EventGenTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+}
+
+object EventGenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val types: Array[String] = Array("click", "view", "purchase", "error", "search")
+
+  /** Row i as (event_id, user_id, event_type, value) — pure in i. */
+  def row(i: Long): (Long, Long, String, Double) = {
+    val u = (i * 2654435761L) % 4294967296L
+    (i, i % 97, types((i % types.length).toInt), (u % 100000L) / 1000.0)
+  }
+}
+
+private class EventGenTable(rows: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_event_gen($rows)"
+  override def schema(): StructType = EventGenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EventGenScanBuilder(rows, parts)
+}
+
+/** Column pruning reaches the generator: only requested fields are
+  * materialized per row (the V2 analogue of parquet ReadSchema). */
+private class EventGenScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = EventGenSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new EventGenScan(rows, parts, required)
+}
+
+private case class EventGenRange(start: Long, end: Long) extends InputPartition
+
+private class EventGenScan(rows: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val step = math.max(1L, (rows + parts - 1) / parts)
+    (0L until rows by step)
+      .map(s => EventGenRange(s, math.min(rows, s + step)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventGenReaderFactory(required)
+}
+
+private class EventGenReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[EventGenRange]
+    // resolve pruned-field positions once per partition, not per row
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow = {
+        val (id, user, tpe, value) = EventGenSource.row(i)
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "event_id" => id
+          case "user_id" => user
+          case "event_type" => UTF8String.fromString(tpe)
+          case "value" => value
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

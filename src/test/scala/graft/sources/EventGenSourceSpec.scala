@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 contract of graft.sources.v2.EventGenSource: schema,
+  * partition planning, column-pruning pushdown, and row determinism. */
+class EventGenSourceSpec extends SparkSpec {
+
+  private val Fmt = "graft.sources.v2.EventGenSource"
+
+  private def read(rows: Long, parts: Int) =
+    spark.read.format(Fmt)
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("produces exactly the requested rows across the requested partitions") {
+    val df = read(1000, 7)
+    assert(df.count() === 1000L)
+    assert(df.rdd.getNumPartitions === 7)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("event_id", "user_id", "event_type", "value"))
+  }
+
+  test("rows are the deterministic formula, independent of partitioning") {
+    val a = read(500, 3).collect().map(_.toSeq).toSet
+    val b = read(500, 11).collect().map(_.toSeq).toSet
+    assert(a === b, "layout must not change content")
+    val expect = (0L until 500L).map { i =>
+      val (id, u, t, v) = graft.sources.v2.EventGenSource.row(i)
+      Seq[Any](id, u, t, v)
+    }.toSet
+    assert(a === expect)
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val df = read(100, 2).select(col("event_type"))
+    val scanLine = df.queryExecution.executedPlan.toString.split("\n")
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("event_type") && !scanLine.contains("event_id"),
+      s"pruned scan must only carry the requested column: $scanLine")
+    assert(df.distinct().count() === 5L)
+  }
+
+  test("aggregations over the source match the formula") {
+    val got = read(1000, 4)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === 1000L)
+    assert(got === Map("click" -> 200L, "view" -> 200L, "purchase" -> 200L,
+      "error" -> 200L, "search" -> 200L))
+  }
+}
