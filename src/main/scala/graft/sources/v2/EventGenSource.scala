@@ -60,9 +60,10 @@ private class EventGenTable(rows: Long, parts: Int)
   override def name(): String = s"graft_event_gen($rows)"
   override def schema(): StructType = EventGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventGenScanBuilder(rows, parts)
+    new EventGenScanBuilder(rows, parts,
+      Option(options.get("batchRows")).map(_.toLong).getOrElse(100L))
 }
 
 /** Column pruning AND event_id-range filter pushdown reach the
@@ -71,7 +72,7 @@ private class EventGenTable(rows: Long, parts: Int)
   * analogue of parquet's ReadSchema + PushedFilters, except the
   * "skipped" rows are never produced at all (an offset-pageable
   * upstream would likewise turn them into a narrower page range). */
-private class EventGenScanBuilder(rows: Long, parts: Int)
+private class EventGenScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -109,16 +110,27 @@ private class EventGenScanBuilder(rows: Long, parts: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new EventGenScan(lo, math.max(lo, hi), parts, required)
+    new EventGenScan(lo, math.max(lo, hi), parts, required, batchRows)
 }
 
 private case class EventGenRange(start: Long, end: Long) extends InputPartition
 
-private class EventGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
+private class EventGenScan(
+    lo: Long, hi: Long, parts: Int, required: StructType, batchRows: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    EventGenScan.ranges(lo, hi, parts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventGenReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventGenMicroBatch(lo, hi, parts, required, batchRows)
+}
+
+private object EventGenScan {
+  def ranges(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val rows = hi - lo
     if (rows <= 0) return Array(EventGenRange(lo, lo))
     val step = math.max(1L, (rows + parts - 1) / parts)
@@ -126,8 +138,45 @@ private class EventGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
       .map(s => EventGenRange(s, math.min(hi, s + step)): InputPartition)
       .toArray
   }
+}
+
+/** Offset = the next unread row index, serialized as its decimal
+  * string — enough for exactly-once restart: the checkpoint's end
+  * offset IS the next batch's start. */
+private case class EventGenOffset(index: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = index.toString
+}
+
+/** Micro-batch form of the same generator: admission control advances
+  * the offset by at most `batchRows` per trigger until the row cap —
+  * the offset/plan/commit lifecycle of any replayable streaming source
+  * (Kafka-style), minus the broker. Determinism means a replayed range
+  * reproduces its rows exactly, which is what makes checkpoint
+  * recovery exactly-once. */
+private class EventGenMicroBatch(
+    lo: Long, hi: Long, parts: Int, required: StructType, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = EventGenOffset(lo)
+  override def latestOffset(): Offset = EventGenOffset(hi)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    EventGenOffset(
+      math.min(hi, start.asInstanceOf[EventGenOffset].index + batchRows))
+  override def reportLatestOffset(): Offset = EventGenOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    EventGenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventGenOffset].index
+    val e = end.asInstanceOf[EventGenOffset].index
+    EventGenScan.ranges(s, math.max(s, e), parts)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new EventGenReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private class EventGenReaderFactory(required: StructType)

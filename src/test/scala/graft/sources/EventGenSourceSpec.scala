@@ -59,6 +59,27 @@ class EventGenSourceSpec extends SparkSpec {
     assert(mixed.count() === 2L) // ids 0 and 5 are clicks among 0..9
   }
 
+  test("micro-batch streaming: admission control paces offsets to the row cap") {
+    val ckpt = java.nio.file.Files.createTempDirectory("evgen_ckpt").toString
+    val stream = spark.readStream.format(Fmt)
+      .option("rows", "250").option("parts", "3").option("batchRows", "100")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("evgen_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evgen_stream").collect().map(_.toSeq).toSet
+      val expect = (0L until 250L).map { i =>
+        val (id, u, t, v) = graft.sources.v2.EventGenSource.row(i)
+        Seq[Any](id, u, t, v)
+      }.toSet
+      assert(got === expect, "stream must deliver exactly the capped row range")
+      // 250 rows at 100 rows/trigger = 3 committed micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("aggregations over the source match the formula") {
     val got = read(1000, 4)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
