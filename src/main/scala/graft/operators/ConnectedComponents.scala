@@ -103,10 +103,17 @@ object ConnectedComponents {
     // partially propagated — silently returning them would hand the
     // caller WRONG components (a chain longer than maxRounds hops).
     // Fail loudly; callers with adversarially deep graphs should raise
-    // maxRounds or use the O(log n) star-contraction variant.
-    require(curSum == prevSum,
-      s"ConnectedComponents did not converge in $maxRounds rounds " +
-        s"(graph diameter exceeds maxRounds); raise maxRounds")
+    // maxRounds or use the O(log n) star-contraction variant. The throw
+    // path must release the persists too: auto()'s fallback and any spec
+    // intercepting the throw would otherwise leak block-manager entries
+    // (clearCache cannot release raw RDD persists).
+    if (curSum != prevSum) {
+      sym.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: ConnectedComponents did not converge in $maxRounds rounds " +
+          s"(graph diameter exceeds maxRounds); raise maxRounds")
+    }
     // Materialize into the SQL cache and release the RDD persists before
     // returning: callers' cache hygiene is spark.catalog.clearCache(),
     // which clears SQL-cached DataFrames but NOT raw RDD persists — a
@@ -221,8 +228,11 @@ object ConnectedComponents {
       rounds += 1
       dbg(s"stars round $rounds edges=${curSum._1}")
     }
-    require(curSum == prevSum,
-      s"star-contraction did not converge in $maxRounds rounds")
+    if (curSum != prevSum) {
+      cur.unpersist(blocking = false) // same throw-path hygiene as run()
+      throw new IllegalArgumentException(
+        s"requirement failed: star-contraction did not converge in $maxRounds rounds")
+    }
     // fixpoint edges are (leaf, root) stars — roots never appear on the
     // hi side, so they self-label explicitly; isolated nodes join at
     // the end like run()

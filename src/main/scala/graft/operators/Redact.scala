@@ -41,14 +41,23 @@ object Redact {
 
   /** Adds `redacted` (scrubbed text) plus `n_emails`/`n_phones`/`n_ips`
     * per-row counts. Order matters: emails first, so the address's
-    * domain can't be re-matched as a phone/IP fragment afterwards. */
+    * domain can't be re-matched as a phone/IP fragment afterwards.
+    *
+    * Counts and replacements advance together over the SAME
+    * progressively-scrubbed expression, so `n_<cat>` is exactly the
+    * number of `<CAT>` tags inserted: a phone/IP-shaped span inside an
+    * earlier email match (e.g. the `555-123-4567` local part of an
+    * address) is already `<EMAIL>` by the time phones/ips are counted,
+    * and never inflates the Observe-driven removal tallies. Still one
+    * projection pass — the chained regexes are shared subexpressions of
+    * a single codegen'd project. */
   def scrub(df: DataFrame, textCol: String): DataFrame = {
-    val counted = patterns.foldLeft(df) { case (d, (name, re, _)) =>
-      d.withColumn(s"n_$name", countMatches(col(textCol), re))
-    }
-    val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (_, re, tag)) =>
-      regexp_replace(c, re, tag)
-    }
-    counted.withColumn("redacted", scrubbed)
+    val (counts, scrubbed) =
+      patterns.foldLeft((Seq.empty[(String, Column)], col(textCol))) {
+        case ((acc, c), (name, re, tag)) =>
+          (acc :+ (s"n_$name" -> countMatches(c, re)), regexp_replace(c, re, tag))
+      }
+    counts.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("redacted", scrubbed)
   }
 }

@@ -86,13 +86,26 @@ private class EventGenScanBuilder(rows: Long, parts: Int, batchRows: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Only INTEGRAL comparison values are accepted: a fractional bound
+  // (e.g. LessThan(event_id, 4.5)) truncated via longValue would
+  // silently change semantics (hi=4 wrongly excludes id 4), and once a
+  // filter is reported as pushed Spark does NOT re-apply it. Spark's
+  // UnwrapCastInBinaryComparison usually rewrites such comparisons
+  // before they reach the connector, but the contract shouldn't rely on
+  // that — fractional values stay in the rejected (residual) set.
+  private def integral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("event_id", _: Number) => true
-      case GreaterThanOrEqual("event_id", _: Number) => true
-      case LessThan("event_id", _: Number) => true
-      case LessThanOrEqual("event_id", _: Number) => true
-      case EqualTo("event_id", _: Number) => true
+      case GreaterThan("event_id", v) => integral(v)
+      case GreaterThanOrEqual("event_id", v) => integral(v)
+      case LessThan("event_id", v) => integral(v)
+      case LessThanOrEqual("event_id", v) => integral(v)
+      case EqualTo("event_id", v) => integral(v)
       case _ => false
     }
     accepted.foreach {

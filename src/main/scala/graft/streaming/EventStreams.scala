@@ -184,12 +184,29 @@ object EventStreams {
       ref: DataFrame,
       store: DriftStore,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val bounds = ref.select(col("event_type"), col("lo"), col("hi")).distinct()
+    // Collect-and-rebroadcast the reference ONCE at start: one row per
+    // (event_type, bucket) — bounded — re-materialized per batch as a
+    // LocalRelation, so the reference pipeline is never re-evaluated
+    // inside the micro-batch loop (and needs no persist to unpersist on
+    // stream stop).
+    val refSel = ref.select(col("event_type"), col("lo"), col("hi"),
+      col("bucket"), col("pi"))
+    val refSchema = refSel.schema
+    val refLocal = refSel.collect().toSeq // bounded: |types| × ≤10 buckets
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val counts = batch.join(broadcast(bounds), Seq("event_type"))
+        val s = batch.sparkSession
+        val refB = s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(refLocal).asJava, refSchema)
+        val bounds = refB.select(col("event_type"), col("lo"), col("hi")).distinct()
+        // LEFT join: an event type absent from the reference histogram
+        // (a brand-new type — the loudest drift signal there is) must
+        // not vanish in an inner join. Its rows land in bucket 0 with
+        // no reference mass, so its drift is the maximum 10^12 (all
+        // 10^6 milli-share in buckets where pi = 0).
+        val counts = batch.join(broadcast(bounds), Seq("event_type"), "left")
           .withColumn("bucket",
-            when(col("hi") === col("lo"), 0L)
+            when(col("lo").isNull || col("hi") === col("lo"), 0L)
               .otherwise(greatest(least(
                 floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
                   .cast("long"),
@@ -199,7 +216,7 @@ object EventStreams {
         val qShares = counts.join(tot, Seq("event_type"))
           .select(col("event_type"), col("bucket"),
             expr("(c * 1000000) div n").as("qi"))
-        val drift = ref.select(col("event_type"), col("bucket"), col("pi"))
+        val drift = refB.select(col("event_type"), col("bucket"), col("pi"))
           .join(qShares, Seq("event_type", "bucket"), "full")
           .select(col("event_type"),
             coalesce(col("pi"), lit(0L)).as("pi"),

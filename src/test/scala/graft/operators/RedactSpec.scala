@@ -42,6 +42,15 @@ class RedactSpec extends SparkSpec {
     assert(m("ips") === 2L)
   }
 
+  test("counts equal inserted placeholders when spans overlap categories") {
+    // phone-shaped local part and IP-shaped fragment are consumed by the
+    // email match first — they must NOT inflate n_phones/n_ips, because
+    // Observe-driven removal tallies count tags actually inserted.
+    val (red, e, p, i) = one("ping 555-123-4567@ex.com or 10.0.0.1@ex.com ok")
+    assert(red === "ping <EMAIL> or <EMAIL> ok")
+    assert((e, p, i) === (2L, 0L, 0L))
+  }
+
   test("redacted text is stable under a second scrub (idempotent)") {
     val once = Redact.scrub(Seq("x a@b.co 1.2.3.4").toDF("text"), "text")
       .select($"redacted".as("text"))

@@ -44,10 +44,15 @@ class StarContractionSpec extends SparkSpec {
     val n = 300L // diameter 300 ≫ min-label's default 20-round cap
     val nodes = nodesDf(0L until n)
     val edges = edgesDf((0L until n - 1).map(i => (i, i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.size
     val ex = intercept[IllegalArgumentException] {
       ConnectedComponents.run(nodes, edges).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+    // the throw path must release the edge + label persists — clearCache
+    // cannot, so a leak here would survive every auto() fallback
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "non-convergence throw leaked persisted RDDs")
     val got = labels(ConnectedComponents.runStars(nodes, edges))
     assert(got.size === n)
     assert(got.values.forall(_ === 0L), "every chain node must label to 0")

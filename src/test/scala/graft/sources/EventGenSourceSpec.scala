@@ -59,6 +59,31 @@ class EventGenSourceSpec extends SparkSpec {
     assert(mixed.count() === 2L) // ids 0 and 5 are clicks among 0..9
   }
 
+  test("fractional event_id bounds stay residual, never truncated-pushed") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, LessThan}
+    // Drive the ScanBuilder contract directly: DataFrame-level fractional
+    // comparisons are usually rewritten by UnwrapCastInBinaryComparison
+    // before the connector sees them, so exercise pushFilters itself.
+    val cls = Class.forName("graft.sources.v2.EventGenScanBuilder")
+    val ctor = cls.getDeclaredConstructors.head
+    ctor.setAccessible(true)
+    val sb = ctor.newInstance(
+      java.lang.Long.valueOf(1000L), Integer.valueOf(4),
+      java.lang.Long.valueOf(100L))
+    val push = cls.getMethod("pushFilters", classOf[Array[Filter]])
+    val filters: Array[Filter] =
+      Array(LessThan("event_id", java.lang.Double.valueOf(4.5)),
+        EqualTo("event_id", java.lang.Long.valueOf(7L)))
+    val rejected = push.invoke(sb, filters).asInstanceOf[Array[Filter]]
+    // the fractional bound must come back as residual (truncating it to
+    // hi=4 would wrongly exclude id 4 once reported as pushed)...
+    assert(rejected.toSeq === Seq(LessThan("event_id", java.lang.Double.valueOf(4.5))))
+    // ...while the integral one is accepted
+    val pushedM = cls.getMethod("pushedFilters")
+    assert(pushedM.invoke(sb).asInstanceOf[Array[Filter]].toSeq ===
+      Seq(EqualTo("event_id", java.lang.Long.valueOf(7L))))
+  }
+
   test("micro-batch streaming: admission control paces offsets to the row cap") {
     val ckpt = java.nio.file.Files.createTempDirectory("evgen_ckpt").toString
     val stream = spark.readStream.format(Fmt)

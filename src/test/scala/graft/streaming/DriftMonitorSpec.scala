@@ -40,4 +40,26 @@ class DriftMonitorSpec extends SparkSpec {
     val expected = 9L * 100000L * 100000L + 900000L * 900000L
     assert(snap((1L, "click")) === ((expected, 10L)))
   }
+
+  test("a type absent from the reference is surfaced at maximum drift, not dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ref = (0L to 9L)
+      .map(b => ("click", 0.0, 9.0, b, 100000L))
+      .toDF("event_type", "lo", "hi", "bucket", "pi")
+    val store = new DriftStore
+    val input = MemoryStream[Event]
+    val query = startDriftMonitor(input.toDF(), ref, store,
+      Files.createTempDirectory("drift_ckpt2").toString)
+    try {
+      // a brand-new event type the reference has never seen — the
+      // loudest drift signal; the old inner join made it invisible
+      input.addData((0 to 4).map(i => Event(i.toLong, ts(i), 1, "scroll", i.toDouble)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val snap = store.snapshot
+    // all 10^6 milli-share sits in buckets where pi = 0 → drift 10^12
+    assert(snap((0L, "scroll")) === ((1000000L * 1000000L, 5L)))
+  }
 }
