@@ -287,73 +287,102 @@ object PipelineQueries {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   private val PpsK = 50
+  private val PpsBuckets = 8
 
   // ---------------------------------------------------------------- q87
-  /** Weighted exact-k sampling by systematic PPS (Madow's method):
-    * docs are laid on a line in doc_id order, each occupying an
-    * interval equal to its token count; k equally-spaced probes at
-    * (j + ½)·W/k pick the doc under each probe. Selection probability
-    * is proportional to size, the draw count is EXACTLY k, and a doc
-    * longer than W/k can be drawn multiple times (`hits`). The whole
-    * selection is integer arithmetic — probe-under-doc is
-    * (2j+1)·W ≤ 2k·cum — so it is bit-identical across engines and
-    * layouts, unlike any real-valued exponential-clock sampler (A-ES
-    * needs ln/pow, which are not hash-portable; the q19/q57 md5
-    * samplers are the UNWEIGHTED siblings).
+  /** Weighted exact-k sampling by BUCKETED systematic PPS (Madow's
+    * method): docs occupy intervals equal to their token counts on a
+    * line; k equally-spaced probes at (j + ½)·W/k pick the doc under
+    * each probe. Selection probability is proportional to size, the
+    * draw count is EXACTLY k, and a doc longer than its bucket's probe
+    * stride can be drawn multiple times (`hits`). All selection is
+    * integer arithmetic — probe-under-doc is (2j+1)·W ≤ 2k·cum — so it
+    * is bit-identical across engines and layouts, unlike any
+    * real-valued exponential-clock sampler (A-ES needs ln/pow, which
+    * are not hash-portable; the q19/q57 md5 samplers are the
+    * UNWEIGHTED siblings).
     *
-    * Scale: what shuffles is (doc_id, token_count) — 16 bytes a row.
-    * The cumulative sum is one global window at this catalog's scale;
-    * a 100 TB run splits k across hash buckets exactly like q75's
-    * packing (per-bucket quotas, q57's shape) and keeps the same
-    * integer probe rule within each bucket. */
+    * The probe rule is applied at TWO levels so no global window ever
+    * exists in the plan:
+    *  1. bucket quotas — buckets (doc_id % B) laid on the line in
+    *     bucket order get k_b = S(bcum) − S(bcum − w_b) probes each,
+    *     Σ k_b = k exactly because the allocation is itself systematic
+    *     PPS over bucket masses. The B-row cumulative mass is a
+    *     triangular B×B broadcast self-join, not a window.
+    *  2. within-bucket draws — the identical rule with (k_b, w_b) over
+    *     the bucket's own running sum, a window PARTITIONED BY bucket
+    *     (q75's shape: parallel across buckets, ~1/B of the rows each).
+    *
+    * Scale: what shuffles is (doc_id, token_count) — 16 bytes a row —
+    * hash-partitioned across B-at-100TB = O(cluster) buckets; there is
+    * no single-reducer stage anywhere (PipelinePlanShapeSpec pins the
+    * absence of an unpartitioned WindowExec). */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-    // a constant partition key is the global running sum without the
-    // single-partition-window log warning (the bucketed form is the
-    // scale path — see scaladoc)
-    val seq = Window.partitionBy(lit(0)).orderBy(col("doc_id"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"),
+        (col("doc_id") % PpsBuckets).as("bucket"))
+    val perBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = toks.withColumn("cum", sum(col("tok")).over(seq))
-    val tot = cum.agg(max(col("cum")).as("w_tot"))
+    val cum = toks.withColumn("cum", sum(col("tok")).over(perBucket))
+    val bt = toks.groupBy(col("bucket")).agg(sum(col("tok")).as("w_b"))
+    // bucket-level cumulative mass: B² = 64-row triangular broadcast
+    // self-join — deliberately not a window
+    val bc = bt.join(
+        broadcast(bt.select(col("bucket").as("b2"), col("w_b").as("w2"))),
+        col("b2") <= col("bucket"))
+      .groupBy(col("bucket"), col("w_b")).agg(sum(col("w2")).as("bcum"))
+    val tot = bt.agg(sum(col("w_b")).as("w_tot"))
     // probes-at-or-below a cumulative point: S(c) = #{j : (2j+1)·W ≤ 2k·c}
     // — `div` (integer division), never `/` (double division on longs)
-    def probes(c: String): String =
-      s"CASE WHEN ${2 * PpsK} * $c - 1 - w_tot >= 0 " +
-        s"THEN (${2 * PpsK} * $c - 1 - w_tot) div (2 * w_tot) + 1 " +
+    def probes(k: String, w: String)(c: String): String =
+      s"CASE WHEN 2 * $k * $c - 1 - $w >= 0 " +
+        s"THEN (2 * $k * $c - 1 - $w) div (2 * $w) + 1 " +
         "ELSE CAST(0 AS BIGINT) END"
-    cum.crossJoin(broadcast(tot))
-      .withColumn("hits", expr(s"${probes("cum")} - ${probes("(cum - tok)")}"))
+    val pTot = probes(PpsK.toString, "w_tot") _
+    val quotas = bc.crossJoin(broadcast(tot))
+      .withColumn("k_b", expr(s"${pTot("bcum")} - ${pTot("(bcum - w_b)")}"))
+      .select(col("bucket"), col("w_b"), col("k_b"))
+    val pB = probes("k_b", "w_b") _
+    cum.join(broadcast(quotas), Seq("bucket"))
+      .withColumn("hits", expr(s"${pB("cum")} - ${pB("(cum - tok)")}"))
       .filter(col("hits") >= 1)
       .select(col("doc_id"), col("tok"), col("hits"))
       .orderBy(col("doc_id"))
   }
 
-  private val q87Sql =
+  private val q87Sql = {
+    def probes(k: String, w: String)(c: String): String =
+      s"CASE WHEN 2 * $k * $c - 1 - $w >= 0 " +
+        s"THEN (2 * $k * $c - 1 - $w) // (2 * $w) + 1 " +
+        "ELSE 0 END"
+    val pTot = probes(PpsK.toString, "w_tot") _
+    val pB = probes("k_b", "w_b") _
+    val hits = s"(${pB("cum")} - ${pB("(cum - tok)")})"
     s"""WITH t AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+       |         doc_id % $PpsBuckets AS bucket
        |  FROM documents
        |), c AS (
-       |  SELECT doc_id, tok,
-       |         CAST(sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-       |              AS BIGINT) AS cum
+       |  SELECT doc_id, tok, bucket,
+       |         CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM t
-       |), w AS (SELECT max(cum) AS w_tot FROM c)
-       |SELECT doc_id, tok,
-       |       (CASE WHEN ${2 * PpsK} * cum - 1 - w_tot >= 0
-       |             THEN (${2 * PpsK} * cum - 1 - w_tot) // (2 * w_tot) + 1
-       |             ELSE 0 END
-       |        - CASE WHEN ${2 * PpsK} * (cum - tok) - 1 - w_tot >= 0
-       |               THEN (${2 * PpsK} * (cum - tok) - 1 - w_tot) // (2 * w_tot) + 1
-       |               ELSE 0 END) AS hits
-       |FROM c, w
-       |WHERE (CASE WHEN ${2 * PpsK} * cum - 1 - w_tot >= 0
-       |            THEN (${2 * PpsK} * cum - 1 - w_tot) // (2 * w_tot) + 1
-       |            ELSE 0 END
-       |       - CASE WHEN ${2 * PpsK} * (cum - tok) - 1 - w_tot >= 0
-       |              THEN (${2 * PpsK} * (cum - tok) - 1 - w_tot) // (2 * w_tot) + 1
-       |              ELSE 0 END) >= 1
-       |ORDER BY doc_id""".stripMargin
+       |), bt AS (
+       |  SELECT bucket, CAST(sum(tok) AS BIGINT) AS w_b FROM t GROUP BY bucket
+       |), bc AS (
+       |  SELECT a.bucket, a.w_b, CAST(sum(b.w_b) AS BIGINT) AS bcum
+       |  FROM bt a JOIN bt b ON b.bucket <= a.bucket GROUP BY a.bucket, a.w_b
+       |), w AS (SELECT CAST(sum(w_b) AS BIGINT) AS w_tot FROM bt
+       |), kq AS (
+       |  SELECT bucket, w_b,
+       |         (${pTot("bcum")} - ${pTot("(bcum - w_b)")}) AS k_b
+       |  FROM bc, w
+       |)
+       |SELECT doc_id, tok, hits FROM (
+       |  SELECT c.doc_id, c.tok, $hits AS hits
+       |  FROM c JOIN kq USING (bucket)
+       |) WHERE hits >= 1 ORDER BY doc_id""".stripMargin
+  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),

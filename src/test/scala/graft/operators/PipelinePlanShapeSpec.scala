@@ -62,6 +62,24 @@ class PipelinePlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate"), "chunk starts must come from a sequence explode")
   }
 
+  test("q87 bucketed pps: every window is partitioned — no global running sum") {
+    val p = finalPlan("q87_pps_sample")
+    // WindowExec prints "Window [exprs], [partitionSpec], [orderSpec]"
+    // when partitioned and drops the middle group when it is not — an
+    // unpartitioned window is the single-reducer sort the bucketed
+    // design exists to avoid (it also fires the "No Partition Defined"
+    // WindowExec warning at runtime)
+    val winLines = p.split("\n").filter(_.contains("Window ["))
+    assert(winLines.nonEmpty, s"within-bucket running sum must be a window:\n$p")
+    winLines.foreach { l =>
+      assert(l.split("\\], \\[").length >= 3,
+        s"unpartitioned window (global running sum) in the plan:\n$l")
+    }
+    // bucket quotas reach the docs by broadcast; the triangular B×B
+    // mass join is a broadcast nested-loop over 8 rows, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$p")
+  }
+
   test("q82 join-size estimate never materializes the joins it predicts") {
     val p = finalPlan("q82_join_size_estimate")
     // count-table equi-joins and the 1-row heavy-hitter broadcast are
