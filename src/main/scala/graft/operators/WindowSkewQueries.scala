@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,26 +10,110 @@ import org.apache.spark.sql.functions._
 object WindowSkewQueries {
 
   // ---------------------------------------------------------------- q43
-  /** Exact interpolated percentiles (OLAP staple; Spark `percentile` and
-    * DuckDB `quantile_cont` both interpolate at rank p·(n−1)). The
-    * approximate-sketch variant for 100 TB is `approx_percentile` —
-    * registered as q53 below with a rank-error-contract oracle. */
-  private def q43(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      // ONE array-percentile call per column: each scalar percentile()
-      // maintains its own per-group value buffer, so asking for three
-      // quantiles of l_quantity separately would buffer (and merge) the
-      // column three times
-      .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("qs"),
-        expr("percentile(l_extendedprice, 0.5)").as("mp"))
-      .select(col("l_returnflag"),
-        Det.rate(col("qs")(0)).as("p25"),
-        Det.rate(col("qs")(1)).as("p50"),
-        Det.rate(col("qs")(2)).as("p90"),
+  /** Exact interpolated percentiles (OLAP staple; both engines
+    * interpolate at rank p·(n−1)) — BUCKETED TWO-PASS selection, never
+    * buffering raw values per group:
+    *
+    *  - pass A shuffles only coarse (group, col, bucket) counts; a
+    *    cumulative count over that tiny table gives each bucket its
+    *    global rank interval [c_start, c_end) and locates, per target
+    *    rank klo = ⌊p(n−1)⌋ / khi = ⌈·⌉, the bucket containing it;
+    *  - pass B re-scans, keeps only rows inside a chosen bucket (a
+    *    ~1/|buckets| sliver), sorts within (group, col, bucket), and
+    *    lifts local row numbers by c_start to global ranks — the rows
+    *    at klo/khi ARE the bracketing values, and
+    *    v_lo + (r−klo)·(v_hi−v_lo) is the interpolation both engines
+    *    define.
+    *
+    * Scale: the old `percentile()` form buffered every raw value in one
+    * task per group (~2·10⁹ values/group at 100×). Here nothing ever
+    * holds more than one bucket's rows (~n/|buckets|; recurse the same
+    * two passes inside a pathological bucket if a skewed domain needs
+    * it), and the only full-data work is two codegen'd scans. For
+    * one-pass streaming percentiles the sketch path is q53. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    // Pass A — coarse bucket counts: both measure columns unpivot into
+    // (g, c, bucket) rows and ONLY bucket counts shuffle (map-side
+    // combine collapses each partition to its distinct buckets — a few
+    // hundred rows total). A cumulative count over the tiny bucket
+    // table locates, for each target rank, the bucket that contains it
+    // and that bucket's starting global rank.
+    def unpivoted(width: Double) = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        explode(array(
+          struct(lit("q").as("c"), col("l_quantity").cast("double").as("v")),
+          struct(lit("m").as("c"), col("l_extendedprice").cast("double").as("v"))))
+          .as("e"))
+      .select(col("g"), col("e.c").as("c"), col("e.v").as("v"),
+        // qty is a ~50-value integer domain → unit buckets; price
+        // spans ~[900, 105k] → ~100 buckets of 1000
+        when(col("e.c") === "q", col("e.v"))
+          .otherwise(floor(col("e.v") / width)).cast("long").as("bk"))
+    val W = 1000.0
+    val part = Window.partitionBy(col("g"), col("c"))
+    val buckets = unpivoted(W).groupBy(col("g"), col("c"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("c_end", sum(col("cnt")).over(part.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("c_start", col("c_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(part))
+    def covers(k: Column) = k >= col("c_start") && k < col("c_end")
+    val chosen = buckets
+      .select(col("g"), col("c"), col("bk"), col("c_start"), col("c_end"), col("n"),
+        explode(typedLit(Seq(0.25, 0.5, 0.9))).as("p"))
+      .filter(col("c") === "q" || col("p") === 0.5) // price: median only
+      .withColumn("r", col("p") * (col("n") - 1))
+      .withColumn("klo", floor(col("r")).cast("long"))
+      .withColumn("khi", ceil(col("r")).cast("long"))
+      .filter(covers(col("klo")) || covers(col("khi")))
+    // qty's unit buckets mean pass A already holds its values
+    // (bk == v), so the quantity percentiles come straight off the
+    // chosen buckets with no second scan
+    val qtyBracket = chosen.filter(col("c") === "q")
+      .groupBy(col("g"), col("c"), col("p"), col("r"), col("klo"))
+      .agg(max(when(covers(col("klo")), col("bk").cast("double"))).as("vlo"),
+        max(when(covers(col("khi")), col("bk").cast("double"))).as("vhi"))
+    // Pass B (price only) — re-scan, keep only rows inside a chosen
+    // bucket (a ~1/|buckets| sliver), and number them within (g, bk):
+    // the bucket's c_start lifts the local row number to the global
+    // rank, so the two bracketing values select directly. Ties share
+    // v, so row_number nondeterminism among equal values is harmless.
+    val priceRows = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), lit("m").as("c"),
+        col("l_extendedprice").cast("double").as("v"))
+      .withColumn("bk", floor(col("v") / W).cast("long"))
+    val slivers = priceRows.join(
+        broadcast(chosen.filter(col("c") === "m")
+          .select(col("g"), col("c"), col("bk"), col("c_start")).distinct()),
+        Seq("g", "c", "bk"))
+      .withColumn("idx",
+        col("c_start") - 1 + row_number().over(
+          Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))))
+    val probes = chosen.filter(col("c") === "m")
+      .select(col("g").as("pg"), col("p"), col("r"), col("klo"), col("khi"))
+      .distinct() // a probe can appear once per covering bucket
+    val priceBracket = slivers.join(broadcast(probes),
+        col("g") === col("pg") &&
+          (col("idx") === col("klo") || col("idx") === col("khi")))
+      .groupBy(col("g"), col("c"), col("p"), col("r"), col("klo"))
+      .agg(max(when(col("idx") === col("klo"), col("v"))).as("vlo"),
+        max(when(col("idx") === col("khi"), col("v"))).as("vhi"))
+    val bracket = qtyBracket.unionByName(priceBracket)
+      .select(col("g"), col("c"), col("p"),
+        (col("vlo") + (col("r") - col("klo")) * (col("vhi") - col("vlo")))
+          .as("value"))
+    def pick(c: String, p: Double) =
+      max(when(col("c") === c && col("p") === p, col("value")))
+    bracket.groupBy(col("g"))
+      .agg(pick("q", 0.25).as("q25"), pick("q", 0.5).as("q50"),
+        pick("q", 0.9).as("q90"), pick("m", 0.5).as("mp"))
+      .select(col("g").as("l_returnflag"),
+        Det.rate(col("q25")).as("p25"),
+        Det.rate(col("q50")).as("p50"),
+        Det.rate(col("q90")).as("p90"),
         Det.money(col("mp")).as("median_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q43Sql =
     """SELECT l_returnflag,
