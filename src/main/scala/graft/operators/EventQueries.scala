@@ -463,6 +463,122 @@ object EventQueries {
       |FROM ch
       |ORDER BY user_id, event_type, valid_from_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Population-Stability-Index drift between the q85 windows — the
+    * "real PSI" companion to q85's ln-free L2. PSI = Σ_bins
+    * (qᵢ−pᵢ)·ln(qᵢ/pᵢ) needs a logarithm, and transcendentals are
+    * banned from hashed output (different engines round the last ulp
+    * differently), so the ln is a FIXED LOOKUP over ratio classes:
+    * the smoothed ppm-share ratio r = (qᵢ+1)/(pᵢ+1) falls into one of
+    * nine classes with exact rational boundaries (1/4, 1/2, 3/4, 9/10,
+    * 11/10, 4/3, 2, 4 — all tested with cross-multiplied 64-bit integer
+    * compares), and each class carries a hard-coded weight: ln of the
+    * class's geometric midpoint in milli-nats, precomputed once into
+    * the spec (−2079 = ⌊1000·ln(1/8)⌉, −1040 = ⌊1000·ln(1/(2√2))⌉,
+    * −490, −197, 0, 191, 490, 1040, 2079 = ⌊1000·ln 8⌉). Signs agree
+    * with true PSI (qᵢ>pᵢ ⟺ weight ≥ 0), so every term is ≥ 0 and
+    * `psi_scaled` = Σ(qᵢ−pᵢ)·w is PSI × 10⁹ up to the class
+    * quantization — deterministic 64-bit integer arithmetic end to end.
+    * The classic "investigate" rule PSI > 0.2 becomes
+    * psi_scaled > 200 000 000.
+    *
+    * Scale: identical plan shape to q85 — broadcast bin bounds,
+    * scan-side bucketing, ≤ 20·|types| rows after the first agg. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), (col("ts") >= split).as("is_cur"))
+    val rng = ev.filter(!col("is_cur")).groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucketed = ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(greatest(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+              .cast("long"),
+            lit(9L)), lit(0L))))
+    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("event_type"), col("is_cur"))
+      .agg(sum(col("c")).as("n"))
+    val milli = counts.join(tot, Seq("event_type", "is_cur"))
+      .select(col("event_type"), col("is_cur"), col("bucket"),
+        expr("(c * 1000000) div n").as("mshare"))
+    val p = milli.filter(!col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("pi"))
+    val q = milli.filter(col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("qi"))
+    // a = smoothed current share, b = smoothed reference share (ppm + 1);
+    // the ratio-class CASE is the fixed ln lookup described above.
+    val joined = p.join(q, Seq("event_type", "bucket"), "full")
+      .select(col("event_type"),
+        (coalesce(col("qi"), lit(0L)) + 1L).as("a"),
+        (coalesce(col("pi"), lit(0L)) + 1L).as("b"))
+    val w =
+      when(col("a") * 4 < col("b"), -2079L)
+        .when(col("a") * 2 < col("b"), -1040L)
+        .when(col("a") * 4 < col("b") * 3, -490L)
+        .when(col("a") * 10 < col("b") * 9, -197L)
+        .when(col("a") * 10 < col("b") * 11, 0L)
+        .when(col("a") * 3 < col("b") * 4, 191L)
+        .when(col("a") < col("b") * 2, 490L)
+        .when(col("a") < col("b") * 4, 1040L)
+        .otherwise(2079L)
+    joined
+      .groupBy(col("event_type"))
+      .agg(sum((col("a") - col("b")) * w).as("psi_scaled"))
+      .withColumn("drifted", col("psi_scaled") > 200000000L)
+      .orderBy(col("event_type"))
+  }
+
+  private val q88Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
+      |  FROM events
+      |), rng AS (
+      |  SELECT event_type, min(value) AS lo, max(value) AS hi
+      |  FROM ev WHERE NOT is_cur GROUP BY 1
+      |), b AS (
+      |  SELECT e.event_type, e.is_cur,
+      |         CASE WHEN r.hi = r.lo THEN 0
+      |              ELSE greatest(least(CAST(floor((e.value - r.lo)
+      |                     / ((r.hi - r.lo) / 10)) AS BIGINT), 9), 0)
+      |         END AS bucket
+      |  FROM ev e JOIN rng r ON e.event_type = r.event_type
+      |), c AS (
+      |  SELECT event_type, is_cur, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT event_type, is_cur, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1, 2
+      |), m AS (
+      |  SELECT c.event_type, c.is_cur, c.bucket,
+      |         CAST((c.c * 1000000) // t.n AS BIGINT) AS mshare
+      |  FROM c JOIN t ON c.event_type = t.event_type AND c.is_cur = t.is_cur
+      |), p AS (SELECT event_type, bucket, mshare FROM m WHERE NOT is_cur),
+      |q AS (SELECT event_type, bucket, mshare FROM m WHERE is_cur),
+      |j AS (
+      |  SELECT COALESCE(p.event_type, q.event_type) AS event_type,
+      |         COALESCE(q.mshare, 0) + 1 AS a, COALESCE(p.mshare, 0) + 1 AS b
+      |  FROM p FULL OUTER JOIN q
+      |    ON p.event_type = q.event_type AND p.bucket = q.bucket
+      |), s AS (
+      |  SELECT event_type,
+      |         CAST(sum((a - b) * (CASE
+      |           WHEN a * 4 < b THEN -2079
+      |           WHEN a * 2 < b THEN -1040
+      |           WHEN a * 4 < b * 3 THEN -490
+      |           WHEN a * 10 < b * 9 THEN -197
+      |           WHEN a * 10 < b * 11 THEN 0
+      |           WHEN a * 3 < b * 4 THEN 191
+      |           WHEN a < b * 2 THEN 490
+      |           WHEN a < b * 4 THEN 1040
+      |           ELSE 2079 END)) AS BIGINT) AS psi_scaled
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT event_type, psi_scaled, psi_scaled > 200000000 AS drifted
+      |FROM s ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -476,5 +592,6 @@ object EventQueries {
     QuerySpec("q74_hll_sketch_rollup", Some(q74Sql), q74),
     QuerySpec("q85_histogram_drift", Some(q85Sql), q85),
     QuerySpec("q86_scd2_intervals", Some(q86Sql), q86),
+    QuerySpec("q88_psi_drift", Some(q88Sql), q88),
   )
 }

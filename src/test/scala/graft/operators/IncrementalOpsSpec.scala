@@ -90,4 +90,52 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("drift_l2_milli") === 0L)
     assert(rows.head.getAs[Long]("max_bucket_shift") === 0L)
   }
+
+  private def driftFixture(curVals: Seq[Double]): String = {
+    val tmp = Files.createTempDirectory("psi_fix").toString
+    def nanos(date: String): Long =
+      java.sql.Timestamp.valueOf(s"$date 12:00:00").getTime * 1000000L
+    val refVals = Seq(1.0, 2.0, 5.0, 9.0)
+    val events =
+      (refVals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, nanos("2024-01-02"), 1L, "click", v, "{}")
+      } ++ curVals.zipWithIndex.map { case (v, i) =>
+        (100L + i, nanos("2024-01-20"), 1L, "click", v, "{}")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q88 PSI: zero on identical windows, strictly positive and flagged on a full shift") {
+    val same = q("q88_psi_drift")(spark, driftFixture(Seq(1.0, 2.0, 5.0, 9.0))).collect()
+    assert(same.length === 1)
+    assert(same.head.getAs[Long]("psi_scaled") === 0L)
+    assert(!same.head.getAs[Boolean]("drifted"))
+    // all current mass lands in the reference histogram's first bucket
+    val shifted = q("q88_psi_drift")(spark, driftFixture(Seq(1.0, 1.0, 1.0, 1.0))).collect()
+    assert(shifted.length === 1)
+    assert(shifted.head.getAs[Long]("psi_scaled") > 200000000L)
+    assert(shifted.head.getAs[Boolean]("drifted"))
+  }
+
+  test("q88 PSI is non-negative on real data and class weights track ln within quantization") {
+    q("q88_psi_drift")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("psi_scaled") >= 0L,
+        s"${r.getAs[String]("event_type")}: PSI terms must be non-negative")
+    }
+    // the fixed lookup's milli-nat weight must sit within the class's
+    // log-width of true ln(r) for every interior ratio (outer classes
+    // are open-ended by design)
+    def weight(a: Long, b: Long): Long =
+      if (a * 4 < b) -2079L else if (a * 2 < b) -1040L
+      else if (a * 4 < b * 3) -490L else if (a * 10 < b * 9) -197L
+      else if (a * 10 < b * 11) 0L else if (a * 3 < b * 4) 191L
+      else if (a < b * 2) 490L else if (a < b * 4) 1040L else 2079L
+    for (a <- 260L to 3990L by 7L) {
+      val r = a.toDouble / 1000.0
+      if (r >= 0.26 && r < 3.99)
+        assert(math.abs(weight(a, 1000L) / 1000.0 - math.log(r)) <= 0.35,
+          s"ratio $r: class weight too far from ln")
+    }
+  }
 }
