@@ -41,20 +41,35 @@ object ProfilingQueries {
     * block bounds candidates to near-identical starts, which edit
     * distance ≤ 8 on these names implies for typo-class variants. */
   private def q47(s: SparkSession, dir: String): DataFrame = {
+    // part arrives as ONE parquet scan partition at bench scale; the
+    // broadcast self-join inherits that layout, serializing every DP
+    // onto one core. Spreading the probe side by block key first costs
+    // a 20k-row shuffle and parallelizes the kernel (same move as
+    // DedupQueries.shingles); at 100 TB the scan is naturally
+    // partitioned and this shuffle is noise. The partition count is
+    // EXPLICIT because AQE would coalesce a ~2 MB keyed shuffle back to
+    // one partition — re-serializing the DP — and explicit counts are
+    // exempt from coalescing.
+    val cores = s.sparkContext.defaultParallelism
     val a = Tables.part(s, dir).select(col("p_brand"), substring(col("p_name"), 1, 6).as("pfx"),
       col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+      .repartition(cores, col("p_brand"), col("pfx"))
     val b = Tables.part(s, dir).select(col("p_brand").as("brand_b"), substring(col("p_name"), 1, 6).as("pfx_b"),
       col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
     // the distance kernel IS the query cost (~360k candidate pairs):
-    // graft_lev is a byte-level two-row DP (ASCII fast path, builtin
-    // fallback for multi-byte) — measured ~3× over the builtin, which
-    // pays per-codepoint UTF-8 machinery per DP cell. Sessions without
-    // GraftExtensions fall back to the builtin; identical results
-    // (LevenshteinDSpec pins agreement).
+    // graft_lev with a bound runs a banded (Ukkonen) byte DP — only the
+    // 2k+1 diagonal (33² → 33·17 cells) with whole-row early exit,
+    // returning k+1 past the bound, which the `dist <= 8` filter treats
+    // exactly like the unbounded distance. Sessions without
+    // GraftExtensions fall back to the builtin's thresholded DP (-1 →
+    // out-of-bound); identical kept rows (LevenshteinDSpec pins it).
     val dist =
-      if (s.catalog.functionExists("graft_lev")) expr("graft_lev(name_a, name_b)")
-      else levenshtein(col("name_a"), col("name_b"))
-    a.join(b, col("p_brand") === col("brand_b") && col("pfx") === col("pfx_b") && col("pk_a") < col("pk_b"))
+      if (s.catalog.functionExists("graft_lev")) expr("graft_lev(name_a, name_b, 8)")
+      else nullif(levenshtein(col("name_a"), col("name_b"), 8), lit(-1))
+    a.join(broadcast(b), col("p_brand") === col("brand_b") && col("pfx") === col("pfx_b")
+        && col("pk_a") < col("pk_b")
+        // free triangle-inequality prune: |len(a)−len(b)| > 8 ⇒ dist > 8
+        && abs(length(col("name_a")) - length(col("name_b"))) <= 8)
       .withColumn("dist", dist.cast("long"))
       .filter(col("dist") <= 8)
       .select(col("p_brand"), col("pk_a"), col("pk_b"), col("dist"))

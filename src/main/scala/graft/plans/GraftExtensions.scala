@@ -28,7 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_lev"),
       new ExpressionInfo(classOf[LevenshteinD].getName, "graft_lev"),
-      (children: Seq[Expression]) => LevenshteinD(children(0), children(1))))
+      (children: Seq[Expression]) =>
+        // optional 3rd arg: distance bound k (int literal) → banded kernel
+        LevenshteinD(children(0), children(1),
+          children.drop(2).headOption.map(_.eval().asInstanceOf[Number].intValue))))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }

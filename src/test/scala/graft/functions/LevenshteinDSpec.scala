@@ -31,6 +31,30 @@ class LevenshteinDSpec extends SparkSpec {
     }
   }
 
+  test("bounded band DP: exact ≤ k, capped at k+1 above, all k, incl. multi-byte") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde "
+    def word() = (0 until (1 + rnd.nextInt(25))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = (0 until 300).map(_ => (word(), word())) ++
+      Seq(("café", "cafe"), ("日本語です", "日本誤だ"), ("", "abcdef"), ("xyz", ""))
+    for ((a, b) <- pairs; k <- Seq(0, 1, 3, 8, 50)) {
+      val exact = ref(a, b)
+      val got = LevBytes.distBounded(UTF8String.fromString(a), UTF8String.fromString(b), k)
+      if (exact <= k) assert(got === exact, s"($a, $b, k=$k)")
+      else assert(got === k + 1, s"($a, $b, k=$k): want cap ${k + 1}, got $got")
+    }
+  }
+
+  test("3-arg SQL form agrees with filtered builtin semantics") {
+    val df = Seq(("plum navy", "plum ivory"), ("abcdefghij", "klmnopqrst"), ("same", "same"))
+      .toDF("a", "b")
+      .select(expr("graft_lev(a, b, 3)").as("g"), levenshtein(col("a"), col("b")).as("l"))
+    df.collect().foreach { r =>
+      if (r.getInt(1) <= 3) assert(r.getInt(0) === r.getInt(1))
+      else assert(r.getInt(0) === 4)
+    }
+  }
+
   test("SQL function matches builtin column-wise (codegen path)") {
     val df = Seq(("plum navy", "plum ivory"), ("a", "b"), ("same", "same"), ("日本", "日本語"))
       .toDF("a", "b")
