@@ -52,4 +52,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread rows across all cores before per-row-EXPENSIVE map work
+    * (hashing, shingling, DP kernels). The testdata tables are single-
+    * row-group parquet files — one scan task — so heavy map stages
+    * serialize onto one core unless a shuffle intervenes; and a plain
+    * `repartition(col…)` does NOT fix it, because AQE legally coalesces
+    * small REPARTITION_BY_COL shuffles back to one partition. An
+    * EXPLICIT partition count is exempt from AQE coalescing.
+    * `defaultParallelism` = total cores locally and cluster-wide.
+    * At 100 TB scans arrive naturally partitioned and this extra
+    * shuffle of raw rows is noise next to the map work it spreads. */
+  def spread(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (cols.isEmpty) df.repartition(n) else df.repartition(n, cols: _*)
+  }
 }

@@ -103,8 +103,7 @@ object CorpusQueries {
     * fingerprints — the same reason real decontamination uses 8-13-gram
     * overlap. */
   private def grams8(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(array_distinct(
@@ -162,7 +161,7 @@ object CorpusQueries {
     * ≥ 2 times in the doc. keep = both under threshold. One explode +
     * two hash aggs per signal — no joins on text, fully codegen'd. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val uni = tf.groupBy(col("doc_id"))
@@ -357,8 +356,7 @@ object CorpusQueries {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     val g = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val tf = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok").isin(Terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -503,8 +501,7 @@ object CorpusQueries {
     * (CorpusPipeline). */
   private[operators] def funnelFrom(
       s: SparkSession, dir: String, jaccard: DataFrame): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     val stats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

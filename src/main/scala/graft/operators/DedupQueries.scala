@@ -32,15 +32,15 @@ object DedupQueries {
   // parameter choice.
   private val RowsPerBand = 4
 
-  /** Distinct word-bigram shingles per doc: (doc_id, s). The explicit
-    * repartition spreads the per-doc shingle/hash work across cores —
-    * a small documents parquet arrives as ONE scan partition in local
-    * mode, which would otherwise serialize the whole minhash compute;
+  /** Distinct word-bigram shingles per doc: (doc_id, s). Tables.spread
+    * spreads the per-doc shingle/hash work across cores — a small
+    * documents parquet arrives as ONE scan partition in local mode,
+    * which would otherwise serialize the whole minhash compute (and an
+    * un-counted `repartition(col)` gets AQE-coalesced right back);
     * at 100 TB the scan is naturally partitioned and this is a cheap
     * doc_id-hash shuffle of raw text rows. */
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(array_distinct(
@@ -305,8 +305,7 @@ object DedupQueries {
     * widen bands (16-bit) to trade candidate volume against the
     * guaranteed-recall hamming radius. */
   private def simhash32(s: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("hx", md5(col("tok")))
     val bitSums = (0 until 32).map { i =>

@@ -40,8 +40,7 @@ object MiningQueries {
 
   // ---------------------------------------------------------------- q68
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val toks = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val tk = toks.select(explode(col("t")).as("tok"))
     val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))

@@ -159,8 +159,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q77
   private def q77(s: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
