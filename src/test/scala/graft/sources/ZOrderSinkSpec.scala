@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: correctness of the Morton interleave, lossless
+  * round-trip, and the headline claim — a two-predicate scan reads
+  * FEWER FILES under the z-ordered layout than under a linear sort,
+  * with pruning decided by parquet footers alone. */
+class ZOrderSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("morton interleaves bits: unit squares come out contiguous") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("a", "b")
+      .select(ZOrderSink.morton(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3 (2,2)=12 (3,3)=15
+    assert(rows === Seq(0L, 1L, 2L, 3L, 12L, 15L))
+  }
+
+  test("z-ordered write round-trips every row") {
+    val tmp = Files.createTempDirectory("zorder_rt").toString
+    val df = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"), col("id"))
+    ZOrderSink.write(df, s"$tmp/t", "x", "y", nFiles = 16)
+    val back = spark.read.parquet(s"$tmp/t")
+    assert(back.count() === 10000)
+    assert(back.agg(sum("id")).as[Long].head() === (0L until 10000L).sum)
+  }
+
+  test("two-predicate scan prunes more files under z-order than linear layout") {
+    val tmp = Files.createTempDirectory("zorder_prune").toString
+    // 64k points on a 256x256 grid, shuffled ids
+    val df = spark.range(0, 65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val nFiles = 64
+    // linear layout: perfectly sorted by x (best case for x-pruning)
+    df.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    ZOrderSink.write(df, s"$tmp/zorder", "x", "y", nFiles)
+    // a 32x32 query box: 1/64 of the area
+    val (xLo, xHi, yLo, yHi) = (64L, 95L, 64L, 95L)
+    val linFiles = ZOrderSink.pruneFiles(spark, s"$tmp/linear", "x", xLo, xHi, "y", yLo, yHi)
+    val zFiles = ZOrderSink.pruneFiles(spark, s"$tmp/zorder", "x", xLo, xHi, "y", yLo, yHi)
+    // linear: x prunes to ~1/8 of files but every surviving file spans
+    // all of y; z-order: the box touches only the tiles it overlaps
+    assert(zFiles.size < linFiles.size,
+      s"z-order read ${zFiles.size} files, linear ${linFiles.size}")
+    assert(zFiles.size <= nFiles / 8,
+      s"z-order should isolate the box to a few tiles, read ${zFiles.size}/$nFiles")
+    // and the pruned subset is sufficient: same answer as the full scan
+    val full = spark.read.parquet(s"$tmp/zorder")
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi)).count()
+    val pruned = spark.read.parquet(zFiles: _*)
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi)).count()
+    assert(pruned === full)
+    assert(full === 32L * 32L)
+  }
+}
