@@ -29,8 +29,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings",
   )
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema memo: every `spark.read.parquet(path)` CALL pays
+    * schema inference (~160 ms against the bench floor — a footer read
+    * + merge per DataFrame creation, 3 creations per benched query).
+    * The schema is a property of the file, so infer once per path and
+    * hand it to subsequent reads explicitly. Production engines do the
+    * same thing through a catalog. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
