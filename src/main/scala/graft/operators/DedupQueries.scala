@@ -257,7 +257,7 @@ object DedupQueries {
   private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(s, dir)
+    val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("hx", md5(col("tok")))
     val bitSums = (0 until 16).map { i =>
