@@ -579,6 +579,122 @@ object EventQueries {
       |SELECT event_type, psi_scaled, psi_scaled > 200000000 AS drifted
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Jensen-Shannon divergence between the q85/q88 windows — the
+    * symmetric, bounded companion to q88's PSI (JSD = ½KL(p‖m) +
+    * ½KL(q‖m), m = (p+q)/2; always in [0, ln 2]). Both KL ratios are
+    * ratios TO THE MIDPOINT — 2b/(a+b) and 2a/(a+b) — so they live in
+    * (0, 2] and the q88 fixed-lookup trick closes: class each ratio by
+    * exact rational boundaries via cross-multiplied integer compares,
+    * weight with the hard-coded milli-nat ln of the class's geometric
+    * midpoint, and the statistic Σ(b·w_p + a·w_q) div 2 is pure 64-bit
+    * integer arithmetic ≈ JSD × 10⁹. Identical windows hit the
+    * zero-weight class in every bin → exactly 0; the ln 2 bound becomes
+    * jsd_scaled ≤ 693·10⁶ (spec-pinned). Same plan shape as q85/q88:
+    * broadcast bounds, scan-side bucketing, tiny post-agg. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), (col("ts") >= split).as("is_cur"))
+    val rng = ev.filter(!col("is_cur")).groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucketed = ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(greatest(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+              .cast("long"),
+            lit(9L)), lit(0L))))
+    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("event_type"), col("is_cur"))
+      .agg(sum(col("c")).as("n"))
+    val milli = counts.join(tot, Seq("event_type", "is_cur"))
+      .select(col("event_type"), col("is_cur"), col("bucket"),
+        expr("(c * 1000000) div n").as("mshare"))
+    val p = milli.filter(!col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("pi"))
+    val q = milli.filter(col("is_cur"))
+      .select(col("event_type"), col("bucket"), col("mshare").as("qi"))
+    val joined = p.join(q, Seq("event_type", "bucket"), "full")
+      .select(col("event_type"),
+        (coalesce(col("qi"), lit(0L)) + 1L).as("a"),
+        (coalesce(col("pi"), lit(0L)) + 1L).as("b"))
+    // milli-nat ln of ratio 2x/(a+b) via the fixed class lookup
+    def w(x: org.apache.spark.sql.Column) = {
+      val den = col("a") + col("b")
+      when(x * 8 < den, -2079L)
+        .when(x * 4 < den, -1040L)
+        .when(x * 8 < den * 3, -490L)
+        .when(x * 20 < den * 9, -197L)
+        .when(x * 20 < den * 11, 0L)
+        .when(x * 3 < den * 2, 191L)
+        .otherwise(490L) // [4/3, 2] — ratios to the midpoint cannot exceed 2
+    }
+    // clamp at zero: true JSD ≥ 0, but the class quantization over- and
+    // under-estimates the two KL terms independently, so near-identical
+    // windows can dip a few milli-units negative — both engines clamp
+    // identically, and 0 is the honest answer there
+    joined
+      .groupBy(col("event_type"))
+      .agg(sum(col("b") * w(col("b")) + col("a") * w(col("a"))).as("raw"))
+      .select(col("event_type"), greatest(expr("raw div 2"), lit(0L)).as("jsd_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q89Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
+      |  FROM events
+      |), rng AS (
+      |  SELECT event_type, min(value) AS lo, max(value) AS hi
+      |  FROM ev WHERE NOT is_cur GROUP BY 1
+      |), b AS (
+      |  SELECT e.event_type, e.is_cur,
+      |         CASE WHEN r.hi = r.lo THEN 0
+      |              ELSE greatest(least(CAST(floor((e.value - r.lo)
+      |                     / ((r.hi - r.lo) / 10)) AS BIGINT), 9), 0)
+      |         END AS bucket
+      |  FROM ev e JOIN rng r ON e.event_type = r.event_type
+      |), c AS (
+      |  SELECT event_type, is_cur, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT event_type, is_cur, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1, 2
+      |), m AS (
+      |  SELECT c.event_type, c.is_cur, c.bucket,
+      |         CAST((c.c * 1000000) // t.n AS BIGINT) AS mshare
+      |  FROM c JOIN t ON c.event_type = t.event_type AND c.is_cur = t.is_cur
+      |), p AS (SELECT event_type, bucket, mshare FROM m WHERE NOT is_cur),
+      |q AS (SELECT event_type, bucket, mshare FROM m WHERE is_cur),
+      |j AS (
+      |  SELECT COALESCE(p.event_type, q.event_type) AS event_type,
+      |         COALESCE(q.mshare, 0) + 1 AS a, COALESCE(p.mshare, 0) + 1 AS b
+      |  FROM p FULL OUTER JOIN q
+      |    ON p.event_type = q.event_type AND p.bucket = q.bucket
+      |), s AS (
+      |  SELECT event_type,
+      |    CAST(sum(
+      |      b * (CASE WHEN b * 8 < (a + b) THEN -2079
+      |                WHEN b * 4 < (a + b) THEN -1040
+      |                WHEN b * 8 < (a + b) * 3 THEN -490
+      |                WHEN b * 20 < (a + b) * 9 THEN -197
+      |                WHEN b * 20 < (a + b) * 11 THEN 0
+      |                WHEN b * 3 < (a + b) * 2 THEN 191
+      |                ELSE 490 END) +
+      |      a * (CASE WHEN a * 8 < (a + b) THEN -2079
+      |                WHEN a * 4 < (a + b) THEN -1040
+      |                WHEN a * 8 < (a + b) * 3 THEN -490
+      |                WHEN a * 20 < (a + b) * 9 THEN -197
+      |                WHEN a * 20 < (a + b) * 11 THEN 0
+      |                WHEN a * 3 < (a + b) * 2 THEN 191
+      |                ELSE 490 END)) AS BIGINT) AS raw
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT event_type, greatest(raw // 2, 0) AS jsd_scaled
+      |FROM s ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -593,5 +709,6 @@ object EventQueries {
     QuerySpec("q85_histogram_drift", Some(q85Sql), q85),
     QuerySpec("q86_scd2_intervals", Some(q86Sql), q86),
     QuerySpec("q88_psi_drift", Some(q88Sql), q88),
+    QuerySpec("q89_jsd_drift", Some(q89Sql), q89),
   )
 }

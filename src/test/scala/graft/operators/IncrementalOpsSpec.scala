@@ -118,6 +118,19 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(shifted.head.getAs[Boolean]("drifted"))
   }
 
+  test("q89 JSD: zero on identical windows, within [0, ln2] always, flags the full shift") {
+    val same = q("q89_jsd_drift")(spark, driftFixture(Seq(1.0, 2.0, 5.0, 9.0))).collect()
+    assert(same.length === 1)
+    assert(same.head.getAs[Long]("jsd_scaled") === 0L)
+    val shifted = q("q89_jsd_drift")(spark, driftFixture(Seq(1.0, 1.0, 1.0, 1.0))).collect()
+    assert(shifted.head.getAs[Long]("jsd_scaled") > 100000000L)
+    // bounded by ln 2 (≈ 693·10⁶ scaled) on real data, never negative
+    q("q89_jsd_drift")(spark, dir).collect().foreach { r =>
+      val v = r.getAs[Long]("jsd_scaled")
+      assert(v >= 0L && v <= 693147181L, s"${r.getAs[String]("event_type")}: $v out of [0, ln2]")
+    }
+  }
+
   test("q88 PSI is non-negative on real data and class weights track ln within quantization") {
     q("q88_psi_drift")(spark, dir).collect().foreach { r =>
       assert(r.getAs[Long]("psi_scaled") >= 0L,
