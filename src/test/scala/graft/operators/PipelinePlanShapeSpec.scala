@@ -87,4 +87,30 @@ class PipelinePlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("q47 fuzzy join: probe side spread survives AQE, dims broadcast") {
+    val p = finalPlan("q47_fuzzy_levenshtein")
+    // Tables.spread uses an explicit count precisely so AQE cannot
+    // coalesce the kernel's parallelism away — the executed plan must
+    // keep a REPARTITION_BY_NUM exchange feeding the broadcast join
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"explicit-count spread missing (AQE coalesced the DP onto one task?):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"block join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q27 simhash: token hashing runs above an explicit spread exchange") {
+    val p = finalPlan("q27_simhash")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"explicit-count spread missing from the simhash kernel:\n$p")
+  }
+
+  test("q88/q89 drift: bin bounds broadcast, no fact-fact shuffle join") {
+    Seq("q88_psi_drift", "q89_jsd_drift").foreach { name =>
+      val p = finalPlan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: reference bin bounds must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
 }
