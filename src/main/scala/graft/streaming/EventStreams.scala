@@ -161,13 +161,13 @@ object EventStreams {
     * UpsertStore. */
   final class DriftStore {
     private val state =
-      scala.collection.mutable.Map[(Long, String), (Long, Long)]()
+      scala.collection.mutable.Map[(Long, String), (Long, Long, Long)]()
     private val applied = scala.collection.mutable.Set[Long]()
-    def record(batchId: Long, rows: Seq[(String, Long, Long)]): Unit = synchronized {
+    def record(batchId: Long, rows: Seq[(String, Long, Long, Long)]): Unit = synchronized {
       if (!applied.add(batchId)) return
-      rows.foreach { case (t, drift, n) => state((batchId, t)) = (drift, n) }
+      rows.foreach { case (t, drift, psi, n) => state((batchId, t)) = (drift, psi, n) }
     }
-    def snapshot: Map[(Long, String), (Long, Long)] = synchronized(state.toMap)
+    def snapshot: Map[(Long, String), (Long, Long, Long)] = synchronized(state.toMap)
   }
 
   /** Streaming form of q85's drift monitor: each micro-batch's per-type
@@ -216,6 +216,22 @@ object EventStreams {
         val qShares = counts.join(tot, Seq("event_type"))
           .select(col("event_type"), col("bucket"),
             expr("(c * 1000000) div n").as("qi"))
+        // PSI with q88's fixed ratio-class ln lookup (milli-nat weights
+        // at class geometric midpoints; smoothed ppm shares a = qi+1,
+        // b = pi+1) — the same all-integer statistic the batch q88
+        // computes, scored per micro-batch
+        val a = coalesce(col("qi"), lit(0L)) + 1L
+        val b = coalesce(col("pi"), lit(0L)) + 1L
+        val w =
+          when(a * 4 < b, -2079L)
+            .when(a * 2 < b, -1040L)
+            .when(a * 4 < b * 3, -490L)
+            .when(a * 10 < b * 9, -197L)
+            .when(a * 10 < b * 11, 0L)
+            .when(a * 3 < b * 4, 191L)
+            .when(a < b * 2, 490L)
+            .when(a < b * 4, 1040L)
+            .otherwise(2079L)
         val drift = refB.select(col("event_type"), col("bucket"), col("pi"))
           .join(qShares, Seq("event_type", "bucket"), "full")
           .select(col("event_type"),
@@ -223,10 +239,11 @@ object EventStreams {
             coalesce(col("qi"), lit(0L)).as("qi"))
           .groupBy(col("event_type"))
           .agg(sum((col("qi") - col("pi")) * (col("qi") - col("pi")))
-            .as("drift_l2_milli"))
+            .as("drift_l2_milli"),
+            sum((a - b) * w).as("psi_scaled"))
           .join(tot, Seq("event_type"))
           .collect() // bounded: one row per event type per batch
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         store.record(id, drift.toSeq)
       }
       .option("checkpointLocation", checkpoint)

@@ -35,10 +35,15 @@ class DriftMonitorSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
     val snap = store.snapshot
-    assert(snap((0L, "click")) === ((0L, 10L)), "reference-shaped batch must show zero drift")
+    assert(snap((0L, "click")) === ((0L, 0L, 10L)),
+      "reference-shaped batch must show zero drift and zero PSI")
     // nine buckets drop 100000 ppm each, bucket 9 gains 900000 ppm
     val expected = 9L * 100000L * 100000L + 900000L * 900000L
-    assert(snap((1L, "click")) === ((expected, 10L)))
+    // PSI class weights: emptied buckets hit the r < 1/4 class (-2079),
+    // the gaining bucket the r ≥ 4 class (+2079):
+    // 9 · 100000·2079 + 900000·2079 = 3742200000
+    val expectedPsi = 9L * 100000L * 2079L + 900000L * 2079L
+    assert(snap((1L, "click")) === ((expected, expectedPsi, 10L)))
   }
 
   test("a type absent from the reference is surfaced at maximum drift, not dropped") {
@@ -59,7 +64,8 @@ class DriftMonitorSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
     val snap = store.snapshot
-    // all 10^6 milli-share sits in buckets where pi = 0 → drift 10^12
-    assert(snap((0L, "scroll")) === ((1000000L * 1000000L, 5L)))
+    // all 10^6 milli-share sits in buckets where pi = 0 → drift 10^12;
+    // PSI: one bucket with a−b = 10^6 in the r ≥ 4 class → 10^6·2079
+    assert(snap((0L, "scroll")) === ((1000000L * 1000000L, 1000000L * 2079L, 5L)))
   }
 }
