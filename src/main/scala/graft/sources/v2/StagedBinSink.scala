@@ -24,7 +24,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Storage: each task stages length-prefixed UnsafeRow pages to
   * `_staging/<writeId>/part-<pid>-<tid>.bin`; the driver-side job
-  * commit MOVES staged files into `data/` and then atomically swaps a
+  * commit MOVES staged files into `data/` as
+  * `<writeId>-part-<pid>-<tid>.bin` (pid/tid restart per Spark
+  * application — the writeId prefix is what keeps a later run's files
+  * from colliding with committed ones) and then atomically swaps a
   * plain-text manifest (`_manifest` → schema json + one committed
   * file per line + committed epoch ids). Readers only ever see files
   * listed by a fully-written manifest, so:
@@ -112,12 +115,22 @@ object StagedBinSink {
     val dataDir = Files.createDirectories(root.resolve("data"))
     val names = staged.map { s =>
       val src = Paths.get(s.stagedPath)
-      Files.move(src, dataDir.resolve(src.getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
-      s"data/${src.getFileName}"
+      // committed name keeps the staging write-id prefix: part ids and
+      // task ids RESTART in every Spark application, so a bare
+      // part-<pid>-<tid>.bin from a second run would collide with (and
+      // silently replace) a file an earlier run committed — corrupting
+      // append mode and racing truncate's delete pass. The write-id is
+      // unique per job (batch: per-write UUID; streaming: queryId-epoch).
+      val name = s"${src.getParent.getFileName}-${src.getFileName}"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      s"data/$name"
     }
     val keep = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
-    if (truncate) prev.foreach(_.files.foreach(f => Files.deleteIfExists(root.resolve(f))))
+    // names are globally unique, but exclude the just-committed set from
+    // the truncate sweep anyway — the delete pass must never be able to
+    // touch files this commit just moved in
+    if (truncate) prev.foreach(_.files.filterNot(names.toSet).foreach(
+      f => Files.deleteIfExists(root.resolve(f))))
     writeManifest(root, Manifest(schema, keep ++ names,
       prev.map(_.epochs).getOrElse(Set.empty) ++ epoch))
   }

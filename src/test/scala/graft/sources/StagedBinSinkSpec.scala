@@ -51,6 +51,33 @@ class StagedBinSinkSpec extends SparkSpec {
     assert(ls(s"$dir/data").size === back.rdd.getNumPartitions)
   }
 
+  test("identical staged part names from separate jobs never collide in data/") {
+    // pid/tid restart at 0 in every Spark application, so two app runs
+    // produce identically-named staged files; commitJob must keep both
+    val dir = tmp()
+    val root = Paths.get(dir)
+    val schema = spark.range(1).schema
+    def stageOne(writeId: String, payload: Byte): StagedFile = {
+      val staging = Files.createDirectories(root.resolve("_staging").resolve(writeId))
+      val f = staging.resolve("part-00000-0.bin") // same base name both runs
+      Files.write(f, Array[Byte](payload))
+      StagedFile(f.toString, 1L)
+    }
+    StagedBinSink.commitJob(root, schema, Seq(stageOne("run1", 1)), None, truncate = false)
+    StagedBinSink.commitJob(root, schema, Seq(stageOne("run2", 2)), None, truncate = false)
+    val m = StagedBinSink.readManifest(root).get
+    assert(m.files.size === 2 && m.files.distinct.size === 2,
+      s"manifest must list two distinct files: ${m.files}")
+    m.files.foreach(f => assert(Files.exists(root.resolve(f)), s"$f missing on disk"))
+    // and a truncate commit replaces both without deleting its own file
+    StagedBinSink.commitJob(root, schema, Seq(stageOne("run3", 3)), None, truncate = true)
+    val m3 = StagedBinSink.readManifest(root).get
+    assert(m3.files.size === 1)
+    assert(Files.exists(root.resolve(m3.files.head)))
+    assert(!Files.exists(root.resolve(m.files.head)) && !Files.exists(root.resolve(m.files(1))),
+      "truncate must delete the superseded files")
+  }
+
   test("aborted job leaves no partial state: no manifest, no data, no staging") {
     val dir = tmp()
     val poisoned = spark.range(0, 100, 1, 4)
