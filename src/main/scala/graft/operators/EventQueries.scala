@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -463,36 +463,54 @@ object EventQueries {
       |FROM ch
       |ORDER BY user_id, event_type, valid_from_ms""".stripMargin
 
-  // ---------------------------------------------------------------- q88
-  /** Population-Stability-Index drift between the q85 windows — the
-    * "real PSI" companion to q85's ln-free L2. PSI = Σ_bins
-    * (qᵢ−pᵢ)·ln(qᵢ/pᵢ) needs a logarithm, and transcendentals are
-    * banned from hashed output (different engines round the last ulp
-    * differently), so the ln is a FIXED LOOKUP over ratio classes:
-    * the smoothed ppm-share ratio r = (qᵢ+1)/(pᵢ+1) falls into one of
-    * nine classes with exact rational boundaries (1/4, 1/2, 3/4, 9/10,
-    * 11/10, 4/3, 2, 4 — all tested with cross-multiplied 64-bit integer
-    * compares), and each class carries a hard-coded weight: ln of the
-    * class's geometric midpoint in milli-nats, precomputed once into
-    * the spec (−2079 = ⌊1000·ln(1/8)⌉, −1040 = ⌊1000·ln(1/(2√2))⌉,
-    * −490, −197, 0, 191, 490, 1040, 2079 = ⌊1000·ln 8⌉). Signs agree
-    * with true PSI (qᵢ>pᵢ ⟺ weight ≥ 0), so every term is ≥ 0 and
-    * `psi_scaled` = Σ(qᵢ−pᵢ)·w is PSI × 10⁹ up to the class
-    * quantization — deterministic 64-bit integer arithmetic end to end.
-    * The classic "investigate" rule PSI > 0.2 becomes
-    * psi_scaled > 200 000 000.
-    *
-    * Scale: identical plan shape to q85 — broadcast bin bounds,
+  // ------------------------------------------------------- q88/q89 shared
+  /** Ratio-class ln lookup shared by q88 (PSI), q89 (JSD) and the
+    * streaming drift monitor: each class is bounded by an EXACT
+    * rational (num/den, tested with cross-multiplied 64-bit compares —
+    * no division, no transcendental) and carries ⌊1000·ln(geometric
+    * midpoint)⌉ milli-nats as a hard-coded spec constant. q88 uses the
+    * full ladder (ratios unbounded above); q89's midpoint ratios live
+    * in (0, 2], so its ladder stops at the [4/3, 2] class. */
+  private val RatioClasses: Seq[(Int, Int, Long)] = Seq(
+    (1, 4, -2079L), (1, 2, -1040L), (3, 4, -490L), (9, 10, -197L),
+    (11, 10, 0L), (4, 3, 191L), (2, 1, 490L), (4, 1, 1040L))
+
+  /** milli-nat ln of num/den via the class ladder (first `take` classes,
+    * else `top`). Column form; `num`/`den` must be ≥ 1 BIGINT exprs. */
+  private def classWeight(num: Column, den: Column, take: Int, top: Long): Column =
+    RatioClasses.take(take).foldRight(lit(top)) { case ((n, d, w), rest) =>
+      when(num * d < den * n, w).otherwise(rest)
+    }
+
+  /** Same ladder as SQL text (for the DuckDB oracles). */
+  private def classWeightSql(num: String, den: String, take: Int, top: Long): String =
+    RatioClasses.take(take).map { case (n, d, w) =>
+      s"WHEN ($num) * $d < ($den) * $n THEN $w"
+    }.mkString("(CASE ", " ", s" ELSE $top END)")
+
+  /** PSI ratio weight for smoothed shares a (current) vs b (reference):
+    * full 8-class ladder, top class r ≥ 4 → +2079. Shared with the
+    * streaming monitor. */
+  private[graft] def psiWeight(a: Column, b: Column): Column =
+    classWeight(a, b, RatioClasses.length, 2079L)
+
+  /** Shared q88/q89 smoothing pipeline → one row per (event_type,
+    * bucket) with smoothed ppm shares a = qᵢ+1 (current window) and
+    * b = pᵢ+1 (reference window). Events LEFT-join the reference
+    * bounds so a type with NO reference-window rows — a brand-new
+    * type, the loudest drift signal — lands in bucket 0 and scores,
+    * exactly like the streaming monitor (the batch q85 keeps its
+    * documented ref-types-only semantics). Scale: broadcast bounds,
     * scan-side bucketing, ≤ 20·|types| rows after the first agg. */
-  private def q88(s: SparkSession, dir: String): DataFrame = {
+  private def smoothedShares(s: SparkSession, dir: String): DataFrame = {
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("value"), (col("ts") >= split).as("is_cur"))
     val rng = ev.filter(!col("is_cur")).groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val bucketed = ev.join(broadcast(rng), Seq("event_type"))
+    val bucketed = ev.join(broadcast(rng), Seq("event_type"), "left")
       .withColumn("bucket",
-        when(col("hi") === col("lo"), 0L)
+        when(col("lo").isNull || col("hi") === col("lo"), 0L)
           .otherwise(greatest(least(
             floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
               .cast("long"),
@@ -508,30 +526,16 @@ object EventQueries {
       .select(col("event_type"), col("bucket"), col("mshare").as("pi"))
     val q = milli.filter(col("is_cur"))
       .select(col("event_type"), col("bucket"), col("mshare").as("qi"))
-    // a = smoothed current share, b = smoothed reference share (ppm + 1);
-    // the ratio-class CASE is the fixed ln lookup described above.
-    val joined = p.join(q, Seq("event_type", "bucket"), "full")
+    p.join(q, Seq("event_type", "bucket"), "full")
       .select(col("event_type"),
         (coalesce(col("qi"), lit(0L)) + 1L).as("a"),
         (coalesce(col("pi"), lit(0L)) + 1L).as("b"))
-    val w =
-      when(col("a") * 4 < col("b"), -2079L)
-        .when(col("a") * 2 < col("b"), -1040L)
-        .when(col("a") * 4 < col("b") * 3, -490L)
-        .when(col("a") * 10 < col("b") * 9, -197L)
-        .when(col("a") * 10 < col("b") * 11, 0L)
-        .when(col("a") * 3 < col("b") * 4, 191L)
-        .when(col("a") < col("b") * 2, 490L)
-        .when(col("a") < col("b") * 4, 1040L)
-        .otherwise(2079L)
-    joined
-      .groupBy(col("event_type"))
-      .agg(sum((col("a") - col("b")) * w).as("psi_scaled"))
-      .withColumn("drifted", col("psi_scaled") > 200000000L)
-      .orderBy(col("event_type"))
   }
 
-  private val q88Sql =
+  /** Shared oracle-SQL prefix for q88/q89: CTEs ev→rng→b→c→t→m→p→q→j,
+    * ending at j(event_type, a, b) — mirrors smoothedShares exactly
+    * (LEFT JOIN bounds, bucket-0 default for unseen types). */
+  private val smoothedSharesSql =
     """WITH ev AS (
       |  SELECT event_type, value,
       |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
@@ -541,11 +545,11 @@ object EventQueries {
       |  FROM ev WHERE NOT is_cur GROUP BY 1
       |), b AS (
       |  SELECT e.event_type, e.is_cur,
-      |         CASE WHEN r.hi = r.lo THEN 0
+      |         CASE WHEN r.event_type IS NULL OR r.hi = r.lo THEN 0
       |              ELSE greatest(least(CAST(floor((e.value - r.lo)
       |                     / ((r.hi - r.lo) / 10)) AS BIGINT), 9), 0)
       |         END AS bucket
-      |  FROM ev e JOIN rng r ON e.event_type = r.event_type
+      |  FROM ev e LEFT JOIN rng r ON e.event_type = r.event_type
       |), c AS (
       |  SELECT event_type, is_cur, bucket, CAST(count(*) AS BIGINT) AS c
       |  FROM b GROUP BY 1, 2, 3
@@ -562,80 +566,51 @@ object EventQueries {
       |         COALESCE(q.mshare, 0) + 1 AS a, COALESCE(p.mshare, 0) + 1 AS b
       |  FROM p FULL OUTER JOIN q
       |    ON p.event_type = q.event_type AND p.bucket = q.bucket
-      |), s AS (
-      |  SELECT event_type,
-      |         CAST(sum((a - b) * (CASE
-      |           WHEN a * 4 < b THEN -2079
-      |           WHEN a * 2 < b THEN -1040
-      |           WHEN a * 4 < b * 3 THEN -490
-      |           WHEN a * 10 < b * 9 THEN -197
-      |           WHEN a * 10 < b * 11 THEN 0
-      |           WHEN a * 3 < b * 4 THEN 191
-      |           WHEN a < b * 2 THEN 490
-      |           WHEN a < b * 4 THEN 1040
-      |           ELSE 2079 END)) AS BIGINT) AS psi_scaled
-      |  FROM j GROUP BY 1
-      |)
-      |SELECT event_type, psi_scaled, psi_scaled > 200000000 AS drifted
-      |FROM s ORDER BY event_type""".stripMargin
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Population-Stability-Index drift between the q85 windows — the
+    * "real PSI" companion to q85's ln-free L2. PSI = Σ_bins
+    * (qᵢ−pᵢ)·ln(qᵢ/pᵢ) needs a logarithm, and transcendentals are
+    * banned from hashed output (different engines round the last ulp
+    * differently), so the ln is the fixed RatioClasses lookup above.
+    * Signs agree with true PSI (qᵢ>pᵢ ⟺ weight ≥ 0), so every term is
+    * ≥ 0 and psi_scaled = Σ(qᵢ−pᵢ)·w is PSI × 10⁹ up to class
+    * quantization — deterministic 64-bit integer arithmetic end to
+    * end. The classic "investigate" rule PSI > 0.2 becomes
+    * psi_scaled > 200 000 000. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    smoothedShares(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sum((col("a") - col("b")) * psiWeight(col("a"), col("b"))).as("psi_scaled"))
+      .withColumn("drifted", col("psi_scaled") > 200000000L)
+      .orderBy(col("event_type"))
+
+  private val q88Sql =
+    s"""$smoothedSharesSql, s AS (
+       |  SELECT event_type,
+       |         CAST(sum((a - b) * ${classWeightSql("a", "b", 8, 2079L)}) AS BIGINT)
+       |           AS psi_scaled
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT event_type, psi_scaled, psi_scaled > 200000000 AS drifted
+       |FROM s ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q89
-  /** Jensen-Shannon divergence between the q85/q88 windows — the
+  /** Jensen-Shannon divergence between the same windows — the
     * symmetric, bounded companion to q88's PSI (JSD = ½KL(p‖m) +
     * ½KL(q‖m), m = (p+q)/2; always in [0, ln 2]). Both KL ratios are
     * ratios TO THE MIDPOINT — 2b/(a+b) and 2a/(a+b) — so they live in
-    * (0, 2] and the q88 fixed-lookup trick closes: class each ratio by
-    * exact rational boundaries via cross-multiplied integer compares,
-    * weight with the hard-coded milli-nat ln of the class's geometric
-    * midpoint, and the statistic Σ(b·w_p + a·w_q) div 2 is pure 64-bit
-    * integer arithmetic ≈ JSD × 10⁹. Identical windows hit the
-    * zero-weight class in every bin → exactly 0; the ln 2 bound becomes
-    * jsd_scaled ≤ 693·10⁶ (spec-pinned). Same plan shape as q85/q88:
-    * broadcast bounds, scan-side bucketing, tiny post-agg. */
+    * (0, 2] and the RatioClasses ladder closes at its [4/3, 2] class
+    * (weight 490). Σ(b·w_p + a·w_q) div 2 ≈ JSD × 10⁹. Output clamps
+    * at zero: true JSD ≥ 0, but the class quantization over- and
+    * under-estimates the two KL terms independently, so near-identical
+    * windows can dip a few milli-units negative — both engines clamp
+    * identically. ln 2 bound (693·10⁶ scaled) is spec-pinned. */
   private def q89(s: SparkSession, dir: String): DataFrame = {
-    val split = lit("2024-01-16 00:00:00").cast("timestamp")
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), col("value"), (col("ts") >= split).as("is_cur"))
-    val rng = ev.filter(!col("is_cur")).groupBy(col("event_type"))
-      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val bucketed = ev.join(broadcast(rng), Seq("event_type"))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), 0L)
-          .otherwise(greatest(least(
-            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
-              .cast("long"),
-            lit(9L)), lit(0L))))
-    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val tot = counts.groupBy(col("event_type"), col("is_cur"))
-      .agg(sum(col("c")).as("n"))
-    val milli = counts.join(tot, Seq("event_type", "is_cur"))
-      .select(col("event_type"), col("is_cur"), col("bucket"),
-        expr("(c * 1000000) div n").as("mshare"))
-    val p = milli.filter(!col("is_cur"))
-      .select(col("event_type"), col("bucket"), col("mshare").as("pi"))
-    val q = milli.filter(col("is_cur"))
-      .select(col("event_type"), col("bucket"), col("mshare").as("qi"))
-    val joined = p.join(q, Seq("event_type", "bucket"), "full")
-      .select(col("event_type"),
-        (coalesce(col("qi"), lit(0L)) + 1L).as("a"),
-        (coalesce(col("pi"), lit(0L)) + 1L).as("b"))
-    // milli-nat ln of ratio 2x/(a+b) via the fixed class lookup
-    def w(x: org.apache.spark.sql.Column) = {
-      val den = col("a") + col("b")
-      when(x * 8 < den, -2079L)
-        .when(x * 4 < den, -1040L)
-        .when(x * 8 < den * 3, -490L)
-        .when(x * 20 < den * 9, -197L)
-        .when(x * 20 < den * 11, 0L)
-        .when(x * 3 < den * 2, 191L)
-        .otherwise(490L) // [4/3, 2] — ratios to the midpoint cannot exceed 2
-    }
-    // clamp at zero: true JSD ≥ 0, but the class quantization over- and
-    // under-estimates the two KL terms independently, so near-identical
-    // windows can dip a few milli-units negative — both engines clamp
-    // identically, and 0 is the honest answer there
-    joined
+    val den = col("a") + col("b")
+    def w(x: Column) = classWeight(x * 2, den, 6, 490L)
+    smoothedShares(s, dir)
       .groupBy(col("event_type"))
       .agg(sum(col("b") * w(col("b")) + col("a") * w(col("a"))).as("raw"))
       .select(col("event_type"), greatest(expr("raw div 2"), lit(0L)).as("jsd_scaled"))
@@ -643,57 +618,15 @@ object EventQueries {
   }
 
   private val q89Sql =
-    """WITH ev AS (
-      |  SELECT event_type, value,
-      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
-      |  FROM events
-      |), rng AS (
-      |  SELECT event_type, min(value) AS lo, max(value) AS hi
-      |  FROM ev WHERE NOT is_cur GROUP BY 1
-      |), b AS (
-      |  SELECT e.event_type, e.is_cur,
-      |         CASE WHEN r.hi = r.lo THEN 0
-      |              ELSE greatest(least(CAST(floor((e.value - r.lo)
-      |                     / ((r.hi - r.lo) / 10)) AS BIGINT), 9), 0)
-      |         END AS bucket
-      |  FROM ev e JOIN rng r ON e.event_type = r.event_type
-      |), c AS (
-      |  SELECT event_type, is_cur, bucket, CAST(count(*) AS BIGINT) AS c
-      |  FROM b GROUP BY 1, 2, 3
-      |), t AS (
-      |  SELECT event_type, is_cur, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1, 2
-      |), m AS (
-      |  SELECT c.event_type, c.is_cur, c.bucket,
-      |         CAST((c.c * 1000000) // t.n AS BIGINT) AS mshare
-      |  FROM c JOIN t ON c.event_type = t.event_type AND c.is_cur = t.is_cur
-      |), p AS (SELECT event_type, bucket, mshare FROM m WHERE NOT is_cur),
-      |q AS (SELECT event_type, bucket, mshare FROM m WHERE is_cur),
-      |j AS (
-      |  SELECT COALESCE(p.event_type, q.event_type) AS event_type,
-      |         COALESCE(q.mshare, 0) + 1 AS a, COALESCE(p.mshare, 0) + 1 AS b
-      |  FROM p FULL OUTER JOIN q
-      |    ON p.event_type = q.event_type AND p.bucket = q.bucket
-      |), s AS (
-      |  SELECT event_type,
-      |    CAST(sum(
-      |      b * (CASE WHEN b * 8 < (a + b) THEN -2079
-      |                WHEN b * 4 < (a + b) THEN -1040
-      |                WHEN b * 8 < (a + b) * 3 THEN -490
-      |                WHEN b * 20 < (a + b) * 9 THEN -197
-      |                WHEN b * 20 < (a + b) * 11 THEN 0
-      |                WHEN b * 3 < (a + b) * 2 THEN 191
-      |                ELSE 490 END) +
-      |      a * (CASE WHEN a * 8 < (a + b) THEN -2079
-      |                WHEN a * 4 < (a + b) THEN -1040
-      |                WHEN a * 8 < (a + b) * 3 THEN -490
-      |                WHEN a * 20 < (a + b) * 9 THEN -197
-      |                WHEN a * 20 < (a + b) * 11 THEN 0
-      |                WHEN a * 3 < (a + b) * 2 THEN 191
-      |                ELSE 490 END)) AS BIGINT) AS raw
-      |  FROM j GROUP BY 1
-      |)
-      |SELECT event_type, greatest(raw // 2, 0) AS jsd_scaled
-      |FROM s ORDER BY event_type""".stripMargin
+    s"""$smoothedSharesSql, s AS (
+       |  SELECT event_type,
+       |    CAST(sum(
+       |      b * ${classWeightSql("b * 2", "a + b", 6, 490L)} +
+       |      a * ${classWeightSql("a * 2", "a + b", 6, 490L)}) AS BIGINT) AS raw
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT event_type, greatest(raw // 2, 0) AS jsd_scaled
+       |FROM s ORDER BY event_type""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),

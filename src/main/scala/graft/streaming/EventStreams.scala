@@ -216,22 +216,12 @@ object EventStreams {
         val qShares = counts.join(tot, Seq("event_type"))
           .select(col("event_type"), col("bucket"),
             expr("(c * 1000000) div n").as("qi"))
-        // PSI with q88's fixed ratio-class ln lookup (milli-nat weights
-        // at class geometric midpoints; smoothed ppm shares a = qi+1,
-        // b = pi+1) — the same all-integer statistic the batch q88
-        // computes, scored per micro-batch
+        // PSI with q88's fixed ratio-class ln lookup (EventQueries
+        // .psiWeight — the SAME ladder the batch query uses; smoothed
+        // ppm shares a = qi+1, b = pi+1), scored per micro-batch
         val a = coalesce(col("qi"), lit(0L)) + 1L
         val b = coalesce(col("pi"), lit(0L)) + 1L
-        val w =
-          when(a * 4 < b, -2079L)
-            .when(a * 2 < b, -1040L)
-            .when(a * 4 < b * 3, -490L)
-            .when(a * 10 < b * 9, -197L)
-            .when(a * 10 < b * 11, 0L)
-            .when(a * 3 < b * 4, 191L)
-            .when(a < b * 2, 490L)
-            .when(a < b * 4, 1040L)
-            .otherwise(2079L)
+        val w = graft.operators.EventQueries.psiWeight(a, b)
         val drift = refB.select(col("event_type"), col("bucket"), col("pi"))
           .join(qShares, Seq("event_type", "bucket"), "full")
           .select(col("event_type"),

@@ -118,6 +118,34 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(shifted.head.getAs[Boolean]("drifted"))
   }
 
+  test("q88/q89 surface a type absent from the reference window instead of dropping it") {
+    val tmp = Files.createTempDirectory("psi_newtype").toString
+    def nanos(date: String): Long =
+      java.sql.Timestamp.valueOf(s"$date 12:00:00").getTime * 1000000L
+    val vals = Seq(1.0, 2.0, 5.0, 9.0)
+    val events =
+      (vals.zipWithIndex.flatMap { case (v, i) =>
+        Seq((i.toLong, nanos("2024-01-02"), 1L, "click", v, "{}"),
+          (100L + i, nanos("2024-01-20"), 1L, "click", v, "{}"))
+      } ++ vals.zipWithIndex.map { case (v, i) =>
+        // a brand-new type: current window only
+        (200L + i, nanos("2024-01-20"), 1L, "newtype", v, "{}")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val psi = q("q88_psi_drift")(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("psi_scaled"), r.getAs[Boolean]("drifted"))).toMap
+    assert(psi.keySet === Set("click", "newtype"), "new type must not vanish in the bounds join")
+    assert(psi("click") === ((0L, false)))
+    assert(psi("newtype")._1 > 200000000L && psi("newtype")._2,
+      "a type with zero reference mass is maximal drift")
+    val jsd = q("q89_jsd_drift")(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("jsd_scaled")).toMap
+    assert(jsd.keySet === Set("click", "newtype"))
+    assert(jsd("click") === 0L)
+    assert(jsd("newtype") > 100000000L && jsd("newtype") <= 693147181L)
+  }
+
   test("q89 JSD: zero on identical windows, within [0, ln2] always, flags the full shift") {
     val same = q("q89_jsd_drift")(spark, driftFixture(Seq(1.0, 2.0, 5.0, 9.0))).collect()
     assert(same.length === 1)
