@@ -32,15 +32,21 @@ object Tables {
   /** Footer-schema memo: every `spark.read.parquet(path)` CALL pays
     * schema inference (~160 ms against the bench floor — a footer read
     * + merge per DataFrame creation, 3 creations per benched query).
-    * The schema is a property of the file, so infer once per path and
-    * hand it to subsequent reads explicitly. Production engines do the
-    * same thing through a catalog. */
+    * The schema is a property of the file CONTENTS, so the memo key
+    * includes (mtime, size): a rewritten fixture invalidates naturally
+    * — one cheap getFileStatus (~1 ms) instead of a footer read — and
+    * a stale entry can never serve a changed file. Production engines
+    * do the same thing through a catalog. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(hPath)
+    val key = s"$path@${st.getModificationTime}:${st.getLen}"
+    val schema = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

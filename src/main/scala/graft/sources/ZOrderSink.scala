@@ -64,8 +64,11 @@ object ZOrderSink {
   }
 
   /** Per-file [min, max] of an INT64 column, from parquet FOOTERS only
-    * (what a lakehouse keeps in its stats catalog). */
-  private def footerRange(conf: Configuration, file: Path, column: String): (Long, Long) = {
+    * (what a lakehouse keeps in its stats catalog). None when the file
+    * carries no usable stats for the column (all-null chunks, missing
+    * column, non-INT64 type) — pruning must then KEEP the file: stats
+    * absence can only ever widen the read set, never wrongly shrink it. */
+  private def footerRange(conf: Configuration, file: Path, column: String): Option[(Long, Long)] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val ranges = for {
@@ -75,9 +78,11 @@ object ZOrderSink {
           .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
         if chunk.getPath.toDotString == column
         stats = chunk.getStatistics if stats != null && stats.hasNonNullValue
-      } yield (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-        stats.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-      (ranges.map(_._1).min, ranges.map(_._2).max)
+        lo <- Option(stats.genericGetMin).collect { case l: java.lang.Long => l.longValue() }
+        hi <- Option(stats.genericGetMax).collect { case l: java.lang.Long => l.longValue() }
+      } yield (lo, hi)
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
     } finally reader.close()
   }
 
@@ -96,9 +101,12 @@ object ZOrderSink {
       .map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
       .filter { p =>
-        val (alo, ahi) = footerRange(conf, p, a)
-        val (blo, bhi) = footerRange(conf, p, b)
-        alo <= aHi && ahi >= aLo && blo <= bHi && bhi >= bLo
+        // missing stats on either column ⇒ keep the file (conservative)
+        (footerRange(conf, p, a), footerRange(conf, p, b)) match {
+          case (Some((alo, ahi)), Some((blo, bhi))) =>
+            alo <= aHi && ahi >= aLo && blo <= bHi && bhi >= bLo
+          case _ => true
+        }
       }
       .map(_.toString)
   }
