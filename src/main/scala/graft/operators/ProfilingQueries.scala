@@ -43,17 +43,13 @@ object ProfilingQueries {
   private def q47(s: SparkSession, dir: String): DataFrame = {
     // part arrives as ONE parquet scan partition at bench scale; the
     // broadcast self-join inherits that layout, serializing every DP
-    // onto one core. Spreading the probe side by block key first costs
-    // a 20k-row shuffle and parallelizes the kernel (same move as
-    // DedupQueries.shingles); at 100 TB the scan is naturally
-    // partitioned and this shuffle is noise. The partition count is
-    // EXPLICIT because AQE would coalesce a ~2 MB keyed shuffle back to
-    // one partition — re-serializing the DP — and explicit counts are
-    // exempt from coalescing.
-    val cores = s.sparkContext.defaultParallelism
-    val a = Tables.part(s, dir).select(col("p_brand"), substring(col("p_name"), 1, 6).as("pfx"),
-      col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
-      .repartition(cores, col("p_brand"), col("pfx"))
+    // onto one core. Tables.spread parallelizes the probe side for a
+    // 20k-row shuffle (see its scaladoc for the AQE-coalescing trap);
+    // at 100 TB the scan is naturally partitioned and this is noise.
+    val a = Tables.spread(
+      Tables.part(s, dir).select(col("p_brand"), substring(col("p_name"), 1, 6).as("pfx"),
+        col("p_partkey").as("pk_a"), col("p_name").as("name_a")),
+      col("p_brand"), col("pfx"))
     val b = Tables.part(s, dir).select(col("p_brand").as("brand_b"), substring(col("p_name"), 1, 6).as("pfx_b"),
       col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
     // the distance kernel IS the query cost (~360k candidate pairs):
