@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** Max element multiplicity of a string-array expression as ONE
+    * codegen'd HOF pass (sort, then longest equal-run) — replaces the
+    * explode + two-level hash-agg + join-back shape for per-doc token
+    * stats: no shuffle, no join, stats stay scan-side columns. */
+  private def maxRun(arr: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin)
+
+  /** Total occurrences of elements appearing ≥ 2 times in a string-array
+    * expression (the RefinedWeb duplicated-occurrence numerator), same
+    * sorted-run pass: runs of length ≥ 2 contribute their full length. */
+  private def dupOcc(arr: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'dup', acc.dup + IF(x <=> acc.prev, 0L, IF(acc.run >= 2L, acc.run, 0L))),
+       |  acc -> acc.dup + IF(acc.run >= 2L, acc.run, 0L))""".stripMargin)
+
   // ---------------------------------------------------------------- q54
   /** Dedup clustering: every doc labeled with the min doc_id reachable
     * through near-dup edges (singletons label themselves), plus cluster
@@ -161,20 +186,20 @@ object CorpusQueries {
     * ≥ 2 times in the doc. keep = both under threshold. One explode +
     * two hash aggs per signal — no joins on text, fully codegen'd. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
+    // both signals as pure array expressions on the scan (see maxRun /
+    // dupOcc): the old explode + four hash aggs + join collapse into
+    // one codegen'd projection. Docs with < 2 tokens have no bigrams —
+    // the old uni⨝dup inner join dropped them; the filter keeps parity.
     val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-    val uni = tf.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"))
-    val bf = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val dup = bf.groupBy(col("doc_id")).agg(
-      sum(col("c")).as("n_bigrams"),
-      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_occ"))
-    uni.join(dup, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        maxRun("t").as("top_c"),
+        (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        dupOcc("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
+          .as("dup_occ"))
+    docs
       .withColumn("top_token_frac", Det.rate(col("top_c").cast("double") / col("n_tokens")))
       .withColumn("dup_bigram_frac", Det.rate(col("dup_occ").cast("double") / col("n_bigrams")))
       .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
@@ -501,18 +526,19 @@ object CorpusQueries {
     * (CorpusPipeline). */
   private[operators] def funnelFrom(
       s: SparkSession, dir: String, jaccard: DataFrame): DataFrame = {
+    // token-count stats as PURE ARRAY EXPRESSIONS on the scan (maxRun
+    // scaladoc) — no explode, no two-level hash agg, no stats join;
+    // semantics identical to the explode + groupBy form (and to the
+    // oracle's per-doc subquery).
     val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
-    val stats = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_c"))
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        maxRun("split(text, ' ')").as("top_c"))
     val nearDup = jaccard
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
     val staged = docs
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .join(stats, Seq("doc_id"))
       .join(broadcast(nearDup), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("n_tok") < 30, "short")
