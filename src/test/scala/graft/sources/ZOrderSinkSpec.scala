@@ -32,6 +32,24 @@ class ZOrderSinkSpec extends SparkSpec {
     assert(back.agg(sum("id")).as[Long].head() === (0L until 10000L).sum)
   }
 
+  test("files without usable column stats are kept, never pruned or crashed on") {
+    val tmp = Files.createTempDirectory("zorder_nostats").toString
+    // one normal file + one whose x/y chunks are entirely null + one
+    // missing the columns outright — pruning must keep the latter two
+    spark.range(0, 100).select((col("id") % 10).as("x"), (col("id") / 10).cast("long").as("y"))
+      .coalesce(1).write.parquet(s"$tmp/t")
+    Seq((null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
+      .toDF("x", "y").coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    spark.range(0, 5).select(col("id").as("other"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val all = ZOrderSink.pruneFiles(spark, s"$tmp/t", "x", 0L, 0L, "y", 0L, 0L)
+    // the stats-bearing file matches the box too (x=0,y=0 exists) → all 3 kept
+    assert(all.size === 3, s"conservative keep expected, got $all")
+    val none = ZOrderSink.pruneFiles(spark, s"$tmp/t", "x", 50L, 60L, "y", 50L, 60L)
+    // out-of-range box prunes the stats-bearing file, keeps the two statless ones
+    assert(none.size === 2, s"statless files must survive pruning, got $none")
+  }
+
   test("two-predicate scan prunes more files under z-order than linear layout") {
     val tmp = Files.createTempDirectory("zorder_prune").toString
     // 64k points on a 256x256 grid, shuffled ids
