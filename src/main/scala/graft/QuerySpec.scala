@@ -32,11 +32,14 @@ object Tables {
   /** Footer-schema memo: every `spark.read.parquet(path)` CALL pays
     * schema inference (~160 ms against the bench floor — a footer read
     * + merge per DataFrame creation, 3 creations per benched query).
-    * The schema is a property of the file CONTENTS, so the memo key
-    * includes (mtime, size): a rewritten fixture invalidates naturally
-    * — one cheap getFileStatus (~1 ms) instead of a footer read — and
-    * a stale entry can never serve a changed file. Production engines
-    * do the same thing through a catalog. */
+    * The schema is a property of the file CONTENTS, so the memo key is
+    * built from content-tracking file state: for a plain file its
+    * (mtime, len); for a DIRECTORY table (Spark-written fixtures) the
+    * (name, mtime, len) of every child — a directory's own mtime/len
+    * does not change when a part file is rewritten in place, so keying
+    * on the children is what makes rewrite-invalidates-entry actually
+    * hold. One cheap listing (~1 ms) instead of a footer read.
+    * Production engines do the same thing through a catalog. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
@@ -45,7 +48,12 @@ object Tables {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(hPath)
-    val key = s"$path@${st.getModificationTime}:${st.getLen}"
+    val state =
+      if (!st.isDirectory) s"${st.getModificationTime}:${st.getLen}"
+      else fs.listStatus(hPath).toSeq.sortBy(_.getPath.getName)
+        .map(c => s"${c.getPath.getName}@${c.getModificationTime}:${c.getLen}")
+        .mkString(",")
+    val key = s"$path@$state"
     val schema = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }

@@ -183,13 +183,12 @@ object CorpusQueries {
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 analogue):
     * per doc, the fraction of tokens that are the single most frequent
     * token, and the fraction of bigram OCCURRENCES whose bigram appears
-    * ≥ 2 times in the doc. keep = both under threshold. One explode +
-    * two hash aggs per signal — no joins on text, fully codegen'd. */
+    * ≥ 2 times in the doc. keep = both under threshold. Both signals
+    * are single sorted-run array expressions per doc (maxRun/dupOcc) —
+    * no explode, no shuffle, no join. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
-    // both signals as pure array expressions on the scan (see maxRun /
-    // dupOcc): the old explode + four hash aggs + join collapse into
-    // one codegen'd projection. Docs with < 2 tokens have no bigrams —
-    // the old uni⨝dup inner join dropped them; the filter keeps parity.
+    // docs with < 2 tokens have no bigrams — the previous uni⨝dup
+    // inner join dropped them; the filter keeps parity
     val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -514,7 +513,7 @@ object CorpusQueries {
     * occurrence") — else kept. Output is the per-stage doc count and
     * share: the attribution report every curation run ships with.
     *
-    * Scale: one token explode + two-level hash agg for the stats, one
+    * Scale: scan-side array-expression token stats (maxRun), one
     * window-min over md5 partitions for exact-dup, and the near-dup
     * side is dedup OUTPUT (tiny, broadcast into a left join). Stage
     * attribution is a single CASE — no per-filter rescans of the

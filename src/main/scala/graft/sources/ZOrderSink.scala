@@ -64,25 +64,34 @@ object ZOrderSink {
   }
 
   /** Per-file [min, max] of an INT64 column, from parquet FOOTERS only
-    * (what a lakehouse keeps in its stats catalog). None when the file
-    * carries no usable stats for the column (all-null chunks, missing
-    * column, non-INT64 type) — pruning must then KEEP the file: stats
-    * absence can only ever widen the read set, never wrongly shrink it. */
+    * (what a lakehouse keeps in its stats catalog). None — meaning
+    * "keep the file, no pruning claim" — unless EVERY row group
+    * carries usable stats for the column: a single statless (or
+    * all-null, or non-INT64) chunk poisons the whole file's range,
+    * because a range computed from the stats-bearing groups alone
+    * could wrongly prune rows living in the statless one. Stats
+    * absence may only ever widen the read set. */
   private def footerRange(conf: Configuration, file: Path, column: String): Option[(Long, Long)] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
-      val ranges = for {
-        block <- reader.getFooter.getBlocks.toArray.toSeq
-          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
-        chunk <- block.getColumns.toArray.toSeq
-          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-        if chunk.getPath.toDotString == column
-        stats = chunk.getStatistics if stats != null && stats.hasNonNullValue
-        lo <- Option(stats.genericGetMin).collect { case l: java.lang.Long => l.longValue() }
-        hi <- Option(stats.genericGetMax).collect { case l: java.lang.Long => l.longValue() }
-      } yield (lo, hi)
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      val perBlock = reader.getFooter.getBlocks.toArray.toSeq
+        .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
+        .map { block =>
+          val chunks = block.getColumns.toArray.toSeq
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .filter(_.getPath.toDotString == column)
+          for {
+            chunk <- chunks.headOption if chunks.size == 1
+            stats <- Option(chunk.getStatistics) if stats.hasNonNullValue
+            lo <- Option(stats.genericGetMin).collect { case l: java.lang.Long => l.longValue() }
+            hi <- Option(stats.genericGetMax).collect { case l: java.lang.Long => l.longValue() }
+          } yield (lo, hi)
+        }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else {
+        val ranges = perBlock.flatten
+        Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      }
     } finally reader.close()
   }
 

@@ -231,7 +231,14 @@ object EventStreams {
           .agg(sum((col("qi") - col("pi")) * (col("qi") - col("pi")))
             .as("drift_l2_milli"),
             sum((a - b) * w).as("psi_scaled"))
-          .join(tot, Seq("event_type"))
+          // LEFT join: a reference type with ZERO events this batch —
+          // a disappeared type, drift just as loud as a brand-new one —
+          // has no `tot` row; an inner join would silently drop its
+          // maximal-drift report (the mirror of the new-type left join
+          // above). n = 0 for such types.
+          .join(tot, Seq("event_type"), "left")
+          .select(col("event_type"), col("drift_l2_milli"), col("psi_scaled"),
+            coalesce(col("n"), lit(0L)).as("n"))
           .collect() // bounded: one row per event type per batch
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         store.record(id, drift.toSeq)

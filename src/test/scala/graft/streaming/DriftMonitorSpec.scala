@@ -67,5 +67,10 @@ class DriftMonitorSpec extends SparkSpec {
     // all 10^6 milli-share sits in buckets where pi = 0 → drift 10^12;
     // PSI: one bucket with a−b = 10^6 in the r ≥ 4 class → 10^6·2079
     assert(snap((0L, "scroll")) === ((1000000L * 1000000L, 1000000L * 2079L, 5L)))
+    // and the DISAPPEARED reference type (zero click events this batch)
+    // must be reported at maximal drift with n = 0, not dropped:
+    // L2 = 10 buckets × 100000², PSI = 10 × 100000·2079 (r < 1/4 class)
+    assert(snap((0L, "click")) ===
+      ((10L * 100000L * 100000L, 10L * 100000L * 2079L, 0L)))
   }
 }
