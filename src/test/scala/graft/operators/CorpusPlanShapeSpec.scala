@@ -21,16 +21,14 @@ class CorpusPlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "training side must not shuffle into a merge join")
   }
 
-  test("q56 repetition filters: the only join is on per-doc aggregated partials") {
+  test("q56 repetition filters: pure scan-side array expressions — no join, no agg") {
     val p = finalPlan("q56_repetition_quality")
-    // token/bigram frequencies each reduce to one row per doc BEFORE the
-    // doc_id-keyed join of the two signals — no join ever touches text,
-    // and nothing nested-loops
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
-    val joinIdx = p.indexOf("Join")
-    val aggIdx = p.indexOf("HashAggregate")
-    assert(joinIdx >= 0 && aggIdx > joinIdx,
-      "aggregations must sit below the doc_id join in the final plan")
+    // both signals are sorted-run array expressions computed in the
+    // projection (CorpusQueries.maxRun/dupOcc) — the old explode +
+    // four hash aggs + doc_id join shape must not reappear
+    assert(!p.contains("Join"), s"q56 must not join:\n$p")
+    assert(!p.contains("Generate"), s"q56 must not explode:\n$p")
+    assert(!p.contains("HashAggregate"), s"q56 stats must stay scan-side:\n$p")
   }
 
   test("q59 bm25: df/doclen/scalars broadcast; no sort-merge join") {
