@@ -383,6 +383,127 @@ object PipelineQueries {
        |) WHERE hits >= 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+  /** Exact-substring duplication spans (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operator, re-expressed relationally): find every W-token window
+    * whose hash occurs in ≥ 2 DISTINCT documents, merge each doc's
+    * duplicated windows into maximal spans (overlapping windows count
+    * their union of tokens, not W per window), and report per source
+    * the share of tokens living inside cross-document duplicated spans.
+    *
+    * The suffix-array original is a single-machine algorithm; the
+    * distributed shape is: rolling window hashes (stride 1, md5 of the
+    * joined tokens — bit-identical in both engines) → per-hash distinct
+    * doc count (one shuffle of 16-byte hashes, never text) → the
+    * duplicated-window positions per doc → gaps-and-islands span merge
+    * (two window functions over the doc partition) → per-source
+    * integer ppm. Docs shorter than W carry zero duplicated tokens but
+    * still count in the denominator.
+    *
+    * Scale: the wh shuffle is the only full-data exchange and it moves
+    * (doc_id, pos, 16-byte hash); span merging is doc-partitioned; the
+    * per-source rollup is |sources| rows. A df-cap on pathological
+    * windows (the q26 stop-shingle move) bounds hot hashes if a corpus
+    * has boilerplate — not needed at this vocabulary. */
+  private val SpanW = 10
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+    val wins = docs.filter(size(col("t")) >= SpanW)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $SpanW), i -> md5(concat_ws(' ', slice(t, i + 1, $SpanW))))"))
+          .as(Seq("pos", "wh")))
+    // duplicated across documents: ≥ 2 distinct docs share the hash
+    val byHash = Window.partitionBy(col("wh"))
+    val dupPos = wins.select(col("doc_id"), col("wh")).distinct()
+      .withColumn("docs_with", count(lit(1)).over(byHash))
+      .filter(col("docs_with") >= 2)
+      .select(col("doc_id"), col("wh"))
+      .join(wins, Seq("doc_id", "wh"))
+      .select(col("doc_id"), col("pos").cast("long").as("st"),
+        (col("pos") + SpanW).cast("long").as("en"))
+    // gaps-and-islands: a window opens a new island iff it starts past
+    // every previous window's end; island id = running count of opens
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val spans = dupPos
+      .withColumn("prev_end", max(col("en")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens", when(col("prev_end").isNull || col("st") > col("prev_end"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("span_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("dup_tokens")).as("tokens_dup"))
+      .withColumn("dup_token_ppm",
+        expr("(tokens_dup * 1000000) div tokens_total"))
+      .orderBy(col("source"))
+  }
+
+  private val q90Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), base AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens FROM d
+       |), wins AS (
+       |  SELECT doc_id, i AS pos,
+       |         md5(array_to_string(list_slice(t, i + 1, i + $SpanW), ' ')) AS wh
+       |  FROM d, unnest(generate_series(0, len(t) - $SpanW)) AS u(i)
+       |  WHERE len(t) >= $SpanW
+       |), dw AS (
+       |  SELECT doc_id, wh FROM (
+       |    SELECT doc_id, wh,
+       |           count(*) OVER (PARTITION BY wh) AS docs_with
+       |    FROM (SELECT DISTINCT doc_id, wh FROM wins)
+       |  ) WHERE docs_with >= 2
+       |), dp AS (
+       |  SELECT w.doc_id, CAST(w.pos AS BIGINT) AS st,
+       |         CAST(w.pos + $SpanW AS BIGINT) AS en
+       |  FROM wins w JOIN dw ON dw.doc_id = w.doc_id AND dw.wh = w.wh
+       |), isl AS (
+       |  SELECT doc_id, st, en,
+       |         CASE WHEN prev_end IS NULL OR st > prev_end THEN 1 ELSE 0 END AS opens
+       |  FROM (
+       |    SELECT doc_id, st, en,
+       |           max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |             AS prev_end
+       |    FROM dp)
+       |), grp AS (
+       |  SELECT doc_id, st, en,
+       |         sum(opens) OVER (PARTITION BY doc_id ORDER BY st
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS island
+       |  FROM isl
+       |), spans AS (
+       |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens FROM (
+       |    SELECT doc_id, island, max(en) - min(st) AS span_tokens
+       |    FROM grp GROUP BY doc_id, island)
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN COALESCE(s.dup_tokens, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS docs_with_dup,
+       |       CAST(sum(b.n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(sum(COALESCE(s.dup_tokens, 0)) AS BIGINT) AS tokens_dup,
+       |       CAST((sum(COALESCE(s.dup_tokens, 0)) * 1000000) // sum(b.n_tokens) AS BIGINT)
+       |         AS dup_token_ppm
+       |FROM base b LEFT JOIN spans s ON s.doc_id = b.doc_id
+       |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
@@ -390,5 +511,6 @@ object PipelineQueries {
     QuerySpec("q78_dupgram_fraction", Some(q78Sql), q78),
     QuerySpec("q83_doc_chunking", Some(q83Sql), q83),
     QuerySpec("q87_pps_sample", Some(q87Sql), q87),
+    QuerySpec("q90_dup_spans", Some(q90Sql), q90),
   )
 }

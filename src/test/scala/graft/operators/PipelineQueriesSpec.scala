@@ -197,4 +197,34 @@ class PipelineQueriesSpec extends SparkSpec {
     assert((1L to 6L).forall(ranks(0L) > ranks(_)), "hub must outrank leaves")
     assert(ranks(10L) === ranks(11L), "symmetric pair ranks equal")
   }
+
+  // ------------------------------------------------------------- q90
+  test("q90 merges overlapping duplicated windows into exact token spans") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup_spans").toString
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // docs 1 & 2 share a 14-token run (overlapping 10-windows must merge
+    // to 14 tokens, not 5·10); doc 3 is unique; doc 4 is shorter than W
+    val shared = words(14, "s")
+    val events = Seq(
+      (1L, s"${words(6, "a")} $shared ${words(5, "b")}", "en", "web", 0L),
+      (2L, s"${words(3, "c")} $shared ${words(8, "d")}", "en", "web", 0L),
+      (3L, words(30, "u"), "en", "books", 0L),
+      (4L, words(4, "v"), "en", "books", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    events.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = PipelineQueries.specs.find(_.name == "q90_dup_spans").get
+      .fn(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 2L)
+    assert(web.getAs[Long]("docs_with_dup") === 2L)
+    // each web doc carries exactly the 14 shared tokens as its dup span
+    assert(web.getAs[Long]("tokens_dup") === 28L,
+      s"overlapping windows must merge to the exact 14-token span per doc: $web")
+    assert(web.getAs[Long]("tokens_total") === 25L + 25L)
+    val books = out("books")
+    assert(books.getAs[Long]("docs_with_dup") === 0L)
+    assert(books.getAs[Long]("tokens_dup") === 0L)
+    assert(books.getAs[Long]("n_docs") === 2L, "short docs still count in the denominator")
+  }
 }
