@@ -105,6 +105,17 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"explicit-count spread missing from the simhash kernel:\n$p")
   }
 
+  test("q90 dup spans: only hashes shuffle — no text column crosses an exchange") {
+    val p = finalPlan("q90_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // every exchange's output must be hash/position/id columns; the raw
+    // text (and the token array derived from it) stays scan-side
+    p.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#") && !l.contains(" t#"),
+        s"text must never shuffle in q90:\n$l")
+    }
+  }
+
   test("q88/q89 drift: bin bounds broadcast, no fact-fact shuffle join") {
     Seq("q88_psi_drift", "q89_jsd_drift").foreach { name =>
       val p = finalPlan(name)
