@@ -77,10 +77,20 @@ object DedupQueries {
     // 16 minhashes as 16 parallel min-aggregates over the (doc, shingle)
     // rows — no row explosion, map-side partial agg, ONE shuffle of 16
     // columns per doc (vs exploding 16× and shuffling every hash row).
-    val mh = sh.groupBy(col("doc_id")).agg(
+    // The native graft_md5_keyed kernel computes all 16 digests with one
+    // byte conversion (values byte-identical to md5(concat(h,':',s)) —
+    // Md5KeyedSpec pins it); sessions without GraftExtensions fall back
+    // to the builtin chain.
+    val hashed =
+      if (s.catalog.functionExists("graft_md5_keyed"))
+        sh.withColumn("hx", expr(s"graft_md5_keyed(s, $NumHashes)"))
+      else
+        sh.withColumn("hx", array((0 until NumHashes).map(h =>
+          md5(concat(lit(h.toString), lit(":"), col("s")))): _*))
+    val mh = hashed.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"), // shingle-set size, piggybacked — no separate sizes pass
       (0 until NumHashes).map(h =>
-        min(md5(concat(lit(h.toString), lit(":"), col("s")))).as(s"mh$h")): _*)
+        min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
     // band signature = md5 of "hh:minhash" pairs joined in h order —
     // byte-identical to the oracle's string_agg(... ORDER BY h).
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LshSignCodes}
+import graft.functions.{DotProductD, LevenshteinD, LshSignCodes, Md5Keyed}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // optional 3rd arg: distance bound k (int literal) → banded kernel
         LevenshteinD(children(0), children(1),
           children.drop(2).headOption.map(_.eval().asInstanceOf[Number].intValue))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_keyed"),
+      new ExpressionInfo(classOf[Md5Keyed].getName, "graft_md5_keyed"),
+      (children: Seq[Expression]) =>
+        Md5Keyed(children(0), children(1).eval().asInstanceOf[Number].intValue)))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }
