@@ -15,21 +15,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * The builtin path allocates, PER HASH: a concat'd UTF8String, its
   * getBytes copy, commons-codec's hex string, and a UTF8String wrap —
   * 16 × 4 allocations per shingle row. This kernel converts the input
-  * to bytes ONCE, feeds a reused MessageDigest (prefix bytes are
-  * precomputed constants), and hex-encodes into a reused char table —
-  * same digests, a fraction of the garbage. Values are pinned against
-  * the builtin in Md5KeyedSpec, so the DuckDB oracles (which replicate
-  * the same md5('h:' || s) family) are untouched. */
+  * to bytes ONCE, feeds a thread-local reused MessageDigest (prefix
+  * bytes are precomputed constants), and hex-encodes ASCII bytes
+  * directly into the UTF8String payload (no intermediate String) —
+  * same digests, a fraction of the garbage. Per hash only the 16-byte
+  * digest and the 32-byte hex payload remain as allocations. Values
+  * are pinned against the builtin in Md5KeyedSpec, so the DuckDB
+  * oracles (which replicate the same md5('h:' || s) family) are
+  * untouched. */
 object Md5KeyedKernel {
 
   private val MaxKeys = 64
   private val prefixes: Array[Array[Byte]] =
     (0 until MaxKeys).map(h => s"$h:".getBytes("UTF-8")).toArray
-  private val hexChars = "0123456789abcdef".toCharArray
+  private val hexBytes = "0123456789abcdef".getBytes("US-ASCII")
+  // MessageDigest is stateful and not thread-safe; one per executor
+  // thread, reset per hash, lives for the task's lifetime.
+  private val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   def hashes(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val out = new Array[Any](n)
     var h = 0
     while (h < n) {
@@ -37,14 +45,15 @@ object Md5KeyedKernel {
       md.update(prefixes(h))
       md.update(bytes)
       val d = md.digest()
-      val hex = new Array[Char](32)
+      // hex digits are ASCII, so the byte array IS valid UTF-8 payload
+      val hex = new Array[Byte](32)
       var i = 0
       while (i < 16) {
-        hex(2 * i) = hexChars((d(i) >> 4) & 0xf)
-        hex(2 * i + 1) = hexChars(d(i) & 0xf)
+        hex(2 * i) = hexBytes((d(i) >> 4) & 0xf)
+        hex(2 * i + 1) = hexBytes(d(i) & 0xf)
         i += 1
       }
-      out(h) = UTF8String.fromString(new String(hex))
+      out(h) = UTF8String.fromBytes(hex)
       h += 1
     }
     new GenericArrayData(out)

@@ -401,8 +401,11 @@ object PipelineQueries {
     * integer ppm. Docs shorter than W carry zero duplicated tokens but
     * still count in the denominator.
     *
-    * Scale: the wh shuffle is the only full-data exchange and it moves
-    * (doc_id, pos, 16-byte hash); span merging is doc-partitioned; the
+    * Scale: the wh shuffle is the only full-data exchange the ALGORITHM
+    * needs and it moves (doc_id, pos, 16-byte hash) — the bench-only
+    * Tables.spread repartition also moves raw rows, but at scale scans
+    * arrive pre-partitioned and it drops out; span merging is
+    * doc-partitioned; the
     * per-source rollup is |sources| rows. A df-cap on pathological
     * windows (the q26 stop-shingle move) bounds hot hashes if a corpus
     * has boilerplate — not needed at this vocabulary. */

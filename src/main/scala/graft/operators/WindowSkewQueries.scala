@@ -58,22 +58,27 @@ object WindowSkewQueries {
       .withColumn("c_start", col("c_end") - col("cnt"))
       .withColumn("n", sum(col("cnt")).over(part))
     def covers(k: Column) = k >= col("c_start") && k < col("c_end")
-    // persist: `chosen` is consumed three times (qtyBracket, the sliver
+    // `chosen` is consumed three times (qtyBracket, the sliver
     // broadcast, the probe broadcast) and its lineage contains the full
-    // pass-A scan — without the pin, each consumer could re-run pass A
+    // pass-A scan — without a pin, each consumer could re-run pass A
     // and the documented two-scan budget becomes optimizer luck. The
-    // frame is a few hundred rows; the broadcast builds materialize the
-    // cache first (sequential), so no eager count is needed (the
-    // pairStatsFrom precedent).
-    val chosen = buckets
-      .select(col("g"), col("c"), col("bk"), col("c_start"), col("c_end"), col("n"),
-        explode(typedLit(Seq(0.25, 0.5, 0.9))).as("p"))
-      .filter(col("c") === "q" || col("p") === 0.5) // price: median only
-      .withColumn("r", col("p") * (col("n") - 1))
-      .withColumn("klo", floor(col("r")).cast("long"))
-      .withColumn("khi", ceil(col("r")).cast("long"))
-      .filter(covers(col("klo")) || covers(col("khi")))
-      .persist()
+    // frame is bounded (|groups|·|cols|·|ps|·≤2 covering buckets, a few
+    // dozen rows), so collect it once into a LocalRelation instead of
+    // persist(): same single pass-A execution, zero cache entries to
+    // leak in a long-lived session (the drift-monitor collect-once
+    // precedent), and the downstream broadcasts become driver-local.
+    val chosen = {
+      val chosenPlan = buckets
+        .select(col("g"), col("c"), col("bk"), col("c_start"), col("c_end"), col("n"),
+          explode(typedLit(Seq(0.25, 0.5, 0.9))).as("p"))
+        .filter(col("c") === "q" || col("p") === 0.5) // price: median only
+        .withColumn("r", col("p") * (col("n") - 1))
+        .withColumn("klo", floor(col("r")).cast("long"))
+        .withColumn("khi", ceil(col("r")).cast("long"))
+        .filter(covers(col("klo")) || covers(col("khi")))
+      s.createDataFrame(java.util.Arrays.asList(chosenPlan.collect(): _*),
+        chosenPlan.schema)
+    }
     // qty's unit buckets mean pass A already holds its values
     // (bk == v), so the quantity percentiles come straight off the
     // chosen buckets with no second scan

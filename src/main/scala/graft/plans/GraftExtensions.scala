@@ -11,6 +11,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (done by Verify/Bench/tests) or `withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a function argument that MUST be an integer literal
+    * (permutation counts, plane counts, distance bounds — values baked
+    * into the expression at plan time). A non-foldable argument (a
+    * column, say) would otherwise die inside `eval()` with an opaque
+    * Unevaluable/ClassCast error mid-analysis; surface the standard
+    * NON_FOLDABLE_INPUT / UNEXPECTED_INPUT_TYPE analysis errors naming
+    * the function and argument instead. */
+  private def intLit(fn: String, argName: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr" -> s""""$fn"""",
+          "inputName" -> s"`$argName`",
+          "inputType" -> "\"INT\"",
+          "inputExpr" -> s""""${e.sql}""""),
+        cause = None)
+    e.eval() match {
+      case n: Number => n.intValue
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+          messageParameters = Map(
+            "sqlExpr" -> s""""$fn"""",
+            "paramIndex" -> s"`$argName`",
+            "requiredType" -> "\"INT\"",
+            "inputSql" -> s""""${e.sql}"""",
+            "inputType" -> s""""${e.dataType.catalogString}""""),
+          cause = None)
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -21,9 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshSignCodes].getName, "graft_lsh_codes"),
       (children: Seq[Expression]) => {
         // (v, seed, tables, planes, dim) — trailing four are int literals
-        def intLit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
-        LshSignCodes(children(0), intLit(children(1)), intLit(children(2)),
-          intLit(children(3)), intLit(children(4)))
+        def lit(name: String, e: Expression) = intLit("graft_lsh_codes", name, e)
+        LshSignCodes(children(0), lit("seed", children(1)), lit("tables", children(2)),
+          lit("planes", children(3)), lit("dim", children(4)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_lev"),
@@ -31,12 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         // optional 3rd arg: distance bound k (int literal) → banded kernel
         LevenshteinD(children(0), children(1),
-          children.drop(2).headOption.map(_.eval().asInstanceOf[Number].intValue))))
+          children.drop(2).headOption.map(intLit("graft_lev", "k", _)))))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_keyed"),
       new ExpressionInfo(classOf[Md5Keyed].getName, "graft_md5_keyed"),
       (children: Seq[Expression]) =>
-        Md5Keyed(children(0), children(1).eval().asInstanceOf[Number].intValue)))
+        Md5Keyed(children(0), intLit("graft_md5_keyed", "n", children(1)))))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }

@@ -42,10 +42,21 @@ object ZOrderSink {
   private[sources] def morton(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
-  /** Scale a value into [0, 65535] given its min/max (inclusive). */
+  /** Scale a value into [0, 65535] given its min/max (inclusive).
+    * Computed on doubles: long arithmetic `(v−lo)·65536` silently
+    * overflows once the key range exceeds ~2^47, scrambling the Morton
+    * layout (pruning would stay CORRECT via footer stats, but the
+    * clustering quality — the whole point — would be lost). A double
+    * carries 53 mantissa bits; the cell index only needs 16 bits of
+    * resolution, so the rounding on huge ranges moves a value at most
+    * one cell — harmless for layout. */
   private def cell(v: Column, lo: Long, hi: Long): Column =
     if (hi == lo) lit(0L)
-    else least(lit(65535L), floor(((v - lit(lo)) * 65536L) / lit(hi - lo + 1L)).cast("long"))
+    else {
+      val span = hi.toDouble - lo.toDouble + 1.0 // up to 2^64, fine as double
+      val scaled = floor((v.cast("double") - lit(lo.toDouble)) * lit(65536.0 / span))
+      least(lit(65535L), greatest(lit(0L), scaled.cast("long")))
+    }
 
   /** Write `df` z-ordered by two long columns into `nFiles` parquet
     * files, each covering one Morton-range tile of (a, b) space. */

@@ -33,4 +33,19 @@ class Md5KeyedSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("key count") ||
       e.getMessage.toLowerCase.contains("[1, 64]"))
   }
+
+  test("non-literal key count raises a clean analysis error naming the function") {
+    // a column is not foldable — the builder must raise NON_FOLDABLE_INPUT
+    // instead of dying inside eval() with an opaque Unevaluable error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", 4)).toDF("s", "k")
+        .selectExpr("graft_md5_keyed(s, k)").collect()
+    }
+    assert(e.getMessage.contains("graft_md5_keyed"), e.getMessage)
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s").selectExpr("graft_lev(s, s, s)").collect()
+    }
+    assert(e2.getMessage.contains("graft_lev"), e2.getMessage)
+  }
 }

@@ -105,14 +105,46 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"explicit-count spread missing from the simhash kernel:\n$p")
   }
 
-  test("q90 dup spans: only hashes shuffle — no text column crosses an exchange") {
-    val p = finalPlan("q90_dup_spans")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
-    // every exchange's output must be hash/position/id columns; the raw
-    // text (and the token array derived from it) stays scan-side
-    p.split("\n").filter(_.contains("Exchange")).foreach { l =>
-      assert(!l.contains("text#") && !l.contains(" t#"),
-        s"text must never shuffle in q90:\n$l")
+  test("q90 dup spans: algorithmic shuffles carry hashes/ids, never text or token arrays") {
+    // The earlier form of this test grepped Exchange HEADER lines, which
+    // print partitioning expressions, not the shuffled columns — it
+    // passed vacuously. This version inspects each exchange's actual
+    // output attribute set from the executed plan tree. Scope: the
+    // bench-only Tables.spread repartition (REPARTITION_BY_NUM) DOES
+    // move raw rows by design (scans arrive pre-partitioned at scale —
+    // see Tables.spread); the claim is about the ALGORITHM's hash
+    // shuffles (wh dedup/window, doc-partitioned span merge, source
+    // rollup): those must only ever carry hash/position/id/count
+    // columns.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val df = graft.QueryCatalog.all.find(_.name == "q90_dup_spans").get.fn(spark, dir)
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(n => allNodes(unwrap(n)))
+    }
+    val nodes = allNodes(unwrap(df.queryExecution.executedPlan))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    val (spread, algo) = shuffles.partition(_.shuffleOrigin.toString == "REPARTITION_BY_NUM")
+    assert(spread.nonEmpty, "the explicit spread exchange should survive AQE")
+    assert(algo.nonEmpty, "the wh/window/rollup hash shuffles must exist")
+    algo.foreach { e =>
+      val bad = e.output.filter(a =>
+        a.name == "text" || a.name == "t" ||
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(bad.isEmpty,
+        s"algorithmic exchange must not carry text/token arrays, got ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
     }
   }
 
