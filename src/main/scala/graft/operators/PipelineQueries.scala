@@ -108,13 +108,19 @@ object PipelineQueries {
     val rates = counts.crossJoin(broadcast(caps))
       .withColumn("rate",
         col("rel").cast("double") * col("t_max") / (col("r_tot") * col("n_orig")))
-    // pass 2: deterministic per-row uniform — a Weyl-style multiplicative
-    // hash, exact in 64-bit integers in both engines (rand(seed) is
-    // partition-layout-dependent and never oracle-safe)
+    // pass 2: deterministic per-row uniform — the first 48 bits of
+    // md5(doc_id) as a fraction of 2^48 (rand(seed) is partition-
+    // layout-dependent and never oracle-safe). md5 rather than a
+    // multiplicative hash: the old `doc_id * 2654435761 % 2^32` form
+    // overflowed signed 64-bit once doc_id ≳ 3.5e9 — Spark wraps
+    // silently where DuckDB raises, so the pair diverged exactly at
+    // 100-TB-sized ids. 48 bits stay exact in double (< 2^53) and the
+    // hex prefix parses identically in both engines (q19/q57 family).
+    val u48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("bigint").cast("double")
     val kept = docs
       .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
-      .filter(((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).cast("double")
-        < col("rate") * lit(4294967296e0))
+      .filter(u48 < col("rate") * lit(281474976710656e0)) // 2^48
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     val out = counts.join(kept, Seq("source"), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
@@ -141,8 +147,9 @@ object PipelineQueries {
       |), kept AS (
       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
       |  FROM documents d JOIN rates r ON d.source = r.source
-      |  WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
-      |        < r.rate * 4294967296e0
+      |  WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) AS DOUBLE)
+      |        < r.rate * 281474976710656e0
       |  GROUP BY d.source
       |), merged AS (
       |  SELECT c.source, c.n_orig, c.rel, COALESCE(k.n_kept, 0) AS n_kept

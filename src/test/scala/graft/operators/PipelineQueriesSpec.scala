@@ -53,6 +53,26 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q76 keep-hash is overflow-safe for ids past 2^32") {
+    // the old multiplicative form (doc_id * 2654435761 % 2^32) overflowed
+    // signed 64-bit for doc_id ≳ 3.5e9; the md5-prefix uniform must agree
+    // with a direct digest computation and stay inside [0, 2^48) at any id
+    val huge = Seq(4294967296L, 1L << 40, Long.MaxValue, Long.MaxValue - 1)
+    val got = huge.toDF("doc_id")
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("bigint").as("u48"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    huge.foreach { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(12)
+      val expect = java.lang.Long.parseLong(hex, 16)
+      assert(got(id) === expect, s"id=$id")
+      assert(got(id) >= 0L && got(id) < (1L << 48))
+    }
+  }
+
   test("q76 achieved mix tracks the target mix") {
     val rows = q("q76_mixture_sampling").collect()
     rows.foreach { r =>
