@@ -59,5 +59,6 @@ object QueryCatalog {
       operators.MultimodalQueries.specs ++
       operators.CorpusQueries.specs ++
       operators.MiningQueries.specs ++
-      operators.PipelineQueries.specs
+      operators.PipelineQueries.specs ++
+      operators.BpeQueries.specs
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-merge training (Sennrich et al. 2016; the trainer
+  * behind every production tokenizer — HuggingFace `tokenizers`,
+  * SentencePiece's BPE mode). q37 tokenizes with a FIXED rule; this is
+  * the learning side: K iterations of count-adjacent-pairs →
+  * merge-argmax → apply-merge, emitting the learned merge table.
+  *
+  * Distributed shape (the production one): the corpus collapses to a
+  * WEIGHTED VOCABULARY first — `groupBy(word).count()` is the only
+  * corpus-scale shuffle — and the entire training loop then runs over
+  * |V| rows with per-word weights, exactly how real trainers scale
+  * (they count words once, then iterate on the word-freq dict). Each
+  * iteration is: one vocab-scale window (lead), one map-side-combined
+  * pair count whose argmax is a SINGLE collected row (the q80
+  * fixed-point pattern), and one vocab-scale merge application
+  * (windows partitioned by word). Lineage is truncated per step via
+  * the SQL cache, with each parent unpersisted one step late so the
+  * next argmax job doubles as the child's materialization.
+  *
+  * Exactness: pair counts are integer sums of word frequencies; the
+  * argmax tiebreak is (count DESC, left ASC, right ASC); merge
+  * application is the standard greedy left-to-right non-overlapping
+  * rule (in a run of consecutive matches — only possible when
+  * left==right — the 1st, 3rd, … apply). Every step is therefore
+  * bit-free exact arithmetic, and the DuckDB oracle replays the SAME
+  * K steps as unrolled CTEs.
+  *
+  * 100 TB: the corpus term of the cost is one explode + count
+  * (map-side combined); the loop cost is K × O(|V|·avg_len) rows with
+  * no corpus rescans. A billion-doc corpus with a 10M-word vocabulary
+  * trains in K vocab-sized window passes — the corpus size only ever
+  * enters through the initial count. */
+object BpeQueries {
+
+  private val MergeSteps = 8
+
+  /** The learned merge table for `words` (columns w: string,
+    * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
+    * list — K rows, one collected argmax per step. */
+  /** The learned merge table for `words` (columns w: string,
+    * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
+    * list — K rows, one collected 1-row argmax per step (the q80
+    * fixed-point pattern; a fully-lazy relational unroll was measured
+    * SLOWER here: without per-step materialization the narrow window
+    * stages re-execute once per broadcast-build job).
+    *
+    * AQE is disabled around the loop (restored after): the loop frames
+    * are vocab-sized, so per-stage adaptive re-planning × K steps is
+    * pure latency with nothing to re-optimize. */
+  private[operators] def trainMerges(
+      words: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+    val s = words.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    // initial segmentation: one row per (word, char position)
+    val seg0 = words.select(col("w"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("pos", "sym")))
+    var seg = seg0.persist()
+    // the parent cache must outlive the child until the child has
+    // materialized (the child's plan scans it) — unpersist one step
+    // LATE, right after the next argmax collect has filled the child's
+    // cache, instead of paying a dedicated count() job per step
+    var parent: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val lagged = seg
+          .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+          .withColumn("idx", row_number().over(byWord))
+        // pair counting: map-side combine over ≤|V|·avg_len rows; the
+        // argmax is ONE row to the driver (and the job that computes it
+        // materializes this step's seg cache)
+        val best = lagged.filter(col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+          .limit(1).collect()
+        parent.foreach(_.unpersist())
+        parent = None
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((step.toLong, l, r, cnt))
+          // greedy left-to-right application: in a run of consecutive
+          // matches (idx-contiguous, only possible when l == r) the
+          // 1st, 3rd, … positions apply; a symbol whose predecessor
+          // applied was consumed and drops out. The (w, hit[, grp])
+          // windows are satisfied by the existing hash(w) distribution
+          // — extra sorts, no extra exchanges.
+          val applied = lagged
+            .withColumn("hit", (col("sym") === l && col("nxt") === r).cast("int"))
+            .withColumn("grp", when(col("hit") === 1, col("idx") -
+              row_number().over(Window.partitionBy(col("w"), col("hit")).orderBy(col("idx")))))
+            .withColumn("runpos", when(col("hit") === 1, row_number().over(
+              Window.partitionBy(col("w"), col("hit"), col("grp")).orderBy(col("idx")))))
+            .withColumn("applied",
+              (col("hit") === 1 && col("runpos") % 2 === 1).cast("int"))
+          val next = applied
+            .withColumn("prev_applied", lag(col("applied"), 1, 0).over(byWord))
+            .filter(col("prev_applied") === 0)
+            .select(col("w"), col("freq"), col("pos"),
+              when(col("applied") === 1, concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+          // truncate lineage: re-wrap through the RDD (persist alone
+          // does not cut the logical plan — the pageRank rule); the
+          // cache fills on the next step's argmax job
+          val mat = s.createDataFrame(next.rdd, next.schema).persist()
+          parent = Some(seg)
+          seg = mat
+          step += 1
+        }
+      }
+    } finally {
+      parent.foreach(_.unpersist())
+      seg.unpersist()
+      s.conf.set(aqeKey, aqeBefore)
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------- q91
+  /** Learned BPE merge table over the documents corpus: K = 8 steps of
+    * (count pairs → merge argmax → apply), output (step, lhs, rhs,
+    * pair_count) ordered by step. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    trainMerges(words, MergeSteps)
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The oracle replays the same K greedy steps as unrolled CTEs —
+    * generated, not hand-written, so the two engines' step semantics
+    * cannot drift apart silently. */
+  private def stepCtes(n: Int): String = {
+    val prev = if (n == 1) "seg0" else s"seg${n - 1}"
+    s"""lag$n AS (
+       |  SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+       |         row_number() OVER (PARTITION BY w ORDER BY pos) AS idx
+       |  FROM $prev
+       |), best$n AS (
+       |  SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM lag$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, l, r LIMIT 1
+       |), run$n AS (
+       |  SELECT *, CASE WHEN hit = 1 THEN row_number() OVER
+       |           (PARTITION BY w, hit, grp ORDER BY idx) END AS runpos
+       |  FROM (
+       |    SELECT *, CASE WHEN hit = 1 THEN idx - row_number() OVER
+       |             (PARTITION BY w, hit ORDER BY idx) END AS grp
+       |    FROM (SELECT g.*, CASE WHEN g.sym = b.l AND g.nxt = b.r
+       |                           THEN 1 ELSE 0 END AS hit
+       |          FROM lag$n g CROSS JOIN best$n b))
+       |), app$n AS (
+       |  SELECT *, CASE WHEN hit = 1 AND runpos % 2 = 1 THEN 1 ELSE 0 END AS applied
+       |  FROM run$n
+       |), seg$n AS (
+       |  SELECT w, freq, pos,
+       |         CASE WHEN applied = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(applied, 1, 0) OVER (PARTITION BY w ORDER BY pos)
+       |               AS prev_applied FROM app$n)
+       |  WHERE prev_applied = 0
+       |)""".stripMargin
+  }
+
+  private val q91Sql = {
+    val steps = (1 to MergeSteps).map(stepCtes).mkString(",\n")
+    val out = (1 to MergeSteps)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM best$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), seg0 AS (
+       |  SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
+       |  FROM w, unnest(generate_series(1, len(w))) AS u(i)
+       |),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
+  )
+}

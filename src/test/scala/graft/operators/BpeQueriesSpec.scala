@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed merge orders for the BPE trainer: frequency-weighted
+  * argmax, lexicographic tiebreak, greedy left-to-right overlap rule,
+  * and early exhaustion when no pairs remain. */
+class BpeQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def train(words: Seq[(String, Long)], k: Int) =
+    BpeQueries.trainMerges(words.toDF("w", "freq"), k)
+
+  test("merge order follows weighted pair counts, stops when exhausted") {
+    // step1: (a,b) appears 2×10 + 5 = 25 — beats (b,a)=10, (b,c)=5, (a,a)=3
+    // step2: abab → [ab,ab] gives (ab,ab)=10
+    // step3: (ab,c)=5; step4: (a,a)=3; then every word is one symbol
+    val merges = train(Seq(("abab", 10L), ("abc", 5L), ("aa", 3L)), k = 8)
+    assert(merges === Seq(
+      (1L, "a", "b", 25L),
+      (2L, "ab", "ab", 10L),
+      (3L, "ab", "c", 5L),
+      (4L, "a", "a", 3L)))
+  }
+
+  test("greedy left-to-right: a run of consecutive matches merges 1st, 3rd, …") {
+    // aaaa: (a,a) matches at 3 consecutive positions → apply 1st and 3rd
+    // → [aa, aa]; then (aa,aa) once
+    assert(train(Seq(("aaaa", 1L)), k = 8) ===
+      Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+    // aaa: [aa, a] after step 1 — the middle match was consumed
+    assert(train(Seq(("aaa", 1L)), k = 8) ===
+      Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
+
+  test("count ties break lexicographically on (lhs, rhs)") {
+    val merges = train(Seq(("ba", 1L), ("ab", 1L)), k = 1)
+    assert(merges === Seq((1L, "a", "b", 1L)))
+  }
+
+  test("q91 emits one row per step with monotone non-increasing counts") {
+    val rows = graft.QueryCatalog.all.find(_.name == "q91_bpe_merges").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to rows.length))
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    // a merged pair's count can exceed a later argmax but never grow:
+    // each step's argmax is ≤ the previous step's (merging only removes
+    // or re-labels pair mass at equal weight)
+    assert(counts === counts.sortBy(-_))
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+  }
+}
