@@ -26,7 +26,8 @@ final class CoachSession(
 
   /** qa_answer (:621-642): classify → select tables → assemble context
     * → health check. The returned context is what the expert LLM call
-    * would receive (LLM boundary stays outside the engine). */
+    * receives — render it with [[coach]] (LLM-backed via [[LlmExpert]],
+    * or the deterministic [[EchoExpert]] for CI flows). */
   def answer(question: String, user: UserWorkflow.UserTables): CoachSession.Answer = {
     val (category, needs) = classifier.classify(question)
     val tables = Map(
@@ -40,6 +41,12 @@ final class CoachSession(
     val games = user.summary.collect()(0).getAs[Long]("games")
     CoachSession.Answer(category, needs, context, QnaRouter.dataHealthWarning(category, games))
   }
+
+  /** The full expert_answer flow (phase2_qna_workflow.py:328-433):
+    * assemble the answer context, then render it through `expert`. */
+  def coach(question: String, user: UserWorkflow.UserTables,
+      expert: ExpertAnswerer): String =
+    expert.answer(question, answer(question, user))
 }
 
 object CoachSession {

@@ -40,18 +40,14 @@ final class LlmClassifier(
 
   override def classify(question: String): (String, Seq[String]) = {
     val reply =
-      try post(LlmClassifier.requestBody(model, question))
+      try LlmTransport.post(baseUrl, apiKey, LlmClassifier.requestBody(model, question), timeoutMs)
       catch { case _: Exception => return fallback }
     val parsed =
       try {
-        val content = JsonMethods.parse(reply) \ "choices" match {
-          case JArray(first :: _) => first \ "message" \ "content" match {
-            case JString(s) => s
-            case _ => return fallback
-          }
-          case _ => return fallback
+        LlmTransport.content(reply) match {
+          case Some(c) => JsonMethods.parse(c)
+          case None => return fallback
         }
-        JsonMethods.parse(content)
       } catch { case _: Exception => return fallback }
     val category = parsed \ "category" match {
       case JString(c) if QnaRouter.Categories.contains(c) => c
@@ -70,27 +66,6 @@ final class LlmClassifier(
     }
   }
 
-  private def post(body: String): String = {
-    val conn = new java.net.URL(s"$baseUrl/v1/chat/completions").openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setRequestMethod("POST")
-    conn.setRequestProperty("Authorization", s"Bearer $apiKey")
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setDoOutput(true)
-    val out = conn.getOutputStream
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val status = conn.getResponseCode
-    val stream = if (status == 200) conn.getInputStream else conn.getErrorStream
-    val reply =
-      if (stream == null) ""
-      else try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
-      finally stream.close()
-    if (status != 200)
-      throw new RuntimeException(s"LLM API error $status: $reply")
-    reply
-  }
 }
 
 object LlmClassifier {
@@ -108,18 +83,6 @@ object LlmClassifier {
       |{"category": "...", "data_needs": ["..."]}""".stripMargin
 
   /** max_tokens=300: the classifier budget (phase2_constants.py:8). */
-  private[battle] def requestBody(model: String, question: String): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    s"""{"model": ${q(model)}, "max_tokens": 300, "messages": [
-       |{"role": "system", "content": ${q(SystemPrompt)}},
-       |{"role": "user", "content": ${q(question)}}]}""".stripMargin
-  }
+  private[battle] def requestBody(model: String, question: String): String =
+    LlmTransport.requestBody(model, 300, SystemPrompt, question)
 }
