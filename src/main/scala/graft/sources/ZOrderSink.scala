@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * 32-bit Morton code with the classic bit-spread sequence — all
   * codegen'd built-in ops — and the frame is range-partitioned by that
   * code: each output file covers a contiguous Morton range, i.e. a
-  * tile. `pruneFiles` then does what a lakehouse stats catalog does:
-  * read each footer's per-column min/max (no data pages) and keep only
-  * files whose [min,max] box intersects the predicate box. */
+  * tile. The write also materializes a `_stats.parquet` sidecar (per
+  * file, per row group, per key column min/max — the stats catalog),
+  * so `pruneFiles`/`pruneRowGroups` answer from ONE bounded read
+  * instead of O(#files) footer opens, keeping only files (and row
+  * groups) whose [min,max] box intersects the predicate box; a footer
+  * scan remains the fallback for directories without a sidecar. */
 object ZOrderSink {
 
   /** Spread the low 16 bits of `v` to even bit positions (0, 2, 4, …):
@@ -59,7 +62,12 @@ object ZOrderSink {
     }
 
   /** Write `df` z-ordered by two long columns into `nFiles` parquet
-    * files, each covering one Morton-range tile of (a, b) space. */
+    * files, each covering one Morton-range tile of (a, b) space, then
+    * write the `_stats.parquet` sidecar (per file, per row group, per
+    * key column min/max) that [[pruneFiles]]/[[pruneRowGroups]] read
+    * instead of opening every footer — the write owns both artifacts,
+    * the way a lakehouse commit owns data files + stats in one
+    * transaction. */
   def write(df: DataFrame, path: String, a: String, b: String, nFiles: Int): Unit = {
     val Array(bounds) = df.agg(
       floor(min(col(a))).cast("long").as("alo"), floor(max(col(a))).cast("long").as("ahi"),
@@ -72,62 +80,164 @@ object ZOrderSink {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+    writeStats(df.sparkSession, path, Seq(a, b))
   }
 
-  /** Per-file [min, max] of an INT64 column, from parquet FOOTERS only
-    * (what a lakehouse keeps in its stats catalog). None — meaning
-    * "keep the file, no pruning claim" — unless EVERY row group
-    * carries usable stats for the column: a single statless (or
-    * all-null, or non-INT64) chunk poisons the whole file's range,
-    * because a range computed from the stats-bearing groups alone
-    * could wrongly prune rows living in the statless one. Stats
-    * absence may only ever widen the read set. */
-  private def footerRange(conf: Configuration, file: Path, column: String): Option[(Long, Long)] = {
+  /** One row group's stats for one column. `range` None means the
+    * chunk carries no usable stats (statless, all-null, or non-INT64):
+    * a "no pruning claim" marker — stats absence may only ever WIDEN
+    * the read set, never narrow it. */
+  private[sources] final case class BlockStat(
+      file: String, block: Int, rows: Long, bytes: Long,
+      column: String, lo: Option[Long], hi: Option[Long]) {
+    def range: Option[(Long, Long)] = for (l <- lo; h <- hi) yield (l, h)
+  }
+
+  /** The sidecar's name: underscore-prefixed, so Hadoop/Spark data
+    * scans of the directory ignore it. */
+  private val StatsName = "_stats.parquet"
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+
+  /** Per-row-group per-column stats of one file, from its FOOTER (no
+    * data pages). */
+  private def footerStats(conf: Configuration, file: Path, columns: Seq[String]): Seq[BlockStat] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
-      val perBlock = reader.getFooter.getBlocks.toArray.toSeq
+      reader.getFooter.getBlocks.toArray.toSeq
         .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
-        .map { block =>
-          val chunks = block.getColumns.toArray.toSeq
-            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-            .filter(_.getPath.toDotString == column)
-          for {
-            chunk <- chunks.headOption if chunks.size == 1
-            stats <- Option(chunk.getStatistics) if stats.hasNonNullValue
-            lo <- Option(stats.genericGetMin).collect { case l: java.lang.Long => l.longValue() }
-            hi <- Option(stats.genericGetMax).collect { case l: java.lang.Long => l.longValue() }
-          } yield (lo, hi)
+        .zipWithIndex.flatMap { case (block, i) =>
+          columns.map { column =>
+            val chunks = block.getColumns.toArray.toSeq
+              .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+              .filter(_.getPath.toDotString == column)
+            val range = for {
+              chunk <- chunks.headOption if chunks.size == 1
+              stats <- Option(chunk.getStatistics) if stats.hasNonNullValue
+              lo <- Option(stats.genericGetMin).collect { case l: java.lang.Long => l.longValue() }
+              hi <- Option(stats.genericGetMax).collect { case l: java.lang.Long => l.longValue() }
+            } yield (lo, hi)
+            BlockStat(file.toString, i, block.getRowCount, block.getTotalByteSize,
+              column, range.map(_._1), range.map(_._2))
+          }
         }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-      else {
-        val ranges = perBlock.flatten
-        Some((ranges.map(_._1).min, ranges.map(_._2).max))
-      }
     } finally reader.close()
   }
 
-  /** File-level skipping: the data files under `path` whose footer
-    * min/max boxes intersect [aLo, aHi] × [bLo, bHi]. Feed the result
-    * to `spark.read.parquet(files: _*)` — rows never touched for
-    * skipped files. */
+  /** Write the stats sidecar for the data files under `path`: one scan
+    * of every footer NOW (at write time, when the footers are in page
+    * cache anyway) so reads never pay the O(#files) footer-RPC pass —
+    * the lakehouse stats-catalog move. Overwrites any previous
+    * sidecar; call after appends to refresh it (files newer than the
+    * sidecar are simply kept un-pruned until then). */
+  def writeStats(spark: SparkSession, path: String, columns: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val stats = dataFiles(fs, dir).flatMap(footerStats(conf, _, columns))
+    import spark.implicits._
+    stats.toDF().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$StatsName")
+  }
+
+  /** All block stats for `path`: the sidecar if present (ONE small
+    * parquet read), else a footer scan over every data file. Files
+    * with no stats rows (e.g. appended after the sidecar was written)
+    * are conservatively unprunable — callers keep them. */
+  private def blockStats(
+      spark: SparkSession, path: String, columns: Seq[String]): Map[String, Seq[BlockStat]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val sidecar = new Path(dir, StatsName)
+    val stats =
+      if (fs.exists(sidecar))
+        spark.read.parquet(sidecar.toString).collect().toSeq.map { r =>
+          BlockStat(r.getAs[String]("file"), r.getAs[Int]("block"),
+            r.getAs[Long]("rows"), r.getAs[Long]("bytes"), r.getAs[String]("column"),
+            Option(r.getAs[java.lang.Long]("lo")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("hi")).map(_.longValue()))
+        }
+      else dataFiles(fs, dir).flatMap(footerStats(conf, _, columns))
+    stats.groupBy(_.file)
+  }
+
+  /** A file's [min, max] for `column` from its block stats — None (no
+    * pruning claim) unless EVERY row group carries usable stats: a
+    * single statless chunk poisons the whole file's range, because a
+    * range from the stats-bearing groups alone could wrongly prune
+    * rows living in the statless one. */
+  private def fileRange(blocks: Seq[BlockStat], column: String): Option[(Long, Long)] = {
+    val ranges = blocks.filter(_.column == column).map(_.range)
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+  }
+
+  private def intersects(r: Option[(Long, Long)], lo: Long, hi: Long): Boolean =
+    r match {
+      case Some((rlo, rhi)) => rlo <= hi && rhi >= lo
+      case None => true // no stats claim ⇒ cannot exclude
+    }
+
+  /** File-level skipping: the data files under `path` whose min/max
+    * boxes intersect [aLo, aHi] × [bLo, bHi]. Feed the result to
+    * `spark.read.parquet(files: _*)` — rows never touched for skipped
+    * files. Reads the `_stats.parquet` sidecar when present (one
+    * bounded read instead of O(#files) footer opens); footer scan is
+    * the fallback, with IDENTICAL keep semantics (the sidecar is the
+    * same footer metadata, materialized at write time). */
   def pruneFiles(
       spark: SparkSession, path: String,
       a: String, aLo: Long, aHi: Long,
       b: String, bLo: Long, bHi: Long): Seq[String] = {
+    val stats = blockStats(spark, path, Seq(a, b))
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .filter { p =>
-        // missing stats on either column ⇒ keep the file (conservative)
-        (footerRange(conf, p, a), footerRange(conf, p, b)) match {
-          case (Some((alo, ahi)), Some((blo, bhi))) =>
-            alo <= aHi && ahi >= aLo && blo <= bHi && bhi >= bLo
-          case _ => true
+    dataFiles(dir.getFileSystem(conf), dir).map(_.toString)
+      .filter { f =>
+        stats.get(f) match {
+          case Some(blocks) =>
+            intersects(fileRange(blocks, a), aLo, aHi) &&
+              intersects(fileRange(blocks, b), bLo, bHi)
+          case None => true // not in the sidecar (e.g. late append) ⇒ keep
         }
       }
-      .map(_.toString)
+  }
+
+  /** Row groups selected for one file. `allBlocks` = no stats claim —
+    * read the whole file. `bytes` is the total byte size of the kept
+    * row groups (0 when `allBlocks`, where the size is unknown). */
+  final case class RowGroupSelection(
+      file: String, blocks: Seq[Int], bytes: Long, allBlocks: Boolean)
+
+  /** Row-group-level skipping: within every kept file, only the row
+    * groups whose own min/max boxes intersect the predicate box — the
+    * granularity a stats catalog buys beyond file pruning (a z-ordered
+    * file is itself Morton-sorted, so a small box touches a small
+    * PREFIX of its row groups). Files or groups without usable stats
+    * are kept whole, mirroring [[pruneFiles]]'s conservatism. */
+  def pruneRowGroups(
+      spark: SparkSession, path: String,
+      a: String, aLo: Long, aHi: Long,
+      b: String, bLo: Long, bHi: Long): Seq[RowGroupSelection] = {
+    val stats = blockStats(spark, path, Seq(a, b))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    dataFiles(dir.getFileSystem(conf), dir).map(_.toString).flatMap { f =>
+      stats.get(f) match {
+        case None => Some(RowGroupSelection(f, Nil, 0L, allBlocks = true))
+        case Some(blocks) =>
+          val byBlock = blocks.groupBy(_.block).toSeq.sortBy(_._1)
+          val kept = byBlock.filter { case (_, bs) =>
+            intersects(fileRange(bs, a), aLo, aHi) &&
+              intersects(fileRange(bs, b), bLo, bHi)
+          }
+          if (kept.isEmpty) None
+          else Some(RowGroupSelection(f, kept.map(_._1),
+            kept.map(_._2.head.bytes).sum, allBlocks = kept.size == byBlock.size))
+      }
+    }
   }
 }

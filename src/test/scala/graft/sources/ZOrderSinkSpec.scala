@@ -50,6 +50,70 @@ class ZOrderSinkSpec extends SparkSpec {
     assert(none.size === 2, s"statless files must survive pruning, got $none")
   }
 
+  test("stats sidecar: written by write(), identical keep-set to the footer scan") {
+    val tmp = Files.createTempDirectory("zorder_sidecar").toString
+    val df = spark.range(0, 16384).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    ZOrderSink.write(df, s"$tmp/t", "x", "y", nFiles = 16)
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(s"$tmp/t/_stats.parquet")
+    assert(fs.exists(sidecar), "write() must materialize the stats sidecar")
+    // data reads must not see the underscore-prefixed sidecar
+    assert(spark.read.parquet(s"$tmp/t").count() === 16384)
+    val boxes = Seq((0L, 31L, 0L, 31L), (100L, 127L, 0L, 127L), (500L, 600L, 500L, 600L))
+    val withSidecar = boxes.map { case (al, ah, bl, bh) =>
+      ZOrderSink.pruneFiles(spark, s"$tmp/t", "x", al, ah, "y", bl, bh).sorted
+    }
+    fs.delete(sidecar, true)
+    val footerOnly = boxes.map { case (al, ah, bl, bh) =>
+      ZOrderSink.pruneFiles(spark, s"$tmp/t", "x", al, ah, "y", bl, bh).sorted
+    }
+    assert(withSidecar === footerOnly,
+      "sidecar and footer pruning must agree on every keep-set")
+    assert(withSidecar.head.nonEmpty && withSidecar.head.size < 16)
+    assert(withSidecar(2).isEmpty, "out-of-domain box must prune everything")
+  }
+
+  test("row-group pruning reads fewer row groups and bytes than whole files") {
+    val tmp = Files.createTempDirectory("zorder_rowgroups").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val (oldBlock, oldPage) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+    // force many small row groups so within-file granularity exists
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val df = spark.range(0, 16384).select(
+        (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+      // ONE file: file-level pruning can do nothing, row groups must
+      ZOrderSink.write(df, s"$tmp/t", "x", "y", nFiles = 1)
+      val box = (0L, 15L, 0L, 15L)
+      val files = ZOrderSink.pruneFiles(spark, s"$tmp/t", "x", box._1, box._2, "y", box._3, box._4)
+      assert(files.size === 1, "the single file intersects the box")
+      val sel = ZOrderSink.pruneRowGroups(spark, s"$tmp/t", "x", box._1, box._2, "y", box._3, box._4)
+      assert(sel.size === 1)
+      val s = sel.head
+      assert(!s.allBlocks, "a small box must not need every row group")
+      assert(s.blocks.nonEmpty)
+      // vs the whole file: strictly fewer groups and bytes
+      val all = ZOrderSink.pruneRowGroups(spark, s"$tmp/t", "x", 0L, 127L, "y", 0L, 127L)
+      assert(all.head.allBlocks)
+      assert(s.blocks.size < all.head.blocks.size)
+      assert(s.bytes < all.head.bytes)
+      // the kept groups must cover at least every matching row
+      val matching = spark.read.parquet(s"$tmp/t")
+        .filter(col("x").between(box._1, box._2) && col("y").between(box._3, box._4)).count()
+      assert(matching === 16L * 16L)
+      val keptRows = spark.read.parquet(s"$tmp/t/_stats.parquet")
+        .filter(col("column") === "x" && col("block").isin(s.blocks.map(Int.box): _*))
+        .select(sum(col("rows"))).collect()(0).getLong(0)
+      assert(keptRows >= matching)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("two-predicate scan prunes more files under z-order than linear layout") {
     val tmp = Files.createTempDirectory("zorder_prune").toString
     // 64k points on a 256x256 grid, shuffled ids
