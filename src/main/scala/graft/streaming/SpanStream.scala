@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of q90's exact-substring duplication spans —
+  * INCREMENTAL ExactSubstr (Lee et al. 2022, applied the q84 way):
+  * newly ingested documents' stride-1 W-token window hashes are probed
+  * against (a) the standing corpus window-hash index and (b) state
+  * accumulated from earlier micro-batches, so a span duplicated
+  * BETWEEN two streamed docs is found the moment its second copy
+  * arrives — including retroactively emitting the first copy's
+  * windows, which only became duplicated in hindsight. The batch rule
+  * is preserved exactly: a window is duplicated iff its hash occurs in
+  * ≥ 2 DISTINCT documents of corpus ∪ stream (same-doc repeats never
+  * count), so for any prefix of the stream the emitted set equals the
+  * batch computation over corpus + that prefix (SpanStreamSpec pins
+  * this equivalence).
+  *
+  * Scale: the corpus index is the persisted artifact (hash → distinct
+  * doc count + one witness id — 16-byte hashes, never text; the
+  * postingIndex pattern, DedupQueries.scala:199). Per micro-batch the
+  * stream shuffles only (doc_id, pos, hash); state is one entry per
+  * FIRST-SEEN stream hash holding a doc id + its positions until the
+  * hash is established duplicated, then a constant-size tombstone.
+  * Span merging over emitted windows is the settled batch job's
+  * business ([[spans]]) — the usual lambda split. */
+object SpanStream {
+
+  final case class DocText(doc_id: Long, text: String)
+  final case class DupWindow(doc_id: Long, pos: Long, wh: String)
+
+  // public: encoder-generated code instantiates these reflectively
+  final case class Probe(
+      doc_id: Long, pos: Long, wh: String, cn: Long, cmin: Long)
+
+  /** Per-hash state: the first-seen stream doc and its window
+    * positions, until the hash is established duplicated (`emitted`) —
+    * after which positions are dropped (constant size). */
+  final case class HState(doc: Long, positions: List[Long], emitted: Boolean)
+
+  /** Stride-1 W-token window hashes of (doc_id, text) rows — the q90
+    * kernel (PipelineQueries.scala q90 `wins`; the equivalence spec
+    * holds the two to the same hashes). */
+  def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $w), i -> md5(concat_ws(' ', slice(t, i + 1, $w))))"))
+        .as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
+
+  /** The standing corpus index: per window hash, how many DISTINCT
+    * corpus docs contain it and one witness id (enough to decide
+    * duplication against any stream doc, including a corpus doc
+    * re-ingesting itself). Persist this frame (or its parquet form)
+    * between runs — it is the ExactSubstr analog of the rare-shingle
+    * posting index. */
+  def corpusIndex(corpusDocs: DataFrame, w: Int): DataFrame =
+    windowHashes(corpusDocs, w)
+      .groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("corpus_docs"),
+        min(col("doc_id")).as("corpus_min_doc"))
+
+  /** Streaming duplicated-window detector. Emits every streamed
+    * window whose hash is established duplicated — at arrival time
+    * when the corpus or earlier state already proves it, retroactively
+    * for the first-seen copy the moment a second distinct doc shows
+    * up. Corpus-side windows are not re-emitted (the batch job owns
+    * the corpus's own spans). */
+  def dupWindows(
+      spark: SparkSession,
+      docs: Dataset[DocText],
+      corpus: DataFrame,
+      w: Int): Dataset[DupWindow] = {
+    import spark.implicits._
+    val probed = windowHashes(docs.toDF(), w)
+      .join(broadcast(corpus), Seq("wh"), "left")
+      .select(col("doc_id"), col("pos"), col("wh"),
+        coalesce(col("corpus_docs"), lit(0L)).as("cn"),
+        coalesce(col("corpus_min_doc"), lit(Long.MinValue)).as("cmin"))
+      .as[Probe]
+    probed.groupByKey(_.wh)
+      .flatMapGroupsWithState[HState, DupWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (wh: String, rows: Iterator[Probe], state: GroupState[HState]) =>
+          val arr = rows.toSeq.sortBy(r => (r.doc_id, r.pos))
+          val docs = arr.map(_.doc_id).distinct
+          val st = state.getOption
+          // ≥2 distinct docs in corpus ∪ state ∪ this batch?
+          def corpusDup(d: Long) =
+            arr.head.cn >= 2 || (arr.head.cn == 1 && arr.head.cmin != d)
+          val established = st.exists(_.emitted) ||
+            docs.size >= 2 ||
+            docs.exists(corpusDup) ||
+            st.exists(s => docs.exists(_ != s.doc))
+          // the first-seen copy becomes duplicated in hindsight: flush
+          // its stored positions exactly once
+          val retro = st match {
+            case Some(s) if !s.emitted && established =>
+              s.positions.map(p => DupWindow(s.doc, p, wh))
+            case _ => Nil
+          }
+          val now =
+            if (established) arr.map(r => DupWindow(r.doc_id, r.pos, wh))
+            else Nil
+          state.update(
+            if (established) HState(st.map(_.doc).getOrElse(docs.min), Nil, emitted = true)
+            else st match {
+              // not established ⇒ every arrival is the stored doc or the first
+              case Some(s) => s.copy(positions = s.positions ++ arr.map(_.pos))
+              case None => HState(docs.head, arr.map(_.pos).toList, emitted = false)
+            })
+          (retro ++ now).iterator
+      }
+  }
+
+  /** Settled-view span merge over emitted duplicated windows: q90's
+    * gaps-and-islands (overlapping windows count their union of
+    * tokens), per doc. Batch helper for the sink side. */
+  def spans(dup: DataFrame, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    dup.select(col("doc_id"), col("pos").as("st"), (col("pos") + w).as("en")).distinct()
+      .withColumn("prev_end", max(col("en")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens", when(col("prev_end").isNull || col("st") > col("prev_end"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+}
