@@ -53,18 +53,63 @@ object BpeQueries {
     * AQE is disabled around the loop (restored after): the loop frames
     * are vocab-sized, so per-stage adaptive re-planning × K steps is
     * pure latency with nothing to re-optimize. */
+  private val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+
+  /** Initial segmentation: one row per (word, char position). */
+  private def charSeg(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("pos", "sym")))
+
+  /** Apply ONE merge (l, r) to a segmentation frame with the standard
+    * greedy left-to-right non-overlapping rule: in a run of
+    * consecutive matches (idx-contiguous, only possible when l == r)
+    * the 1st, 3rd, … positions apply; a symbol whose predecessor
+    * applied was consumed and drops out. Shared by the trainer's loop
+    * and [[segmented]] (the tokenizer), so the two cannot drift. The
+    * (w, hit[, grp]) windows are satisfied by the hash(w) distribution
+    * — extra sorts, no extra exchanges. */
+  private def applyMerge(seg: DataFrame, l: String, r: String): DataFrame = {
+    val applied = seg
+      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      .withColumn("idx", row_number().over(byWord))
+      .withColumn("hit", (col("sym") === l && col("nxt") === r).cast("int"))
+      .withColumn("grp", when(col("hit") === 1, col("idx") -
+        row_number().over(Window.partitionBy(col("w"), col("hit")).orderBy(col("idx")))))
+      .withColumn("runpos", when(col("hit") === 1, row_number().over(
+        Window.partitionBy(col("w"), col("hit"), col("grp")).orderBy(col("idx")))))
+      .withColumn("applied",
+        (col("hit") === 1 && col("runpos") % 2 === 1).cast("int"))
+    applied
+      .withColumn("prev_applied", lag(col("applied"), 1, 0).over(byWord))
+      .filter(col("prev_applied") === 0)
+      .select(col("w"), col("freq"), col("pos"),
+        when(col("applied") === 1, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** The segmentation after applying `merges` in order — the learned
+    * TOKENIZER as one lazy plan (K stacked window pipelines, all
+    * sharing the hash(w) exchange). */
+  private[operators] def segmented(
+      words: DataFrame, merges: Seq[(Long, String, String, Long)]): DataFrame =
+    merges.foldLeft(charSeg(words)) { case (seg, (_, l, r, _)) => applyMerge(seg, l, r) }
+
   private[operators] def trainMerges(
-      words: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+      words: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
+    trainCore(words, k) { _ => () }
+
+  /** The trainer loop. `finish` runs against the FINAL cached
+    * segmentation before it is unpersisted — q92 derives its token
+    * dictionary there instead of replaying the K merges a second
+    * time. */
+  private def trainCore(words: DataFrame, k: Int)(
+      finish: DataFrame => Unit): Seq[(Long, String, String, Long)] = {
     val s = words.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeBefore = s.conf.get(aqeKey, "true")
     s.conf.set(aqeKey, "false")
-    val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
-    // initial segmentation: one row per (word, char position)
-    val seg0 = words.select(col("w"), col("freq"),
-      posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-        .as(Seq("pos", "sym")))
-    var seg = seg0.persist()
+    var seg = charSeg(words).persist()
     // the parent cache must outlive the child until the child has
     // materialized (the child's plan scans it) — unpersist one step
     // LATE, right after the next argmax collect has filled the child's
@@ -75,13 +120,12 @@ object BpeQueries {
       var step = 1
       var exhausted = false
       while (step <= k && !exhausted) {
-        val lagged = seg
-          .withColumn("nxt", lead(col("sym"), 1).over(byWord))
-          .withColumn("idx", row_number().over(byWord))
         // pair counting: map-side combine over ≤|V|·avg_len rows; the
         // argmax is ONE row to the driver (and the job that computes it
         // materializes this step's seg cache)
-        val best = lagged.filter(col("nxt").isNotNull)
+        val best = seg
+          .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+          .filter(col("nxt").isNotNull)
           .groupBy(col("sym"), col("nxt"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("sym"), col("nxt"))
@@ -92,26 +136,7 @@ object BpeQueries {
         else {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((step.toLong, l, r, cnt))
-          // greedy left-to-right application: in a run of consecutive
-          // matches (idx-contiguous, only possible when l == r) the
-          // 1st, 3rd, … positions apply; a symbol whose predecessor
-          // applied was consumed and drops out. The (w, hit[, grp])
-          // windows are satisfied by the existing hash(w) distribution
-          // — extra sorts, no extra exchanges.
-          val applied = lagged
-            .withColumn("hit", (col("sym") === l && col("nxt") === r).cast("int"))
-            .withColumn("grp", when(col("hit") === 1, col("idx") -
-              row_number().over(Window.partitionBy(col("w"), col("hit")).orderBy(col("idx")))))
-            .withColumn("runpos", when(col("hit") === 1, row_number().over(
-              Window.partitionBy(col("w"), col("hit"), col("grp")).orderBy(col("idx")))))
-            .withColumn("applied",
-              (col("hit") === 1 && col("runpos") % 2 === 1).cast("int"))
-          val next = applied
-            .withColumn("prev_applied", lag(col("applied"), 1, 0).over(byWord))
-            .filter(col("prev_applied") === 0)
-            .select(col("w"), col("freq"), col("pos"),
-              when(col("applied") === 1, concat(col("sym"), col("nxt")))
-                .otherwise(col("sym")).as("sym"))
+          val next = applyMerge(seg, l, r)
           // truncate lineage: re-wrap through the RDD (persist alone
           // does not cut the logical plan — the pageRank rule); the
           // cache fills on the next step's argmax job
@@ -123,11 +148,20 @@ object BpeQueries {
       }
     } finally {
       parent.foreach(_.unpersist())
-      seg.unpersist()
-      s.conf.set(aqeKey, aqeBefore)
+      try finish(seg)
+      finally {
+        seg.unpersist()
+        s.conf.set(aqeKey, aqeBefore)
+      }
     }
     merges.toSeq
   }
+
+  /** The weighted vocabulary of the documents corpus. */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   // ---------------------------------------------------------------- q91
   /** Learned BPE merge table over the documents corpus: K = 8 steps of
@@ -135,12 +169,49 @@ object BpeQueries {
     * pair_count) ordered by step. */
   private def q91(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    trainMerges(words, MergeSteps)
+    trainMerges(vocab(s, dir), MergeSteps)
       .toDF("step", "lhs", "rhs", "pair_count")
       .orderBy(col("step"))
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** Tokenize WITH the learned vocabulary — the re-tokenized sample
+    * that closes the BPE loop: train the K merges and report per
+    * source the corpus compression the learned tokens buy (word count,
+    * character count, post-BPE token count, chars/token). The token
+    * dictionary is read off the trainer's own final segmentation;
+    * [[segmented]] is the standalone tokenizer for NEW words (same
+    * [[applyMerge]] kernel, so trainer and tokenizer cannot drift —
+    * BpeQueriesSpec applies learned merges to unseen words).
+    *
+    * Scale: tokens-per-word is a |V|-row frame broadcast into the
+    * corpus-side word explode — the corpus is scanned once and joins a
+    * vocab-sized dictionary, exactly how production tokenizers apply a
+    * trained vocab. Assumes the corpus supports all K merges (true of
+    * any real corpus; the oracle's unrolled form shares the
+    * assumption). */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val words = vocab(s, dir)
+    // the token dictionary comes straight off the trainer's FINAL
+    // cached segmentation (no second replay of the K merges); it is
+    // persisted as the standing tokenizer artifact — a |V|-row frame,
+    // the q42 persisted-index pattern, clearCache-hygienic
+    var tokPerWord: DataFrame = null
+    trainCore(words, MergeSteps) { finalSeg =>
+      val tok = finalSeg.groupBy(col("w")).agg(count(lit(1)).as("n_tok"))
+      tokPerWord = s.createDataFrame(tok.rdd, tok.schema).persist()
+      tokPerWord.count() // materialize before the trainer drops its cache
+    }
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tokPerWord), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        Det.rate(col("n_chars").cast("double") / col("n_bpe_tokens")))
+      .orderBy(col("source"))
   }
 
   /** The oracle replays the same K greedy steps as unrolled CTEs —
@@ -177,11 +248,10 @@ object BpeQueries {
        |)""".stripMargin
   }
 
-  private val q91Sql = {
+  /** Shared CTE prefix: vocabulary, char segmentation, and the K
+    * unrolled training steps (seg$K is the final segmentation). */
+  private val ctePrefix: String = {
     val steps = (1 to MergeSteps).map(stepCtes).mkString(",\n")
-    val out = (1 to MergeSteps)
-      .map(n => s"SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM best$n")
-      .mkString("\nUNION ALL\n")
     s"""WITH w AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -190,12 +260,36 @@ object BpeQueries {
        |  SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
        |  FROM w, unnest(generate_series(1, len(w))) AS u(i)
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val q91Sql = {
+    val out = (1 to MergeSteps)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM best$n")
+      .mkString("\nUNION ALL\n")
+    s"""$ctePrefix
        |$out
        |ORDER BY step""".stripMargin
   }
 
+  private val q92Sql =
+    s"""$ctePrefix,
+       |tok AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM seg$MergeSteps GROUP BY w
+       |), sw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       floor(CAST(sum(len(w)) AS DOUBLE) / sum(n_tok) * 1e6 + 0.5) / 1e6
+       |         AS chars_per_token
+       |FROM sw JOIN tok USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
+    QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
   )
 }

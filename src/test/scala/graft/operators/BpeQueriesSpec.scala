@@ -39,6 +39,30 @@ class BpeQueriesSpec extends SparkSpec {
     assert(merges === Seq((1L, "a", "b", 1L)))
   }
 
+  test("segmented applies learned merges in order, including to unseen words") {
+    val trainWords = Seq(("abab", 10L), ("abc", 5L), ("aa", 3L))
+    val merges = train(trainWords, k = 8) // (a,b), (ab,ab), (ab,c), (a,a)
+    val toks = BpeQueries.segmented(
+        Seq(("abd", 1L), ("aaa", 1L), ("abab", 1L)).toDF("w", "freq"), merges)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abd: (a,b) fires → [ab, d]; aaa: only (a,a) fires → [aa, a];
+    // abab: (a,b) twice then (ab,ab) → [abab]
+    assert(toks === Map("abd" -> 2L, "aaa" -> 2L, "abab" -> 1L))
+  }
+
+  test("q92 compression accounting: words <= bpe tokens <= chars per source") {
+    val rows = graft.QueryCatalog.all.find(_.name == "q92_bpe_tokenize").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      assert(w <= t && t <= c, s"$w words, $t tokens, $c chars")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+  }
+
   test("q91 emits one row per step with monotone non-increasing counts") {
     val rows = graft.QueryCatalog.all.find(_.name == "q91_bpe_merges").get
       .fn(spark, "/root/testdata/sf0.001").collect()
