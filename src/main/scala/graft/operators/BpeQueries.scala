@@ -40,19 +40,6 @@ object BpeQueries {
 
   private val MergeSteps = 8
 
-  /** The learned merge table for `words` (columns w: string,
-    * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
-    * list — K rows, one collected argmax per step. */
-  /** The learned merge table for `words` (columns w: string,
-    * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
-    * list — K rows, one collected 1-row argmax per step (the q80
-    * fixed-point pattern; a fully-lazy relational unroll was measured
-    * SLOWER here: without per-step materialization the narrow window
-    * stages re-execute once per broadcast-build job).
-    *
-    * AQE is disabled around the loop (restored after): the loop frames
-    * are vocab-sized, so per-stage adaptive re-planning × K steps is
-    * pure latency with nothing to re-optimize. */
   private val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
 
   /** Initial segmentation: one row per (word, char position). */
@@ -91,11 +78,21 @@ object BpeQueries {
   /** The segmentation after applying `merges` in order — the learned
     * TOKENIZER as one lazy plan (K stacked window pipelines, all
     * sharing the hash(w) exchange). */
-  private[operators] def segmented(
+  def segmented(
       words: DataFrame, merges: Seq[(Long, String, String, Long)]): DataFrame =
     merges.foldLeft(charSeg(words)) { case (seg, (_, l, r, _)) => applyMerge(seg, l, r) }
 
-  private[operators] def trainMerges(
+  /** The learned merge table for `words` (columns w: string,
+    * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
+    * list — K rows, one collected 1-row argmax per step (the q80
+    * fixed-point pattern; a fully-lazy relational unroll was measured
+    * SLOWER here: without per-step materialization the narrow window
+    * stages re-execute once per broadcast-build job).
+    *
+    * AQE is disabled around the loop (restored after): the loop frames
+    * are vocab-sized, so per-stage adaptive re-planning × K steps is
+    * pure latency with nothing to re-optimize. */
+  def trainMerges(
       words: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
     trainCore(words, k) { _ => () }
 

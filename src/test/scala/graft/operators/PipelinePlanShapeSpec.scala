@@ -148,6 +148,14 @@ class PipelinePlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q92 tokenize: the corpus joins the token dictionary by broadcast") {
+    val p = finalPlan("q92_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |V|-row dictionary must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle to meet the vocab-sized dictionary")
+  }
+
   test("q88/q89 drift: bin bounds broadcast, no fact-fact shuffle join") {
     Seq("q88_psi_drift", "q89_jsd_drift").foreach { name =>
       val p = finalPlan(name)
