@@ -60,5 +60,6 @@ object QueryCatalog {
       operators.CorpusQueries.specs ++
       operators.MiningQueries.specs ++
       operators.PipelineQueries.specs ++
-      operators.BpeQueries.specs
+      operators.BpeQueries.specs ++
+      operators.SelectionQueries.specs
 }

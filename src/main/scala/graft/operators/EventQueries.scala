@@ -483,7 +483,7 @@ object EventQueries {
     }
 
   /** Same ladder as SQL text (for the DuckDB oracles). */
-  private def classWeightSql(num: String, den: String, take: Int, top: Long): String =
+  private[graft] def classWeightSql(num: String, den: String, take: Int, top: Long): String =
     RatioClasses.take(take).map { case (n, d, w) =>
       s"WHEN ($num) * $d < ($den) * $n THEN $w"
     }.mkString("(CASE ", " ", s" ELSE $top END)")

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted data selection for LLM training sets. */
+object SelectionQueries {
+
+  private val DsirBuckets = 64
+
+  // ---------------------------------------------------------------- q93
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET domain's distribution than under the raw corpus, then
+    * select docs whose log-importance is positive. Target here: the
+    * content-defined domain "docs mentioning `window` ≥ 2 times" — a
+    * seed-filter-defined target, the practical DSIR setup, and
+    * computed SCAN-SIDE per row (a higher-order filter over the token
+    * array, no join; the synthetic corpus's `lang` labels carry no
+    * distributional signal, so a label-defined target would
+    * degenerate to all-zero weights). Features: unigrams hashed into
+    * 64 buckets by the md5-prefix uniform (the q76 hash —
+    * engine-portable, overflow-free); the per-bucket weight
+    * ln(p_target/p_raw) comes from the q88 exact-rational milli-nat
+    * ladder over Laplace-smoothed integer milli-shares, so every
+    * doc's logit is an exact BIGINT sum and the oracle replays it
+    * verbatim.
+    *
+    * Output per source: docs, selected (logit > 0) count + share, and
+    * the mean per-doc logit in milli-nats.
+    *
+    * Scale: two corpus passes, exactly like the published method (fit
+    * the two hashed n-gram models, then score): pass 1 is one
+    * map-side-combined groupBy over ≤ B buckets; pass 2 re-scans,
+    * broadcast-joins the B-row weight table, and aggregates per doc —
+    * nothing but (bucket, counts) and per-doc partial sums ever
+    * shuffles, and B is a constant. Smoothed shares use ppm
+    * resolution; at corpora past ~10⁹ tokens raise the scale constant
+    * with the token count (the ladder itself only compares ratios). */
+  /** Per-doc DSIR logits: (doc_id, source, tgt, logit). The spec
+    * asserts the resampling property on this frame (selected docs are
+    * ENRICHED in the target domain). */
+  private[operators] def docLogits(s: SparkSession, dir: String): DataFrame = {
+    // tgt and the token array are computed BELOW the spread exchange —
+    // once per doc, materialized into the shuffle — so the per-token
+    // stages never re-split the text or re-evaluate the target
+    // predicate, and the hash kernel parallelizes across cores
+    // (single-row-group scans are one task otherwise; the q27/q47
+    // lesson)
+    val docs = Tables.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), t -> t = 'window')) >= 2").as("tgt"),
+        split(col("text"), " ").as("t")),
+      col("doc_id"))
+    val toks = docs
+      .select(col("doc_id"), col("source"), col("tgt"), explode(col("t")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint") % DsirBuckets)
+    // pass 1: fit both hashed-unigram models — ≤ B rows out
+    val counts = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), EventQueries.psiWeight(
+        expr(s"((ct + 1) * 1000000) div (nt + $DsirBuckets)"),
+        expr(s"((cr + 1) * 1000000) div (nr + $DsirBuckets)")).as("w"))
+    // pass 2: score — the B-row weight table broadcasts into the scan
+    toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("source"), col("doc_id"), col("tgt"))
+      .agg(sum(col("w")).as("logit"))
+  }
+
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    docLogits(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(col("logit")).as("sum_logit"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        Det.rate(col("n_selected").cast("double") / col("n_docs")).as("sel_share"),
+        Det.rate(col("sum_logit").cast("double") / col("n_docs")).as("avg_logit_mnat"))
+      .orderBy(col("source"))
+
+  private val q93Sql = {
+    val w = EventQueries.classWeightSql(
+      s"((ct + 1) * 1000000) // (nt + $DsirBuckets)",
+      s"((cr + 1) * 1000000) // (nr + $DsirBuckets)", 8, 2079L)
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter(string_split(text, ' '), t -> t = 'window')) >= 2 AS tgt,
+       |         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, source, text,
+       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), cnt AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(count(*) AS BIGINT) AS cr
+       |  FROM tk GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM cnt
+       |), wt AS (
+       |  SELECT bucket, $w AS wgt FROM cnt, tot
+       |), sc AS (
+       |  SELECT source, doc_id, CAST(sum(wgt) AS BIGINT) AS logit
+       |  FROM tk JOIN wt USING (bucket) GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       floor(CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1e6 + 0.5) / 1e6 AS sel_share,
+       |       floor(CAST(sum(logit) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+       |         AS avg_logit_mnat
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q93_dsir_select", Some(q93Sql), q93),
+  )
+}
