@@ -61,5 +61,6 @@ object QueryCatalog {
       operators.MiningQueries.specs ++
       operators.PipelineQueries.specs ++
       operators.BpeQueries.specs ++
-      operators.SelectionQueries.specs
+      operators.SelectionQueries.specs ++
+      operators.RetrievalQueries.specs
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-stack operators (the RAG serving path). */
+object RetrievalQueries {
+
+  private val TopK = 50    // per-modality retrieved-list depth
+  private val RrfK = 60L   // the standard RRF dampening constant
+  private val OutK = 20
+
+  // ---------------------------------------------------------------- q94
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    * — the fusion every production RAG stack runs over its lexical +
+    * dense retrievers): one query, two rankings, one fused list.
+    *
+    *  - lexical: BM25 against the fixed query "spark query fast" —
+    *    q59's kernel shape (token filter BEFORE the tf shuffle,
+    *    RATIONAL idf (N+1)/(df+1) because ln is ulp-unstable across
+    *    engines and monotone anyway);
+    *  - dense: cosine of every doc's embedding to the query doc's
+    *    (vec 0) embedding — q28's rounded-then-ranked rule;
+    *  - fusion: per modality take the top-K list (TakeOrdered — heaps,
+    *    no global sort), rank WITHIN the retrieved lists, and score
+    *    each doc Σ 10⁶ div (60 + rank) over the lists that retrieved
+    *    it — integer arithmetic, absent-from-list contributes 0.
+    *
+    * The query doc itself is excluded from both lists. Ranks are
+    * assigned by unpartitioned row_number over the ≤ K-row RETRIEVED
+    * lists only — bounded by the limit, never by the corpus (the
+    * corpus-scale work is the two TakeOrdered retrievals, which plan
+    * per-partition heaps).
+    *
+    * Scale: modality lists are K rows regardless of corpus size;
+    * fusion is a K-row full-outer join + integer sum. The dense side's
+    * brute scan is the q28 recall-oracle shape — production swaps in
+    * the IVF/LSH candidate generation (q42/q29) unchanged, because
+    * fusion only consumes (id, rank). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "fast")
+    // ---- lexical list: BM25 blended score, top-K ----
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val g = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-term pivot, then a FIXED-ORDER add before rounding — a bare
+    // sum() accumulates in engine-dependent order (the q59 rule)
+    val termCols = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_$t"))
+    val lexTop = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(broadcast(d.withColumnRenamed("doc_id", "d_id")), col("d_id") === col("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("s",
+        (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"),
+        Det.rate(col("s_spark") + col("s_query") + col("s_fast")).as("lex_score"))
+      .filter(col("doc_id") =!= 0L)
+      .orderBy(col("lex_score").desc, col("doc_id"))
+      .limit(TopK)
+    // ---- dense list: cosine to the query doc's embedding, top-K ----
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
+    val qv = base.filter(col("vec_id") === 0L)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val denseTop = base.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Det.rate(VectorMath.dot(s, "v", "qv") / (col("nrm") * col("qn"))).as("dense_score"))
+      .orderBy(col("dense_score").desc, col("doc_id"))
+      .limit(TopK)
+    // ---- fuse: rank within each ≤K-row list, RRF-sum ----
+    val lexRanked = lexTop.withColumn("lex_rank", row_number()
+      .over(Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
+    val denseRanked = denseTop.withColumn("dense_rank", row_number()
+      .over(Window.orderBy(col("dense_score").desc, col("doc_id"))).cast("long"))
+    lexRanked.join(denseRanked, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + dense_rank)"), lit(0L))).as("rrf_score"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(OutK)
+  }
+
+  private val q94Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM d
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ('spark', 'query', 'fast') GROUP BY 1, 2
+       |), idf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), ts AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         (g.n_docs + 1.0) / (idf.df + 1.0) * (tf.tf * 2.2)
+       |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) AS s
+       |  FROM tf JOIN idf USING (tok) JOIN d ON d.doc_id = tf.doc_id, g
+       |  WHERE tf.doc_id <> 0
+       |), lex AS (
+       |  SELECT doc_id,
+       |         floor((COALESCE(max(CASE WHEN tok = 'spark' THEN s END), 0)
+       |              + COALESCE(max(CASE WHEN tok = 'query' THEN s END), 0)
+       |              + COALESCE(max(CASE WHEN tok = 'fast' THEN s END), 0))
+       |               * 1e6 + 0.5) / 1e6 AS lex_score
+       |  FROM ts GROUP BY doc_id
+       |), lex_top AS (
+       |  SELECT doc_id, lex_score,
+       |         row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+       |  FROM (SELECT * FROM lex ORDER BY lex_score DESC, doc_id LIMIT $TopK)
+       |), nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), dense AS (
+       |  SELECT c.vec_id AS doc_id,
+       |         floor((list_dot_product(c.v, q.v) / (c.nrm * q.nrm)) * 1e6 + 0.5) / 1e6
+       |           AS dense_score
+       |  FROM nv c JOIN nv q ON q.vec_id = 0 AND c.vec_id <> 0
+       |), dense_top AS (
+       |  SELECT doc_id, dense_score,
+       |         row_number() OVER (ORDER BY dense_score DESC, doc_id) AS dense_rank
+       |  FROM (SELECT * FROM dense ORDER BY dense_score DESC, doc_id LIMIT $TopK)
+       |)
+       |SELECT doc_id,
+       |       CAST(COALESCE(1000000 // ($RrfK + l.lex_rank), 0)
+       |          + COALESCE(1000000 // ($RrfK + r.dense_rank), 0) AS BIGINT) AS rrf_score,
+       |       CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+       |       CAST(COALESCE(r.dense_rank, 0) AS BIGINT) AS dense_rank
+       |FROM lex_top l FULL JOIN dense_top r USING (doc_id)
+       |ORDER BY rrf_score DESC, doc_id LIMIT $OutK""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q94_hybrid_rrf", Some(q94Sql), q94),
+  )
+}
