@@ -370,6 +370,74 @@ object ProfilingQueries {
       |      UNION ALL SELECT s3.*, h3.* FROM s3, h3)
       |ORDER BY join_name""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** k-anonymity risk audit (k = 5) — the privacy gate a curation
+    * pipeline runs before releasing event-derived training data:
+    * group rows by a quasi-identifier tuple (event_type, hour-of-day,
+    * value band of width 50) and flag every group whose DISTINCT user
+    * count is below k; any such group re-identifies its members by
+    * attribute combination alone (Sweeney's k-anonymity). Output per
+    * event type: group counts, risky groups + share, the worst
+    * (smallest) group, and the distinct users sitting in risky groups
+    * (the actual exposure).
+    *
+    * Scale: the QI grouping is an exact two-column distinct — (QI,
+    * user) pairs shuffle once with map-side combine; the rollup is
+    * |QI| rows. users_at_risk re-scans and semi-joins the risky-QI
+    * list — broadcastable while risky QIs ≪ corpus (they are the
+    * audit's subject); if the risky set itself explodes, the answer
+    * ("don't release") matters more than the count. The q74 HLL
+    * sketch swaps in where approximate exposure suffices. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val K = 5L
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 50).cast("long").as("vb"))
+    val groups = ev.groupBy(col("event_type"), col("hr"), col("vb"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    val risky = groups.filter(col("users") < K)
+      .select(col("event_type"), col("hr"), col("vb"))
+    val exposed = ev.join(broadcast(risky), Seq("event_type", "hr", "vb"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users_at_risk"))
+    groups.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("users") < K, 1L).otherwise(0L)).as("risky_groups"),
+        min(col("users")).as("min_group_users"))
+      .join(exposed, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_groups"), col("risky_groups"),
+        Det.rate(col("risky_groups").cast("double") / col("n_groups")).as("risky_share"),
+        col("min_group_users"),
+        coalesce(col("users_at_risk"), lit(0L)).as("users_at_risk"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q95Sql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |         CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |         CAST(floor(value / 50) AS BIGINT) AS vb
+      |  FROM events
+      |), grp AS (
+      |  SELECT event_type, hr, vb,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |  FROM ev GROUP BY 1, 2, 3
+      |), risky AS (
+      |  SELECT event_type, hr, vb FROM grp WHERE users < 5
+      |), exposed AS (
+      |  SELECT ev.event_type, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users_at_risk
+      |  FROM ev JOIN risky USING (event_type, hr, vb) GROUP BY 1
+      |)
+      |SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(CASE WHEN users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+      |       floor(CAST(sum(CASE WHEN users < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1e6 + 0.5) / 1e6 AS risky_share,
+      |       CAST(min(users) AS BIGINT) AS min_group_users,
+      |       CAST(COALESCE(max(e.users_at_risk), 0) AS BIGINT) AS users_at_risk
+      |FROM grp g LEFT JOIN exposed e ON g.event_type = e.event_type
+      |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -379,5 +447,6 @@ object ProfilingQueries {
     QuerySpec("q65_snapshot_diff", Some(q65Sql), q65),
     QuerySpec("q81_equiwidth_histogram", Some(q81Sql), q81),
     QuerySpec("q82_join_size_estimate", Some(q82Sql), q82),
+    QuerySpec("q95_k_anonymity", Some(q95Sql), q95),
   )
 }
