@@ -156,6 +156,33 @@ class PipelinePlanShapeSpec extends SparkSpec {
       "the corpus must never shuffle to meet the vocab-sized dictionary")
   }
 
+  test("q93 dsir: weight table broadcasts, spread survives AQE, no merge join") {
+    val p = finalPlan("q93_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤64-row weight table must broadcast into the scoring pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle to meet the bucket weight table")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"the spread exchange (tgt + token array computed once per doc) must survive:\n$p")
+  }
+
+  test("q94 hybrid rrf: both retrievals are TakeOrdered, fusion never shuffles the corpus") {
+    val p = finalPlan("q94_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"modality top-K must plan per-partition heaps, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only windows are the rank assignments over the ≤K retrieved
+    // lists (bounded by the limit, not the corpus)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q95 k-anonymity: risky-QI list reaches the exposure pass by broadcast") {
+    val p = finalPlan("q95_k_anonymity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"risky QI semi-join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q88/q89 drift: bin bounds broadcast, no fact-fact shuffle join") {
     Seq("q88_psi_drift", "q89_jsd_drift").foreach { name =>
       val p = finalPlan(name)
