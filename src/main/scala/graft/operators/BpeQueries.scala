@@ -144,9 +144,12 @@ object BpeQueries {
         }
       }
     } finally {
-      parent.foreach(_.unpersist())
+      // finish() runs FIRST: the final seg's own cache never filled (no
+      // later argmax job), so its hook recomputes through the PARENT's
+      // still-live cache — one applyMerge pass, not a K-step replay
       try finish(seg)
       finally {
+        parent.foreach(_.unpersist())
         seg.unpersist()
         s.conf.set(aqeKey, aqeBefore)
       }
@@ -154,10 +157,15 @@ object BpeQueries {
     merges.toSeq
   }
 
-  /** The weighted vocabulary of the documents corpus. */
+  /** The weighted vocabulary of the documents corpus. Empty words
+    * (consecutive/leading/trailing spaces) are excluded: Spark's
+    * sequence(1, 0) yields [1, 0] (two phantom empty symbols) where
+    * DuckDB's generate_series(1, 0) yields nothing — the one input on
+    * which the two engines' charSeg would silently diverge. */
   private def vocab(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   // ---------------------------------------------------------------- q91
@@ -184,20 +192,22 @@ object BpeQueries {
     * Scale: tokens-per-word is a |V|-row frame broadcast into the
     * corpus-side word explode — the corpus is scanned once and joins a
     * vocab-sized dictionary, exactly how production tokenizers apply a
-    * trained vocab. Assumes the corpus supports all K merges (true of
-    * any real corpus; the oracle's unrolled form shares the
-    * assumption). */
+    * trained vocab. Exhaustion-safe on both sides: if the vocabulary
+    * reduces to single symbols in < K merges, trainCore stops early and
+    * the oracle's LEFT-joined steps pass the segmentation through
+    * unchanged, so the two dictionaries stay identical. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     val words = vocab(s, dir)
     // the token dictionary comes straight off the trainer's FINAL
-    // cached segmentation (no second replay of the K merges); it is
-    // persisted as the standing tokenizer artifact — a |V|-row frame,
-    // the q42 persisted-index pattern, clearCache-hygienic
+    // cached segmentation (no second replay of the K merges), collected
+    // once into a LocalRelation (the q43 pattern): it is |V| rows and
+    // feeds a broadcast join, so the driver holds it either way — and
+    // unlike persist() it leaves no cache entry behind per invocation
     var tokPerWord: DataFrame = null
     trainCore(words, MergeSteps) { finalSeg =>
       val tok = finalSeg.groupBy(col("w")).agg(count(lit(1)).as("n_tok"))
-      tokPerWord = s.createDataFrame(tok.rdd, tok.schema).persist()
-      tokPerWord.count() // materialize before the trainer drops its cache
+      tokPerWord = s.createDataFrame(
+        java.util.Arrays.asList(tok.collect(): _*), tok.schema)
     }
     Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -213,7 +223,11 @@ object BpeQueries {
 
   /** The oracle replays the same K greedy steps as unrolled CTEs —
     * generated, not hand-written, so the two engines' step semantics
-    * cannot drift apart silently. */
+    * cannot drift apart silently. The best$n join is LEFT ... ON TRUE
+    * (not CROSS): on an exhausted corpus best$n is empty, and the LEFT
+    * join passes the segmentation through unchanged (hit = 0 for every
+    * row) instead of annihilating seg$n — mirroring trainCore's early
+    * stop. */
   private def stepCtes(n: Int): String = {
     val prev = if (n == 1) "seg0" else s"seg${n - 1}"
     s"""lag$n AS (
@@ -232,7 +246,7 @@ object BpeQueries {
        |             (PARTITION BY w, hit ORDER BY idx) END AS grp
        |    FROM (SELECT g.*, CASE WHEN g.sym = b.l AND g.nxt = b.r
        |                           THEN 1 ELSE 0 END AS hit
-       |          FROM lag$n g CROSS JOIN best$n b))
+       |          FROM lag$n g LEFT JOIN best$n b ON TRUE))
        |), app$n AS (
        |  SELECT *, CASE WHEN hit = 1 AND runpos % 2 = 1 THEN 1 ELSE 0 END AS applied
        |  FROM run$n
@@ -252,6 +266,7 @@ object BpeQueries {
     s"""WITH w AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0
        |  GROUP BY w
        |), seg0 AS (
        |  SELECT w, freq, i AS pos, substr(w, i, 1) AS sym

@@ -45,10 +45,14 @@ object RetrievalQueries {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     val g = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // dl rides the SAME scan as the token explode (it is functionally
+    // determined by doc_id, so adding it to the grouping key is free)
+    // instead of joining a broadcast of the corpus-scale per-doc table
     val tf = Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-term pivot, then a FIXED-ORDER add before rounding — a bare
     // sum() accumulates in engine-dependent order (the q59 rule)
@@ -56,7 +60,6 @@ object RetrievalQueries {
       coalesce(max(when(col("tok") === t, col("s"))), lit(0.0)).as(s"s_$t"))
     val lexTop = tf
       .join(broadcast(df), Seq("tok"))
-      .join(broadcast(d.withColumnRenamed("doc_id", "d_id")), col("d_id") === col("doc_id"))
       .crossJoin(broadcast(g))
       .withColumn("s",
         (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * (col("tf") * lit(2.2))

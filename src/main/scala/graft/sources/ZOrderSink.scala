@@ -206,11 +206,17 @@ object ZOrderSink {
       }
   }
 
-  /** Row groups selected for one file. `allBlocks` = no stats claim —
-    * read the whole file. `bytes` is the total byte size of the kept
-    * row groups (0 when `allBlocks`, where the size is unknown). */
+  /** Row groups selected for one file. Two independent facts:
+    * `hasStats` = the sidecar/footer made a stats claim for this file
+    * (when false, read the whole file — `blocks` is empty and `bytes`
+    * is 0 because the size is unknown without opening the footer);
+    * `keptAll` = every row group survived the predicate (trivially
+    * true when there is no stats claim). A stats-backed file whose
+    * groups ALL intersect reports `keptAll = true` with `blocks` and
+    * `bytes` fully populated. */
   final case class RowGroupSelection(
-      file: String, blocks: Seq[Int], bytes: Long, allBlocks: Boolean)
+      file: String, blocks: Seq[Int], bytes: Long,
+      keptAll: Boolean, hasStats: Boolean)
 
   /** Row-group-level skipping: within every kept file, only the row
     * groups whose own min/max boxes intersect the predicate box — the
@@ -227,7 +233,8 @@ object ZOrderSink {
     val dir = new Path(path)
     dataFiles(dir.getFileSystem(conf), dir).map(_.toString).flatMap { f =>
       stats.get(f) match {
-        case None => Some(RowGroupSelection(f, Nil, 0L, allBlocks = true))
+        case None =>
+          Some(RowGroupSelection(f, Nil, 0L, keptAll = true, hasStats = false))
         case Some(blocks) =>
           val byBlock = blocks.groupBy(_.block).toSeq.sortBy(_._1)
           val kept = byBlock.filter { case (_, bs) =>
@@ -236,7 +243,8 @@ object ZOrderSink {
           }
           if (kept.isEmpty) None
           else Some(RowGroupSelection(f, kept.map(_._1),
-            kept.map(_._2.head.bytes).sum, allBlocks = kept.size == byBlock.size))
+            kept.map(_._2.head.bytes).sum,
+            keptAll = kept.size == byBlock.size, hasStats = true))
       }
     }
   }

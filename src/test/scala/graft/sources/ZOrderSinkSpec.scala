@@ -93,11 +93,12 @@ class ZOrderSinkSpec extends SparkSpec {
       val sel = ZOrderSink.pruneRowGroups(spark, s"$tmp/t", "x", box._1, box._2, "y", box._3, box._4)
       assert(sel.size === 1)
       val s = sel.head
-      assert(!s.allBlocks, "a small box must not need every row group")
+      assert(s.hasStats && !s.keptAll, "a small box must not need every row group")
       assert(s.blocks.nonEmpty)
       // vs the whole file: strictly fewer groups and bytes
       val all = ZOrderSink.pruneRowGroups(spark, s"$tmp/t", "x", 0L, 127L, "y", 0L, 127L)
-      assert(all.head.allBlocks)
+      // all-kept via stats: keptAll with blocks/bytes still populated
+      assert(all.head.keptAll && all.head.hasStats)
       assert(s.blocks.size < all.head.blocks.size)
       assert(s.bytes < all.head.bytes)
       // the kept groups must cover at least every matching row

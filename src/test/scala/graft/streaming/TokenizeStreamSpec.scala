@@ -31,6 +31,28 @@ class TokenizeStreamSpec extends SparkSpec {
     }
   }
 
+  test("empty words (doubled/leading/trailing spaces) count in neither lambda") {
+    implicit val sqlCtx = spark.sqlContext
+    // q92's batch side drops empty words via the vocab filter + inner
+    // dictionary join; the stream's filter(_.nonEmpty) must agree
+    val input = MemoryStream[DocText]
+    val query = TokenizeStream.tokenize(spark, input.toDS(), merges)
+      .writeStream.format("memory").queryName("tokempty")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(DocText(9L, " abab  abc ")))
+      query.processAllAvailable()
+      val t = spark.table("tokempty").as[TokenizeStream.DocTokens].collect()
+        .find(_.doc_id == 9L).get
+      assert(t.n_words === 2L && t.n_chars === 7L && t.n_tokens === 2L)
+      // batch twin: the same two real words through the q92 kernel
+      val batch = BpeQueries.segmented(
+        Seq(("abab", 1L), ("abc", 1L)).toDF("w", "freq"), merges)
+        .groupBy("w").count().agg(sum("count")).collect()(0).getLong(0)
+      assert(batch === t.n_tokens)
+    } finally query.stop()
+  }
+
   test("micro-batch scoring matches the batch accounting across batches") {
     implicit val sqlCtx = spark.sqlContext
     val batches = Seq(
