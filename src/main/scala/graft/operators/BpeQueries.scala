@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE-merge training (Sennrich et al. 2016; the trainer
@@ -15,13 +14,16 @@ import org.apache.spark.sql.functions._
   * WEIGHTED VOCABULARY first — `groupBy(word).count()` is the only
   * corpus-scale shuffle — and the entire training loop then runs over
   * |V| rows with per-word weights, exactly how real trainers scale
-  * (they count words once, then iterate on the word-freq dict). Each
-  * iteration is: one vocab-scale window (lead), one map-side-combined
-  * pair count whose argmax is a SINGLE collected row (the q80
-  * fixed-point pattern), and one vocab-scale merge application
-  * (windows partitioned by word). Lineage is truncated per step via
-  * the SQL cache, with each parent unpersisted one step late so the
-  * next argmax job doubles as the child's materialization.
+  * (they count words once, then iterate on the word-freq dict). The
+  * segmentation state is a per-word symbol ARRAY column, so one merge
+  * step is a pure per-row fold (`aggregate` HOF) — embarrassingly
+  * parallel, zero exchanges — and the only shuffle per step is the
+  * map-side-combined pair count whose argmax is a SINGLE collected row
+  * (the q80 fixed-point pattern). An earlier exploded-row formulation
+  * (one row per symbol, merges as word-partitioned window pipelines)
+  * paid a vocab-char-scale hash(w) exchange per step; the array fold
+  * is both the faster and the simpler plan, and is exactly the
+  * word-local computation the algorithm is.
   *
   * Exactness: pair counts are integer sums of word frequencies; the
   * argmax tiebreak is (count DESC, left ASC, right ASC); merge
@@ -29,65 +31,77 @@ import org.apache.spark.sql.functions._
   * rule (in a run of consecutive matches — only possible when
   * left==right — the 1st, 3rd, … apply). Every step is therefore
   * bit-free exact arithmetic, and the DuckDB oracle replays the SAME
-  * K steps as unrolled CTEs.
+  * K steps as unrolled CTEs (in the exploded row/window formulation —
+  * a deliberately DIFFERENT derivation of the same semantics, pinned
+  * equal by the oracle compare and BpePropertySpec's direct reference
+  * trainer).
   *
   * 100 TB: the corpus term of the cost is one explode + count
-  * (map-side combined); the loop cost is K × O(|V|·avg_len) rows with
-  * no corpus rescans. A billion-doc corpus with a 10M-word vocabulary
-  * trains in K vocab-sized window passes — the corpus size only ever
-  * enters through the initial count. */
+  * (map-side combined); the loop cost is K × O(|V|) narrow rows with
+  * no corpus rescans and no per-step shuffle of the segmentation. A
+  * billion-doc corpus with a 10M-word vocabulary trains in K
+  * vocab-sized fold passes over one persisted |V|-row frame — the
+  * corpus size only ever enters through the initial count. (Step n
+  * re-evaluates the n−1 earlier folds off the cached base — O(K²·|V|)
+  * total row-fold ops; per-step checkpointing is the knob if K ever
+  * grows beyond tens.) */
 object BpeQueries {
 
   private val MergeSteps = 8
 
-  private val byWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+  /** Initial segmentation: one single-char symbol per character. */
+  private def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
 
-  /** Initial segmentation: one row per (word, char position). */
-  private def charSeg(words: DataFrame): DataFrame =
-    words.select(col("w"), col("freq"),
-      posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-        .as(Seq("pos", "sym")))
+  /** Adjacent symbol pairs of one segmentation array, as
+    * struct(sym, nxt) rows; empty for single-symbol words. */
+  private def pairsOf(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("sym"), b.as("nxt")))
 
-  /** Apply ONE merge (l, r) to a segmentation frame with the standard
-    * greedy left-to-right non-overlapping rule: in a run of
-    * consecutive matches (idx-contiguous, only possible when l == r)
-    * the 1st, 3rd, … positions apply; a symbol whose predecessor
-    * applied was consumed and drops out. Shared by the trainer's loop
-    * and [[segmented]] (the tokenizer), so the two cannot drift. The
-    * (w, hit[, grp]) windows are satisfied by the hash(w) distribution
-    * — extra sorts, no extra exchanges. */
-  private def applyMerge(seg: DataFrame, l: String, r: String): DataFrame = {
-    val applied = seg
-      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
-      .withColumn("idx", row_number().over(byWord))
-      .withColumn("hit", (col("sym") === l && col("nxt") === r).cast("int"))
-      .withColumn("grp", when(col("hit") === 1, col("idx") -
-        row_number().over(Window.partitionBy(col("w"), col("hit")).orderBy(col("idx")))))
-      .withColumn("runpos", when(col("hit") === 1, row_number().over(
-        Window.partitionBy(col("w"), col("hit"), col("grp")).orderBy(col("idx")))))
-      .withColumn("applied",
-        (col("hit") === 1 && col("runpos") % 2 === 1).cast("int"))
-    applied
-      .withColumn("prev_applied", lag(col("applied"), 1, 0).over(byWord))
-      .filter(col("prev_applied") === 0)
-      .select(col("w"), col("freq"), col("pos"),
-        when(col("applied") === 1, concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
-  }
+  /** Apply ONE merge (l, r) to a segmentation array with the standard
+    * greedy left-to-right non-overlapping rule: scanning left to
+    * right, a pair match emits the merged symbol and consumes both
+    * positions (so in a run of consecutive matches — only possible
+    * when l == r — the 1st, 3rd, … apply). Implemented as a single
+    * `aggregate` fold carrying (out, merged_last): a symbol may join
+    * the previous output symbol only if that symbol was not itself
+    * just produced by this merge. Shared by the trainer's loop and
+    * [[segmented]] (the tokenizer), so the two cannot drift. */
+  private def mergeArr(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      struct(lit(Array.empty[String]).as("out"), lit(false).as("m")),
+      (acc, x) => {
+        val out = acc.getField("out")
+        val hit = !acc.getField("m") && size(out) > 0 &&
+          element_at(out, -1) === lit(l) && x === lit(r)
+        struct(
+          when(hit, concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+            .otherwise(concat(out, array(x))).as("out"),
+          hit.as("m"))
+      }).getField("out")
 
   /** The segmentation after applying `merges` in order — the learned
-    * TOKENIZER as one lazy plan (K stacked window pipelines, all
-    * sharing the hash(w) exchange). */
+    * TOKENIZER as one lazy narrow plan (K stacked per-row folds; no
+    * windows, no exchanges). One row per (word, token ordinal). */
   def segmented(
-      words: DataFrame, merges: Seq[(Long, String, String, Long)]): DataFrame =
-    merges.foldLeft(charSeg(words)) { case (seg, (_, l, r, _)) => applyMerge(seg, l, r) }
+      words: DataFrame, merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val folded = merges.foldLeft(
+      words.select(col("w"), col("freq"), charSyms(col("w")).as("syms"))) {
+      case (df, (_, l, r, _)) => df.withColumn("syms", mergeArr(col("syms"), l, r))
+    }
+    folded
+      .select(col("w"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("w"), col("freq"), (col("pos") + 1).as("pos"), col("sym"))
+  }
 
   /** The learned merge table for `words` (columns w: string,
     * freq: long): Seq of (step, lhs, rhs, pair_count). Driver-side
     * list — K rows, one collected 1-row argmax per step (the q80
-    * fixed-point pattern; a fully-lazy relational unroll was measured
-    * SLOWER here: without per-step materialization the narrow window
-    * stages re-execute once per broadcast-build job).
+    * fixed-point pattern).
     *
     * AQE is disabled around the loop (restored after): the loop frames
     * are vocab-sized, so per-stage adaptive re-planning × K steps is
@@ -96,63 +110,49 @@ object BpeQueries {
       words: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
     trainCore(words, k) { _ => () }
 
-  /** The trainer loop. `finish` runs against the FINAL cached
-    * segmentation before it is unpersisted — q92 derives its token
-    * dictionary there instead of replaying the K merges a second
-    * time. */
+  /** The trainer loop. `finish` runs against the FINAL segmentation
+    * frame (w, freq, syms) while the vocabulary base is still cached —
+    * q92 derives its token dictionary there instead of replaying the
+    * training a second time.
+    *
+    * Only the |V|-row vocabulary base is persisted: each step's plan
+    * is the stacked per-row folds over that cache (narrow, ≤ K deep),
+    * so there is no per-step persist/unpersist churn and no lineage
+    * blowup to truncate. */
   private def trainCore(words: DataFrame, k: Int)(
       finish: DataFrame => Unit): Seq[(Long, String, String, Long)] = {
     val s = words.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeBefore = s.conf.get(aqeKey, "true")
     s.conf.set(aqeKey, "false")
-    var seg = charSeg(words).persist()
-    // the parent cache must outlive the child until the child has
-    // materialized (the child's plan scans it) — unpersist one step
-    // LATE, right after the next argmax collect has filled the child's
-    // cache, instead of paying a dedicated count() job per step
-    var parent: Option[DataFrame] = None
+    val base = words
+      .select(col("w"), col("freq"), charSyms(col("w")).as("syms")).persist()
+    var seg = base
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     try {
       var step = 1
       var exhausted = false
       while (step <= k && !exhausted) {
-        // pair counting: map-side combine over ≤|V|·avg_len rows; the
-        // argmax is ONE row to the driver (and the job that computes it
-        // materializes this step's seg cache)
+        // pair counting: generator + map-side combine over |V| rows;
+        // the argmax is ONE row to the driver
         val best = seg
-          .withColumn("nxt", lead(col("sym"), 1).over(byWord))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("sym"), col("nxt"))
+          .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+          .groupBy(col("p.sym").as("sym"), col("p.nxt").as("nxt"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("sym"), col("nxt"))
           .limit(1).collect()
-        parent.foreach(_.unpersist())
-        parent = None
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((step.toLong, l, r, cnt))
-          val next = applyMerge(seg, l, r)
-          // truncate lineage: re-wrap through the RDD (persist alone
-          // does not cut the logical plan — the pageRank rule); the
-          // cache fills on the next step's argmax job
-          val mat = s.createDataFrame(next.rdd, next.schema).persist()
-          parent = Some(seg)
-          seg = mat
+          seg = seg.withColumn("syms", mergeArr(col("syms"), l, r))
           step += 1
         }
       }
+      finish(seg)
     } finally {
-      // finish() runs FIRST: the final seg's own cache never filled (no
-      // later argmax job), so its hook recomputes through the PARENT's
-      // still-live cache — one applyMerge pass, not a K-step replay
-      try finish(seg)
-      finally {
-        parent.foreach(_.unpersist())
-        seg.unpersist()
-        s.conf.set(aqeKey, aqeBefore)
-      }
+      base.unpersist()
+      s.conf.set(aqeKey, aqeBefore)
     }
     merges.toSeq
   }
@@ -205,7 +205,8 @@ object BpeQueries {
     // unlike persist() it leaves no cache entry behind per invocation
     var tokPerWord: DataFrame = null
     trainCore(words, MergeSteps) { finalSeg =>
-      val tok = finalSeg.groupBy(col("w")).agg(count(lit(1)).as("n_tok"))
+      val tok = finalSeg
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
       tokPerWord = s.createDataFrame(
         java.util.Arrays.asList(tok.collect(): _*), tok.schema)
     }

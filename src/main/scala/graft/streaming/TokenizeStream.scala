@@ -8,9 +8,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * merge table broadcast into the executors as a plain closure value.
   *
   * The merge application is a per-row Scala loop rather than the batch
-  * side's window pipeline because non-time window functions are
-  * illegal on streaming frames — a typed map is the streaming-native
-  * tool for a per-row pure function. Semantics are pinned EQUAL to
+  * side's `aggregate`-HOF array fold — the same word-local scan,
+  * expressed as a typed map because that is the streaming-native tool
+  * for a per-row pure function. Semantics are pinned EQUAL to
   * `BpeQueries.segmented` (greedy left-to-right, run rule, merge
   * order) by TokenizeStreamSpec's parity test, so the lambda split
   * (stream for live scoring, q92 for the settled per-source rollup)
