@@ -62,5 +62,6 @@ object QueryCatalog {
       operators.PipelineQueries.specs ++
       operators.BpeQueries.specs ++
       operators.SelectionQueries.specs ++
-      operators.RetrievalQueries.specs
+      operators.RetrievalQueries.specs ++
+      operators.PqQueries.specs
 }

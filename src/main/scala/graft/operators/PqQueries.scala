@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011 — the PQ in FAISS's
+  * IVF-PQ, the standard billion-scale ANN index): split each vector
+  * into M subspaces, learn a K-centroid codebook per subspace by
+  * Lloyd iterations, encode every vector as M small codes, and answer
+  * queries with asymmetric distance computation (ADC) — the query
+  * meets each codebook once, the corpus only through its codes.
+  * Completes the ANN family: q42 trains the coarse IVF partition,
+  * q58 scalar-quantizes, this trains the fine product codebook.
+  *
+  * Exactness (the cross-engine contract): components quantize to
+  * integers (floor(x·1000 + 0.5) — the q58 rule), centroids stay
+  * integer via floor(sum / count) computed in double (both factors
+  * ≤ 2^31, so the double division is exact-input and the floor is
+  * deterministic on both engines), assignment tiebreak is
+  * (distance, centroid id) ascending, and a centroid that loses all
+  * members keeps its previous position. Every distance is therefore
+  * an exact BIGINT and the DuckDB oracle replays the SAME iterations
+  * as machine-generated unrolled CTEs (the q91 oracle pattern).
+  *
+  * 100 TB: the vector frame is the one corpus-scale object and the
+  * corpus is NEVER joined or shuffled — the codebook (M·K·subDim
+  * longs, kilobytes) ships to executors as an array literal, so
+  * assignment is a pure projection (nested `aggregate` folds), each
+  * Lloyd update is one map-side-combined aggregate down to M·K·subDim
+  * groups (the only shuffle, constant-size output), and the final ADC
+  * pass is scan → project → TakeOrdered heap. Codes are M bytes per
+  * vector — the 256× compression that makes exhaustive ADC scans
+  * feasible at billion scale. Production composes this under q42's
+  * IVF cells unchanged (IVF-PQ). */
+object PqQueries {
+
+  private val M = 8       // subspaces (64-dim embeddings → 8 × 8)
+  private val SubDim = 8
+  private val K = 16      // centroids per subspace
+  private val Iters = 2   // Lloyd update rounds (then a final encode)
+  private val TopK = 10
+  private val Scale = 1000
+
+  /** The ADC pipeline over a pre-quantized vector frame
+    * (vec_id: long — unique; v: array<long> of m·subDim components) —
+    * parameterized so the spec can drive a hand-computable instance.
+    * `queryId` is excluded from the result but participates in
+    * training (it is corpus).
+    *
+    * The codebook lives on the DRIVER (M·K·subDim longs, kilobytes)
+    * and reaches the executors as an array LITERAL, so assignment is a
+    * pure projection — nested `aggregate` folds over the codebook
+    * constant, no join, no exchange. Each Lloyd update is the one
+    * shuffle: a map-side-combined aggregate down to M·K·subDim groups.
+    * The final ADC pass is scan → project → TakeOrdered — the corpus
+    * is never joined or shuffled at any point. */
+  private[operators] def adcTopK(
+      vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      topK: Int, queryId: Long): DataFrame = {
+    val pts = vecs.persist()
+    try {
+      // ---- init: the K smallest vec_ids' vectors, cid by rank ----
+      val init = pts.orderBy(col("vec_id")).limit(k).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toArray)
+      val cent: Array[Array[Array[Long]]] =
+        Array.tabulate(m, k, subDim)((mm, kk, j) => init(kk)(mm * subDim + j))
+
+      // squared distance of subspace mm's subvector to codebook entry
+      // kk, and the per-subspace argmin code. array_position of the
+      // array_min returns the FIRST minimal position — the (d, cid)
+      // ascending tiebreak. Every consumer embeds codeFor exactly once
+      // per (row, subspace): project collapse would otherwise inline a
+      // `codes` column into per-exploded-row expressions and recompute
+      // the K-fold argmin once per COMPONENT (measured 10× slower).
+      def subDist(cl: Column, mm: Column, kk: Column): Column =
+        aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (s2, j) => {
+          val diff = element_at(col("v"), mm * subDim + j + 1) -
+            element_at(element_at(element_at(cl, mm + 1), kk + 1), j + 1)
+          s2 + diff * diff
+        })
+      def codeFor(cl: Column, mm: Column): Column =
+        aggregate(
+          // the distance array is the fold INPUT, so it is evaluated
+          // exactly once; the argmin fold carries (best d, best k, i)
+          // with strict < keeping the lowest k on ties
+          transform(sequence(lit(0), lit(k - 1)), kk => subDist(cl, mm, kk)),
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("kk"), lit(0).as("i")),
+          (acc, d) => struct(
+            when(d < acc.getField("d"), d).otherwise(acc.getField("d")).as("d"),
+            when(d < acc.getField("d"), acc.getField("i"))
+              .otherwise(acc.getField("kk")).as("kk"),
+            (acc.getField("i") + 1).as("i")),
+          acc => acc.getField("kk"))
+      def codebookLit: Column = typedlit(cent.map(_.map(_.toSeq).toSeq).toSeq)
+
+      // ---- Lloyd rounds: assign (pure projection) → integer-mean
+      // update (driver holds the codebook, the q80 collected-artifact
+      // rule). The code rides INSIDE the exploded struct so it is
+      // computed once per (vec, subspace). ----
+      (1 to iters).foreach { _ =>
+        val cl = codebookLit
+        val subStructs = transform(sequence(lit(0), lit(m - 1)), mm =>
+          struct(mm.as("m"), codeFor(cl, mm).as("cid"),
+            slice(col("v"), mm * subDim + 1, lit(subDim)).as("sub")))
+        val sums = pts.select(explode(subStructs).as("s"))
+          .select(col("s.m").as("m"), col("s.cid").as("cid"),
+            posexplode(col("s.sub")).as(Seq("j", "val")))
+          .groupBy(col("m"), col("cid"), col("j"))
+          .agg(floor(sum(col("val")).cast("double") / count(lit(1)))
+            .cast("long").as("nv"))
+          .collect()
+        // cells absent from sums keep their previous position
+        sums.foreach { r =>
+          cent(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
+        }
+      }
+
+      // ---- ADC: the query meets each codebook entry once (driver-side
+      // lut), the corpus only through its codes ----
+      val q0 = pts.filter(col("vec_id") === queryId)
+        .head().getSeq[Long](1).toArray
+      val lut: Array[Array[Long]] = Array.tabulate(m, k) { (mm, kk) =>
+        (0 until subDim).map { j =>
+          val d = q0(mm * subDim + j) - cent(mm)(kk)(j); d * d
+        }.sum
+      }
+      val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+      val clFinal = codebookLit
+      val adc = aggregate(
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          element_at(element_at(lutLit, mm + 1), codeFor(clFinal, mm) + 1)),
+        lit(0L), (acc, x) => acc + x)
+      pts.select(col("vec_id"), adc.as("adc_dist"))
+        .filter(col("vec_id") =!= queryId)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(topK)
+    } finally pts.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Integer-quantized vectors of the embeddings corpus: val_i =
+    * floor(x_i·1000 + 0.5) — exactly the oracle's per-component
+    * quantization. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT))")
+        .as("v"))
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    // spread BEFORE the persisted training base: the per-row argmin
+    // folds are the heavy map work and must not serialize onto the
+    // testdata's single scan task (Tables.spread scaladoc)
+    adcTopK(Tables.spread(quantized(s, dir)), M, SubDim, K, Iters, TopK,
+      queryId = 0L)
+
+  /** One unrolled Lloyd round: assignment distances, struct-min
+    * argmin, integer-mean update with empty cells carried over. */
+  private def roundCtes(n: Int): String = {
+    val prev = if (n == 1) "cent0" else s"cent${n - 1}"
+    s"""ad$n AS (
+       |  SELECT q.vec_id, q.m, c.cid,
+       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
+       |  FROM qv q JOIN $prev c ON c.m = q.m AND c.j = q.j
+       |  GROUP BY 1, 2, 3
+       |), asg$n AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM ad$n) WHERE rn = 1
+       |), sums$n AS (
+       |  SELECT a.m, a.cid, q.j,
+       |         CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+       |  FROM asg$n a JOIN qv q ON q.vec_id = a.vec_id AND q.m = a.m
+       |  GROUP BY 1, 2, 3
+       |), cent$n AS (
+       |  SELECT p.m, p.cid, p.j, COALESCE(s.nv, p.cval) AS cval
+       |  FROM $prev p LEFT JOIN sums$n s
+       |    ON s.m = p.m AND s.cid = p.cid AND s.j = p.j
+       |)""".stripMargin
+  }
+
+  private val q96Sql = {
+    val rounds = (1 to Iters).map(roundCtes).mkString(",\n")
+    val enc = Iters + 1 // final encode = one more assignment, no update
+    s"""WITH qv AS (
+       |  SELECT vec_id, CAST((i - 1) // $SubDim AS INT) AS m,
+       |         CAST((i - 1) % $SubDim AS INT) AS j,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS val
+       |  FROM embeddings, unnest(generate_series(1, ${M * SubDim})) AS u(i)
+       |), cent0 AS (
+       |  SELECT q.m, CAST(r.rk - 1 AS INT) AS cid, q.j, q.val AS cval
+       |  FROM qv q JOIN (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+       |    FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)
+       |  ) r USING (vec_id)
+       |),
+       |$rounds,
+       |ad$enc AS (
+       |  SELECT q.vec_id, q.m, c.cid,
+       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
+       |  FROM qv q JOIN cent$Iters c ON c.m = q.m AND c.j = q.j
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM ad$enc) WHERE rn = 1
+       |), lut AS (
+       |  SELECT c.m, c.cid,
+       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS ld
+       |  FROM cent$Iters c JOIN qv q ON q.vec_id = 0 AND q.m = c.m AND q.j = c.j
+       |  GROUP BY 1, 2
+       |)
+       |SELECT k.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+       |FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+       |WHERE k.vec_id <> 0
+       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT $TopK""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q96_pq_adc", Some(q96Sql), q96),
+  )
+}

@@ -156,6 +156,24 @@ class PipelinePlanShapeSpec extends SparkSpec {
       "the corpus must never shuffle to meet the vocab-sized dictionary")
   }
 
+  test("q96 pq: the ADC pass never joins or shuffles the corpus") {
+    val p = finalPlan("q96_pq_adc")
+    // codebook + lut ride as array literals: the final pass must be
+    // scan -> spread -> project -> TakeOrdered, with no join of any
+    // kind and no keyed exchange — the one allowed exchange is the
+    // deliberate round-robin spread under the heavy argmin projection
+    assert(!p.contains("Join") && !p.contains("NestedLoop"),
+      s"codes and lut are literals — no join may appear:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"the corpus must never shuffle by key in the ADC pass:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the ADC top-k must plan per-partition heaps, not a global sort:\n$p")
+    // the query-row exclusion must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"),
+      s"the queryId exclusion should push down to the scan:\n$p")
+  }
+
   test("q93 dsir: weight table broadcasts, spread survives AQE, no merge join") {
     val p = finalPlan("q93_dsir_select")
     assert(p.contains("BroadcastHashJoin"),

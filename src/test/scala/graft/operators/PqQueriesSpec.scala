@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ADC on a hand-computable instance plus
+  * invariants of the registered q96 on real testdata. */
+class PqQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("one Lloyd round + ADC on a planted 1-subspace instance") {
+    // 2-dim vectors, one subspace, K=2, one update round.
+    //   v0=(0,0) v1=(10,0) v2=(0,9) v3=(10,1); init c0=v0, c1=v1.
+    // Assign: v0,v2 -> c0; v1,v3 -> c1.
+    // Integer means: c0=(0, floor(9/2))=(0,4); c1=(10, floor(1/2))=(10,0).
+    // Encode: v0,v2 -> c0; v1,v3 -> c1.
+    // lut(q=v0): c0 = 0+16 = 16, c1 = 100+0 = 100
+    // -> v2 adc 16; v1 adc 100; v3 adc 100 (id tiebreak: v1 before v3)
+    val pts = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)),
+      (2L, Seq(0L, 9L)), (3L, Seq(10L, 1L)),
+    ).toDF("vec_id", "v")
+    val got = PqQueries.adcTopK(pts, m = 1, subDim = 2, k = 2, iters = 1, topK = 10, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 16L), (1L, 100L), (3L, 100L)))
+  }
+
+  test("an empty cell keeps its previous centroid position") {
+    // K=2 but every point sits at (0,*): after round 1 all mass assigns
+    // to c0 (id tiebreak on equal distance? no — c1=(5,0) is farther),
+    // so c1 receives no members and must keep (5, 0) exactly.
+    val pts = Seq(
+      (0L, Seq(0L, 0L)),
+      (1L, Seq(5L, 0L)),  // init c1; nearest to itself in round 1
+      (2L, Seq(0L, 2L)),
+      (3L, Seq(0L, 4L)),
+    ).toDF("vec_id", "v")
+    // round 1: c0 <- {v0,v2,v3} = (0, floor(6/3))=(0,2); c1 <- {v1} = (5,0)
+    // round 2: v1 d(c0)=25+4=29, d(c1)=0 -> stays; others closer to c0
+    //   c0 unchanged (0,2); c1 unchanged (5,0) — stable fixed point
+    // encode: v1 -> c1, v2,v3 -> c0
+    // lut(q=v0): c0 = 0+4 = 4; c1 = 25+0 = 25
+    val got = PqQueries.adcTopK(pts, m = 1, subDim = 2, k = 2, iters = 2, topK = 10, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 4L), (3L, 4L), (1L, 25L)))
+  }
+
+  test("q96 on testdata: 10 rows, non-decreasing exact distances") {
+    val rows = graft.QueryCatalog.all.find(_.name == "q96_pq_adc").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    val dists = rows.map(_.getAs[Long]("adc_dist")).toSeq
+    assert(dists === dists.sorted)
+    assert(dists.forall(_ >= 0L))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L), "query doc excluded")
+  }
+
+  test("ADC of a vector sitting exactly on its codebook entries is 0 to itself's query") {
+    // if the query IS an init centroid and survives as a fixed point,
+    // lut at its own codes must be 0 — checked via a separated corpus
+    // where each init vector is its cluster's exact integer mean
+    val pts = Seq(
+      (0L, Seq(0L)), (1L, Seq(100L)),   // two 1-dim singleton clusters
+      (2L, Seq(0L)), (3L, Seq(100L)),   // duplicates at the centroids
+    ).toDF("vec_id", "v")
+    val got = PqQueries.adcTopK(pts, m = 1, subDim = 1, k = 2, iters = 2, topK = 10, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // v2 shares v0's code -> adc 0; v1, v3 at the far centroid -> 10000
+    assert(got === Seq((2L, 0L), (1L, 10000L), (3L, 10000L)))
+  }
+}
