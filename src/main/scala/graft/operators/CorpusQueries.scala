@@ -92,7 +92,10 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q54Sql =
+  /** Shared recursive-CTE prefix: jaccard pairs → undirected edges →
+    * min-label reachability → per-doc component (used by q54 and
+    * q97). */
+  private val ccPrefix =
     s"""WITH RECURSIVE sh AS (${DedupQueries.shinglesSql}),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
        |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
@@ -115,12 +118,65 @@ object CorpusQueries {
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
        |),
-       |comp AS (SELECT doc_id, min(lbl) AS component_id FROM reach GROUP BY doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS component_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val q54Sql =
+    s"""$ccPrefix,
        |cs AS (SELECT component_id, count(*) AS csize FROM comp GROUP BY component_id)
        |SELECT c.doc_id, c.component_id, cs.csize,
        |       (c.doc_id = c.component_id) AS is_canonical
        |FROM comp c JOIN cs ON cs.component_id = c.component_id
        |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Cluster-canonical survivor selection — the step that turns q54's
+    * near-dup CLUSTERING into an actual deduplicated corpus: within
+    * each connected component keep the best document (most tokens,
+    * lowest doc_id on ties — "longest wins" is the usual quality proxy
+    * when near-dups differ by truncation) and account the removal per
+    * source: docs seen, docs kept, characters removed. This is the
+    * survivorship report a curation run ships next to q70's funnel.
+    *
+    * Scale: rides q54's clustering output (doc_id, component) — the
+    * canonical choice is ONE window pass partitioned by component
+    * (components are near-dup clusters, bounded size), and the
+    * accounting is a map-side-combined per-source aggregate. No new
+    * corpus-scale shuffle beyond the clustering it already reuses. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chars"))
+    val clusters = clustersFrom(s, docs.select(col("doc_id").as("id")),
+      DedupQueries.jaccardPairs(s, dir))
+    clusters.select(col("doc_id"), col("component_id"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component_id"))
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, col("n_chars")).otherwise(0L)).as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
+  private val q97Sql =
+    s"""$ccPrefix,
+       |stats AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+       |         len(text) AS n_chars
+       |  FROM documents
+       |),
+       |ranked AS (
+       |  SELECT st.source, st.n_chars,
+       |         row_number() OVER (PARTITION BY c.component_id
+       |                            ORDER BY st.n_tok DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN stats st ON st.doc_id = c.doc_id
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q55
   /** Distinct word-8-gram shingles per doc. 8-grams (not bigrams) so the
@@ -588,6 +644,7 @@ object CorpusQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
+    QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
     QuerySpec("q55_decontamination", Some(q55Sql), q55),
     QuerySpec("q56_repetition_quality", Some(q56Sql), q56),
     QuerySpec("q57_stratified_sample", Some(q57Sql), q57),

@@ -69,6 +69,26 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q97 survivor accounting ties out against q54's components") {
+    val q54rows = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
+      .fn(spark, dir).select("component_id").as[Long].collect()
+    val q97rows = CorpusQueries.specs.find(_.name == "q97_cluster_canonical").get
+      .fn(spark, dir)
+      .select("source", "n_docs", "n_kept", "chars_removed")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // one survivor per component, regardless of which source holds it
+    assert(q97rows.map(_._3).sum === q54rows.distinct.length.toLong)
+    // every doc is accounted exactly once across sources
+    assert(q97rows.map(_._2).sum === q54rows.length.toLong)
+    q97rows.foreach { case (src, docs, kept, removed) =>
+      assert(kept >= 1 && kept <= docs, s"source $src")
+      assert(removed >= 0, s"source $src")
+      assert((removed > 0) === (docs > kept) || removed == 0, s"source $src")
+    }
+    // removal must be real on this corpus (planted near-dups exist)
+    assert(q97rows.map(_._2).sum > q97rows.map(_._3).sum)
+  }
+
   test("dedup end-to-end: the canonical corpus contains no near-dup pair") {
     // compose q54's clusters back onto documents — the "keep one per
     // cluster" materialization — and assert the pipeline's guarantee:
