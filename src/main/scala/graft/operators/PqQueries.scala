@@ -55,9 +55,51 @@ object PqQueries {
     * shuffle: a map-side-combined aggregate down to M·K·subDim groups.
     * The final ADC pass is scan → project → TakeOrdered — the corpus
     * is never joined or shuffled at any point. */
-  private[operators] def adcTopK(
-      vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
-      topK: Int, queryId: Long): DataFrame = {
+  // Expression kernels over an input column `v: array<long>` and a
+  // codebook literal cl[m][k][j]. Every consumer must embed codeFor
+  // exactly once per (row, subspace): project collapse would otherwise
+  // inline a named `codes` column into per-exploded-row expressions
+  // and recompute the K-fold argmin once per COMPONENT (measured 10×
+  // slower).
+
+  /** Squared distance of subspace mm's subvector to codebook entry
+    * kk. */
+  private def subDist(cl: Column, mm: Column, kk: Column, subDim: Int): Column =
+    aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (s2, j) => {
+      val diff = element_at(col("v"), mm * subDim + j + 1) -
+        element_at(element_at(element_at(cl, mm + 1), kk + 1), j + 1)
+      s2 + diff * diff
+    })
+
+  /** Per-subspace assignment as struct(d, kk, i): the distance array
+    * is the fold INPUT, so it is evaluated exactly once; the argmin
+    * fold carries (best d, best k, i) with strict < keeping the lowest
+    * k on ties — the (d, cid) ascending rule. */
+  private def assignStruct(cl: Column, mm: Column, subDim: Int, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(k - 1)), kk => subDist(cl, mm, kk, subDim)),
+      struct(lit(Long.MaxValue).as("d"), lit(-1).as("kk"), lit(0).as("i")),
+      (acc, d) => struct(
+        when(d < acc.getField("d"), d).otherwise(acc.getField("d")).as("d"),
+        when(d < acc.getField("d"), acc.getField("i"))
+          .otherwise(acc.getField("kk")).as("kk"),
+        (acc.getField("i") + 1).as("i")))
+
+  private def codeFor(cl: Column, mm: Column, subDim: Int, k: Int): Column =
+    assignStruct(cl, mm, subDim, k).getField("kk")
+
+  private def codebookLit(cb: Array[Array[Array[Long]]]): Column =
+    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Train the product codebook over (vec_id: long — unique,
+    * v: array<long> of m·subDim components): K-smallest-id init, then
+    * `iters` integer-mean Lloyd rounds. Returns cb[m][k][j] — the
+    * driver-held artifact (kilobytes) that ships to executors as a
+    * literal, and to the streaming encoder as a closure
+    * ([[graft.streaming.PqStream]]). */
+  private[graft] def trainCodebook(
+      vecs: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
     val pts = vecs.persist()
     try {
       // ---- init: the K smallest vec_ids' vectors, cid by rank ----
@@ -67,42 +109,14 @@ object PqQueries {
       val cent: Array[Array[Array[Long]]] =
         Array.tabulate(m, k, subDim)((mm, kk, j) => init(kk)(mm * subDim + j))
 
-      // squared distance of subspace mm's subvector to codebook entry
-      // kk, and the per-subspace argmin code. array_position of the
-      // array_min returns the FIRST minimal position — the (d, cid)
-      // ascending tiebreak. Every consumer embeds codeFor exactly once
-      // per (row, subspace): project collapse would otherwise inline a
-      // `codes` column into per-exploded-row expressions and recompute
-      // the K-fold argmin once per COMPONENT (measured 10× slower).
-      def subDist(cl: Column, mm: Column, kk: Column): Column =
-        aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (s2, j) => {
-          val diff = element_at(col("v"), mm * subDim + j + 1) -
-            element_at(element_at(element_at(cl, mm + 1), kk + 1), j + 1)
-          s2 + diff * diff
-        })
-      def codeFor(cl: Column, mm: Column): Column =
-        aggregate(
-          // the distance array is the fold INPUT, so it is evaluated
-          // exactly once; the argmin fold carries (best d, best k, i)
-          // with strict < keeping the lowest k on ties
-          transform(sequence(lit(0), lit(k - 1)), kk => subDist(cl, mm, kk)),
-          struct(lit(Long.MaxValue).as("d"), lit(-1).as("kk"), lit(0).as("i")),
-          (acc, d) => struct(
-            when(d < acc.getField("d"), d).otherwise(acc.getField("d")).as("d"),
-            when(d < acc.getField("d"), acc.getField("i"))
-              .otherwise(acc.getField("kk")).as("kk"),
-            (acc.getField("i") + 1).as("i")),
-          acc => acc.getField("kk"))
-      def codebookLit: Column = typedlit(cent.map(_.map(_.toSeq).toSeq).toSeq)
-
       // ---- Lloyd rounds: assign (pure projection) → integer-mean
       // update (driver holds the codebook, the q80 collected-artifact
       // rule). The code rides INSIDE the exploded struct so it is
       // computed once per (vec, subspace). ----
       (1 to iters).foreach { _ =>
-        val cl = codebookLit
+        val cl = codebookLit(cent)
         val subStructs = transform(sequence(lit(0), lit(m - 1)), mm =>
-          struct(mm.as("m"), codeFor(cl, mm).as("cid"),
+          struct(mm.as("m"), codeFor(cl, mm, subDim, k).as("cid"),
             slice(col("v"), mm * subDim + 1, lit(subDim)).as("sub")))
         val sums = pts.select(explode(subStructs).as("s"))
           .select(col("s.m").as("m"), col("s.cid").as("cid"),
@@ -116,27 +130,57 @@ object PqQueries {
           cent(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
         }
       }
-
-      // ---- ADC: the query meets each codebook entry once (driver-side
-      // lut), the corpus only through its codes ----
-      val q0 = pts.filter(col("vec_id") === queryId)
-        .head().getSeq[Long](1).toArray
-      val lut: Array[Array[Long]] = Array.tabulate(m, k) { (mm, kk) =>
-        (0 until subDim).map { j =>
-          val d = q0(mm * subDim + j) - cent(mm)(kk)(j); d * d
-        }.sum
-      }
-      val lutLit = typedlit(lut.map(_.toSeq).toSeq)
-      val clFinal = codebookLit
-      val adc = aggregate(
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          element_at(element_at(lutLit, mm + 1), codeFor(clFinal, mm) + 1)),
-        lit(0L), (acc, x) => acc + x)
-      pts.select(col("vec_id"), adc.as("adc_dist"))
-        .filter(col("vec_id") =!= queryId)
-        .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(topK)
+      cent
     } finally pts.unpersist()
+  }
+
+  /** Batch PQ encode against a trained codebook: (vec_id, codes,
+    * qerr) where qerr is the exact integer quantization error — the
+    * index-build materialization. The per-m assignment structs are
+    * computed ONCE per row below an `explode(array(...))` generate, so
+    * the two derived columns cannot re-trigger the argmin folds. */
+  private[graft] def encoded(
+      vecs: DataFrame, cb: Array[Array[Array[Long]]], subDim: Int): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    val cl = codebookLit(cb)
+    val enc = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), mm => assignStruct(cl, mm, subDim, k)),
+      struct(lit(Array.empty[Int]).as("codes"), lit(0L).as("qerr")),
+      (acc, s) => struct(
+        concat(acc.getField("codes"), array(s.getField("kk"))).as("codes"),
+        (acc.getField("qerr") + s.getField("d")).as("qerr")))
+    vecs.select(col("vec_id"), explode(array(enc)).as("e"))
+      .select(col("vec_id"), col("e.codes").as("codes"), col("e.qerr").as("qerr"))
+  }
+
+  /** The ADC pipeline (see object doc): train, then answer the query
+    * with asymmetric distances over the codes — a projection-only
+    * final pass. */
+  private[operators] def adcTopK(
+      vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      topK: Int, queryId: Long): DataFrame = {
+    val cent = trainCodebook(vecs, m, subDim, k, iters)
+
+    // ---- ADC: the query meets each codebook entry once (driver-side
+    // lut), the corpus only through its codes ----
+    val q0 = vecs.filter(col("vec_id") === queryId)
+      .head().getSeq[Long](1).toArray
+    val lut: Array[Array[Long]] = Array.tabulate(m, k) { (mm, kk) =>
+      (0 until subDim).map { j =>
+        val d = q0(mm * subDim + j) - cent(mm)(kk)(j); d * d
+      }.sum
+    }
+    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+    val cl = codebookLit(cent)
+    val adc = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), mm =>
+        element_at(element_at(lutLit, mm + 1), codeFor(cl, mm, subDim, k) + 1)),
+      lit(0L), (acc, x) => acc + x)
+    vecs.select(col("vec_id"), adc.as("adc_dist"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
   }
 
   // ---------------------------------------------------------------- q96
