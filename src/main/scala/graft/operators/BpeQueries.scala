@@ -65,24 +65,23 @@ object BpeQueries {
     * greedy left-to-right non-overlapping rule: scanning left to
     * right, a pair match emits the merged symbol and consumes both
     * positions (so in a run of consecutive matches — only possible
-    * when l == r — the 1st, 3rd, … apply). Implemented as a single
-    * `aggregate` fold carrying (out, merged_last): a symbol may join
-    * the previous output symbol only if that symbol was not itself
-    * just produced by this merge. Shared by the trainer's loop and
-    * [[segmented]] (the tokenizer), so the two cannot drift. */
+    * when l == r — the 1st, 3rd, … apply). A single `aggregate` fold
+    * over the output array suffices: a just-merged last symbol is
+    * l+r, which is strictly longer than l and so can never re-match
+    * as the left side of the same merge — consumed positions exclude
+    * themselves without any carried flag (BpePropertySpec pins this
+    * against the explicit skip-2 scan). Shared by the trainer's loop
+    * and [[segmented]] (the tokenizer), so the two cannot drift. */
   private def mergeArr(syms: Column, l: String, r: String): Column =
     aggregate(
       syms,
-      struct(lit(Array.empty[String]).as("out"), lit(false).as("m")),
-      (acc, x) => {
-        val out = acc.getField("out")
-        val hit = !acc.getField("m") && size(out) > 0 &&
+      lit(Array.empty[String]),
+      (out, x) => {
+        val hit = size(out) > 0 &&
           element_at(out, -1) === lit(l) && x === lit(r)
-        struct(
-          when(hit, concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
-            .otherwise(concat(out, array(x))).as("out"),
-          hit.as("m"))
-      }).getField("out")
+        when(hit, concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+          .otherwise(concat(out, array(x)))
+      })
 
   /** The segmentation after applying `merges` in order — the learned
     * TOKENIZER as one lazy narrow plan (K stacked per-row folds; no
@@ -161,7 +160,8 @@ object BpeQueries {
     * (consecutive/leading/trailing spaces) are excluded: Spark's
     * sequence(1, 0) yields [1, 0] (two phantom empty symbols) where
     * DuckDB's generate_series(1, 0) yields nothing — the one input on
-    * which the two engines' charSeg would silently diverge. */
+    * which the two engines' initial segmentation (charSyms vs the
+    * oracle's generate_series) would silently diverge. */
   private def vocab(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -186,7 +186,7 @@ object BpeQueries {
     * character count, post-BPE token count, chars/token). The token
     * dictionary is read off the trainer's own final segmentation;
     * [[segmented]] is the standalone tokenizer for NEW words (same
-    * [[applyMerge]] kernel, so trainer and tokenizer cannot drift —
+    * [[mergeArr]] kernel, so trainer and tokenizer cannot drift —
     * BpeQueriesSpec applies learned merges to unseen words).
     *
     * Scale: tokens-per-word is a |V|-row frame broadcast into the

@@ -99,7 +99,16 @@ object PqQueries {
     * ([[graft.streaming.PqStream]]). */
   private[graft] def trainCodebook(
       vecs: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int): Array[Array[Array[Long]]] = {
+      iters: Int): Array[Array[Array[Long]]] =
+    trainCore(vecs, m, subDim, k, iters)(_ => ())
+
+  /** The trainer loop. `finish` runs against the still-cached input
+    * frame — adcTopK fetches its query vector there instead of paying
+    * a second corpus scan after the cache is gone (the q92 hook
+    * pattern). */
+  private def trainCore(
+      vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int)(
+      finish: DataFrame => Unit): Array[Array[Array[Long]]] = {
     val pts = vecs.persist()
     try {
       // ---- init: the K smallest vec_ids' vectors, cid by rank ----
@@ -130,6 +139,7 @@ object PqQueries {
           cent(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
         }
       }
+      finish(pts)
       cent
     } finally pts.unpersist()
   }
@@ -160,12 +170,15 @@ object PqQueries {
   private[operators] def adcTopK(
       vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       topK: Int, queryId: Long): DataFrame = {
-    val cent = trainCodebook(vecs, m, subDim, k, iters)
+    // the query vector is fetched through the trainer's finish hook
+    // while the training cache is live — no post-training corpus scan
+    var q0: Array[Long] = null
+    val cent = trainCore(vecs, m, subDim, k, iters) { pts =>
+      q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
+    }
 
     // ---- ADC: the query meets each codebook entry once (driver-side
     // lut), the corpus only through its codes ----
-    val q0 = vecs.filter(col("vec_id") === queryId)
-      .head().getSeq[Long](1).toArray
     val lut: Array[Array[Long]] = Array.tabulate(m, k) { (mm, kk) =>
       (0 until subDim).map { j =>
         val d = q0(mm * subDim + j) - cent(mm)(kk)(j); d * d

@@ -26,13 +26,10 @@ class PqQueriesSpec extends SparkSpec {
     assert(got === Seq((2L, 16L), (1L, 100L), (3L, 100L)))
   }
 
-  test("an empty cell keeps its previous centroid position") {
-    // K=2 but every point sits at (0,*): after round 1 all mass assigns
-    // to c0 (id tiebreak on equal distance? no — c1=(5,0) is farther),
-    // so c1 receives no members and must keep (5, 0) exactly.
+  test("a singleton cluster is a stable fixed point across rounds") {
     val pts = Seq(
       (0L, Seq(0L, 0L)),
-      (1L, Seq(5L, 0L)),  // init c1; nearest to itself in round 1
+      (1L, Seq(5L, 0L)),  // init c1; nearest to itself in every round
       (2L, Seq(0L, 2L)),
       (3L, Seq(0L, 4L)),
     ).toDF("vec_id", "v")
@@ -44,6 +41,25 @@ class PqQueriesSpec extends SparkSpec {
     val got = PqQueries.adcTopK(pts, m = 1, subDim = 2, k = 2, iters = 2, topK = 10, queryId = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((2L, 4L), (3L, 4L), (1L, 25L)))
+  }
+
+  test("a cell that loses every member keeps its previous position") {
+    // duplicate init vectors put c0 and c1 at the SAME point (5): every
+    // assignment ties and the (d, cid) rule sends ALL mass — including
+    // c1's own seed — to c0, so c1 is genuinely absent from the round-1
+    // update and must carry (5) over. The carried value is then
+    // OBSERVED: after c0's mean moves to floor((5+5+100)/3)=36, the
+    // encode pass puts v1 back on the kept c1=(5) (d=0 beats 961), and
+    // the query lut scores it 0 — a zeroed or dropped carry-over cell
+    // would score (5-0)^2=25 instead.
+    val pts = Seq(
+      (0L, Seq(5L)), (1L, Seq(5L)), (2L, Seq(100L)),
+    ).toDF("vec_id", "v")
+    val got = PqQueries.adcTopK(pts, m = 1, subDim = 1, k = 2, iters = 1, topK = 10, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // v1 -> c1 (kept at 5): adc = (5-5)^2 = 0
+    // v2 -> c0 (moved to 36): adc = (5-36)^2 = 961
+    assert(got === Seq((1L, 0L), (2L, 961L)))
   }
 
   test("q96 on testdata: 10 rows, non-decreasing exact distances") {
