@@ -42,19 +42,6 @@ object PqQueries {
   private val TopK = 10
   private val Scale = 1000
 
-  /** The ADC pipeline over a pre-quantized vector frame
-    * (vec_id: long — unique; v: array<long> of m·subDim components) —
-    * parameterized so the spec can drive a hand-computable instance.
-    * `queryId` is excluded from the result but participates in
-    * training (it is corpus).
-    *
-    * The codebook lives on the DRIVER (M·K·subDim longs, kilobytes)
-    * and reaches the executors as an array LITERAL, so assignment is a
-    * pure projection — nested `aggregate` folds over the codebook
-    * constant, no join, no exchange. Each Lloyd update is the one
-    * shuffle: a map-side-combined aggregate down to M·K·subDim groups.
-    * The final ADC pass is scan → project → TakeOrdered — the corpus
-    * is never joined or shuffled at any point. */
   // Expression kernels over an input column `v: array<long>` and a
   // codebook literal cl[m][k][j]. Every consumer must embed codeFor
   // exactly once per (row, subspace): project collapse would otherwise
@@ -213,59 +200,79 @@ object PqQueries {
     adcTopK(Tables.spread(quantized(s, dir)), M, SubDim, K, Iters, TopK,
       queryId = 0L)
 
-  /** One unrolled Lloyd round: assignment distances, struct-min
+  // ------------------------------------------------- oracle generators
+  // The CTE generators are parameterized by a stage prefix `p` and the
+  // source CTE `src` (columns vec_id, m, j, val) so q98 can unroll the
+  // SAME round semantics twice — once for the coarse quantizer, once
+  // for the fine residual codebook.
+
+  /** One unrolled Lloyd round: assignment distances, row_number
     * argmin, integer-mean update with empty cells carried over. */
-  private def roundCtes(n: Int): String = {
-    val prev = if (n == 1) "cent0" else s"cent${n - 1}"
-    s"""ad$n AS (
+  private def roundCtes(n: Int, p: String, src: String): String = {
+    val prev = if (n == 1) s"cent${p}0" else s"cent$p${n - 1}"
+    s"""ad$p$n AS (
        |  SELECT q.vec_id, q.m, c.cid,
        |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
-       |  FROM qv q JOIN $prev c ON c.m = q.m AND c.j = q.j
+       |  FROM $src q JOIN $prev c ON c.m = q.m AND c.j = q.j
        |  GROUP BY 1, 2, 3
-       |), asg$n AS (
+       |), asg$p$n AS (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT vec_id, m, cid,
        |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-       |    FROM ad$n) WHERE rn = 1
-       |), sums$n AS (
+       |    FROM ad$p$n) WHERE rn = 1
+       |), sums$p$n AS (
        |  SELECT a.m, a.cid, q.j,
        |         CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS nv
-       |  FROM asg$n a JOIN qv q ON q.vec_id = a.vec_id AND q.m = a.m
+       |  FROM asg$p$n a JOIN $src q ON q.vec_id = a.vec_id AND q.m = a.m
        |  GROUP BY 1, 2, 3
-       |), cent$n AS (
+       |), cent$p$n AS (
        |  SELECT p.m, p.cid, p.j, COALESCE(s.nv, p.cval) AS cval
-       |  FROM $prev p LEFT JOIN sums$n s
+       |  FROM $prev p LEFT JOIN sums$p$n s
        |    ON s.m = p.m AND s.cid = p.cid AND s.j = p.j
        |)""".stripMargin
   }
 
-  private val q96Sql = {
-    val rounds = (1 to Iters).map(roundCtes).mkString(",\n")
-    val enc = Iters + 1 // final encode = one more assignment, no update
+  /** Seed codebook: the K smallest vec_ids' component rows, cid by
+    * rank. */
+  private def initCte(p: String, src: String, k: Int): String =
+    s"""cent${p}0 AS (
+       |  SELECT q.m, CAST(r.rk - 1 AS INT) AS cid, q.j, q.val AS cval
+       |  FROM $src q JOIN (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+       |    FROM (SELECT DISTINCT vec_id FROM $src ORDER BY vec_id LIMIT $k)
+       |  ) r USING (vec_id)
+       |)""".stripMargin
+
+  /** Final encode = one more assignment round, no update. */
+  private def encodeCte(p: String, src: String, iters: Int, out: String): String =
+    s"""adenc$p AS (
+       |  SELECT q.vec_id, q.m, c.cid,
+       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
+       |  FROM $src q JOIN cent$p$iters c ON c.m = q.m AND c.j = q.j
+       |  GROUP BY 1, 2, 3
+       |), $out AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM adenc$p) WHERE rn = 1
+       |)""".stripMargin
+
+  /** The full train-encode chain for one stage. */
+  private def stageCtes(
+      p: String, src: String, k: Int, iters: Int, out: String): String =
+    (initCte(p, src, k) +:
+      (1 to iters).map(roundCtes(_, p, src)) :+
+      encodeCte(p, src, iters, out)).mkString(",\n")
+
+  private val q96Sql =
     s"""WITH qv AS (
        |  SELECT vec_id, CAST((i - 1) // $SubDim AS INT) AS m,
        |         CAST((i - 1) % $SubDim AS INT) AS j,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS val
        |  FROM embeddings, unnest(generate_series(1, ${M * SubDim})) AS u(i)
-       |), cent0 AS (
-       |  SELECT q.m, CAST(r.rk - 1 AS INT) AS cid, q.j, q.val AS cval
-       |  FROM qv q JOIN (
-       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
-       |    FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)
-       |  ) r USING (vec_id)
        |),
-       |$rounds,
-       |ad$enc AS (
-       |  SELECT q.vec_id, q.m, c.cid,
-       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
-       |  FROM qv q JOIN cent$Iters c ON c.m = q.m AND c.j = q.j
-       |  GROUP BY 1, 2, 3
-       |), codes AS (
-       |  SELECT vec_id, m, cid FROM (
-       |    SELECT vec_id, m, cid,
-       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-       |    FROM ad$enc) WHERE rn = 1
-       |), lut AS (
+       |${stageCtes("", "qv", K, Iters, "codes")},
+       |lut AS (
        |  SELECT c.m, c.cid,
        |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS ld
        |  FROM cent$Iters c JOIN qv q ON q.vec_id = 0 AND q.m = c.m AND q.j = c.j
@@ -275,9 +282,142 @@ object PqQueries {
        |FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
        |WHERE k.vec_id <> 0
        |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** IVF-PQ — the composition the whole ANN family exists for (the
+    * FAISS `IVFx,PQy` index, the standard billion-scale deployment):
+    * a COARSE quantizer partitions the corpus into cells, vectors are
+    * PQ-encoded as RESIDUALS from their cell centroid, and a query
+    * probes only its nprobe nearest cells, scoring candidates by ADC
+    * with a per-cell residual lut.
+    *
+    * Both stages reuse [[trainCodebook]] verbatim — the coarse
+    * quantizer IS a product codebook with one subspace spanning the
+    * full vector (m=1, subDim=64, k=8), so the exactness contract
+    * (integer centroids, strict-< lowest-id argmin, empty-cell
+    * carry-over) holds end to end and the oracle unrolls the SAME
+    * round CTEs twice via the stage generators.
+    *
+    * 100 TB: everything q96 says, plus the IVF win — the final scan
+    * touches only nprobe/Cells of the corpus (with the index stored
+    * cell-partitioned, a partition-pruned read — q42's layout), and
+    * the per-cell luts are nprobe·M·K longs on the driver. Residual
+    * encoding is why IVF-PQ beats flat PQ at equal bits: residual
+    * norms are a cell-diameter, not a corpus-diameter. */
+  private val Cells = 8
+  private val NProbe = 2
+  private val Dim = M * SubDim
+
+  /** The IVF-PQ pipeline over a pre-quantized vector frame —
+    * parameterized so the spec can pin the cells=1 degenerate case
+    * exactly equal to flat PQ (residual encoding is a constant integer
+    * shift there, and every stage is shift-exact). */
+  private[operators] def ivfpqTopK(
+      vecs: DataFrame, cells: Int, nprobe: Int, m: Int, subDim: Int,
+      k: Int, iters: Int, topK: Int, queryId: Long): DataFrame = {
+    val dim = m * subDim
+    // ---- coarse quantizer: one-subspace codebook over the full
+    // vector; the query vector rides out through the finish hook ----
+    var q0: Array[Long] = null
+    val coarse = trainCore(vecs, 1, dim, cells, iters) { pts =>
+      q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
+    }
+    val ccl = codebookLit(coarse)
+    // the cell is assigned ONCE per row below a generate barrier; the
+    // residual lambda then reads the plain `cell` attribute (cheap)
+    // instead of re-running the coarse argmin per component
+    def residuals: DataFrame = vecs
+      .select(col("vec_id"), col("v"),
+        explode(array(codeFor(ccl, lit(0), dim, cells))).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          element_at(col("v"), j + 1) -
+            element_at(element_at(element_at(ccl, lit(1)), col("cell") + 1),
+              j + 1)).as("v"))
+    // ---- fine codebook on the residuals ----
+    val fine = trainCodebook(
+      residuals.select(col("vec_id"), col("v")), m, subDim, k, iters)
+
+    // ---- probe: the query's nprobe nearest cells, exact full-vector
+    // distance, (d, cell) ascending ----
+    val probes = (0 until cells).map { c =>
+      val d = (0 until dim).map { j =>
+        val t = q0(j) - coarse(0)(c)(j); t * t
+      }.sum
+      (d, c)
+    }.sorted.take(nprobe).map(_._2)
+    // per-probed-cell residual luts (nprobe·M·K longs)
+    val lutMap: Map[Int, Seq[Seq[Long]]] = probes.map { c =>
+      val qr = Array.tabulate(dim)(j => q0(j) - coarse(0)(c)(j))
+      c -> Seq.tabulate(m, k) { (mm, kk) =>
+        (0 until subDim).map { j =>
+          val t = qr(mm * subDim + j) - fine(mm)(kk)(j); t * t
+        }.sum
+      }.map(_.toSeq)
+    }.toMap
+
+    val lutLit = typedlit(lutMap)
+    val fcl = codebookLit(fine)
+    val adc = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), mm =>
+        element_at(element_at(element_at(lutLit, col("cell")), mm + 1),
+          codeFor(fcl, mm, subDim, k) + 1)),
+      lit(0L), (acc, x) => acc + x)
+    residuals
+      .filter(col("cell").isin(probes.map(Int.box): _*))
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
   }
+
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopK(Tables.spread(quantized(s, dir)), Cells, NProbe,
+      M, SubDim, K, Iters, TopK, queryId = 0L)
+
+  private val q98Sql =
+    s"""WITH qv64 AS (
+       |  SELECT vec_id, CAST(0 AS INT) AS m, CAST(i - 1 AS INT) AS j,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS val
+       |  FROM embeddings, unnest(generate_series(1, $Dim)) AS u(i)
+       |),
+       |${stageCtes("c", "qv64", Cells, Iters, "cellenc")},
+       |resq AS (
+       |  SELECT q.vec_id, CAST(q.j // $SubDim AS INT) AS m,
+       |         CAST(q.j % $SubDim AS INT) AS j,
+       |         q.val - c.cval AS val
+       |  FROM qv64 q JOIN cellenc a ON a.vec_id = q.vec_id
+       |  JOIN centc$Iters c ON c.cid = a.cid AND c.j = q.j
+       |),
+       |${stageCtes("f", "resq", K, Iters, "codesf")},
+       |probe AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT c.cid, sum((q.val - c.cval) * (q.val - c.cval)) AS d
+       |    FROM centc$Iters c JOIN qv64 q ON q.vec_id = 0 AND q.j = c.j
+       |    GROUP BY c.cid ORDER BY d, cid LIMIT $NProbe)
+       |),
+       |qres AS (
+       |  SELECT p.cell, CAST(q.j // $SubDim AS INT) AS m,
+       |         CAST(q.j % $SubDim AS INT) AS j,
+       |         q.val - c.cval AS val
+       |  FROM probe p JOIN centc$Iters c ON c.cid = p.cell
+       |  JOIN qv64 q ON q.vec_id = 0 AND q.j = c.j
+       |),
+       |lutp AS (
+       |  SELECT r.cell, f.m, f.cid,
+       |         CAST(sum((r.val - f.cval) * (r.val - f.cval)) AS BIGINT) AS ld
+       |  FROM qres r JOIN centf$Iters f ON f.m = r.m AND f.j = r.j
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT k.vec_id AS vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+       |FROM codesf k
+       |JOIN cellenc a ON a.vec_id = k.vec_id
+       |JOIN lutp l ON l.cell = a.cid AND l.m = k.m AND l.cid = k.cid
+       |WHERE k.vec_id <> 0
+       |GROUP BY k.vec_id ORDER BY adc_dist, k.vec_id LIMIT $TopK""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q96_pq_adc", Some(q96Sql), q96),
+    QuerySpec("q98_ivfpq_search", Some(q98Sql), q98),
   )
 }

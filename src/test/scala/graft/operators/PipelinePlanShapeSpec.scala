@@ -174,6 +174,17 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the queryId exclusion should push down to the scan:\n$p")
   }
 
+  test("q98 ivfpq: literal codebooks/luts — no join, no keyed exchange, heap top-k") {
+    val p = finalPlan("q98_ivfpq_search")
+    assert(!p.contains("Join") && !p.contains("NestedLoop"),
+      s"coarse/fine codebooks and per-cell luts are literals — no join may appear:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"the corpus must never shuffle by key in the search pass:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the ADC top-k must plan per-partition heaps:\n$p")
+  }
+
   test("q93 dsir: weight table broadcasts, spread survives AQE, no merge join") {
     val p = finalPlan("q93_dsir_select")
     assert(p.contains("BroadcastHashJoin"),

@@ -62,6 +62,37 @@ class PqQueriesSpec extends SparkSpec {
     assert(got === Seq((1L, 0L), (2L, 961L)))
   }
 
+  test("ivfpq with one cell degenerates EXACTLY to flat PQ") {
+    // with cells=1 the residual encoding is a constant integer shift
+    // (v - global floor-mean) and every stage is shift-exact: the fine
+    // codebook trains to the shifted copy of the flat codebook, codes
+    // coincide, and the per-cell lut equals the flat lut — so IVF-PQ
+    // and flat PQ must return IDENTICAL (vec_id, adc_dist) rows
+    val vecs = Seq(
+      (0L, Seq(3L, 7L, 100L, -40L)),
+      (1L, Seq(5L, 6L, 90L, -42L)),
+      (2L, Seq(-8L, 0L, 110L, -39L)),
+      (3L, Seq(4L, 8L, 95L, -41L)),
+      (4L, Seq(50L, -60L, 0L, 12L)),
+      (5L, Seq(48L, -55L, 5L, 10L)),
+    ).toDF("vec_id", "v")
+    val flat = PqQueries.adcTopK(vecs, m = 2, subDim = 2, k = 2, iters = 2,
+      topK = 10, queryId = 0L).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ivf = PqQueries.ivfpqTopK(vecs, cells = 1, nprobe = 1, m = 2, subDim = 2,
+      k = 2, iters = 2, topK = 10, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivf === flat)
+  }
+
+  test("q98 on testdata: 10 rows, non-decreasing distances, query excluded") {
+    val rows = graft.QueryCatalog.all.find(_.name == "q98_ivfpq_search").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    val dists = rows.map(_.getAs[Long]("adc_dist")).toSeq
+    assert(dists === dists.sorted && dists.forall(_ >= 0L))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
   test("q96 on testdata: 10 rows, non-decreasing exact distances") {
     val rows = graft.QueryCatalog.all.find(_.name == "q96_pq_adc").get
       .fn(spark, "/root/testdata/sf0.001").collect()
