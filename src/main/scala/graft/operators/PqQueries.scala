@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Product quantization (Jégou et al. 2011 — the PQ in FAISS's
   * IVF-PQ, the standard billion-scale ANN index): split each vector
@@ -92,11 +93,13 @@ object PqQueries {
   /** The trainer loop. `finish` runs against the still-cached input
     * frame — adcTopK fetches its query vector there instead of paying
     * a second corpus scan after the cache is gone (the q92 hook
-    * pattern). */
+    * pattern). An input the caller already persisted is left alone on
+    * exit (ivfpqTopK holds one cache across both training stages). */
   private def trainCore(
       vecs: DataFrame, m: Int, subDim: Int, k: Int, iters: Int)(
       finish: DataFrame => Unit): Array[Array[Array[Long]]] = {
-    val pts = vecs.persist()
+    val preCached = vecs.storageLevel != StorageLevel.NONE
+    val pts = if (preCached) vecs else vecs.persist()
     try {
       // ---- init: the K smallest vec_ids' vectors, cid by rank ----
       val init = pts.orderBy(col("vec_id")).limit(k).collect()
@@ -128,7 +131,7 @@ object PqQueries {
       }
       finish(pts)
       cent
-    } finally pts.unpersist()
+    } finally if (!preCached) pts.unpersist()
   }
 
   /** Batch PQ encode against a trained codebook: (vec_id, codes,
@@ -291,9 +294,10 @@ object PqQueries {
     * probes only its nprobe nearest cells, scoring candidates by ADC
     * with a per-cell residual lut.
     *
-    * Both stages reuse [[trainCodebook]] verbatim — the coarse
-    * quantizer IS a product codebook with one subspace spanning the
-    * full vector (m=1, subDim=64, k=8), so the exactness contract
+    * Both stages run the same trainer core ([[trainCodebook]]'s loop;
+    * the coarse stage calls it with a query-fetch finish hook) — the
+    * coarse quantizer IS a product codebook with one subspace spanning
+    * the full vector (m=1, subDim=64, k=8), so the exactness contract
     * (integer centroids, strict-< lowest-id argmin, empty-cell
     * carry-over) holds end to end and the oracle unrolls the SAME
     * round CTEs twice via the stage generators.
@@ -316,17 +320,10 @@ object PqQueries {
       vecs: DataFrame, cells: Int, nprobe: Int, m: Int, subDim: Int,
       k: Int, iters: Int, topK: Int, queryId: Long): DataFrame = {
     val dim = m * subDim
-    // ---- coarse quantizer: one-subspace codebook over the full
-    // vector; the query vector rides out through the finish hook ----
-    var q0: Array[Long] = null
-    val coarse = trainCore(vecs, 1, dim, cells, iters) { pts =>
-      q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
-    }
-    val ccl = codebookLit(coarse)
     // the cell is assigned ONCE per row below a generate barrier; the
     // residual lambda then reads the plain `cell` attribute (cheap)
     // instead of re-running the coarse argmin per component
-    def residuals: DataFrame = vecs
+    def residuals(ccl: Column): DataFrame = vecs
       .select(col("vec_id"), col("v"),
         explode(array(codeFor(ccl, lit(0), dim, cells))).as("cell"))
       .select(col("vec_id"), col("cell"),
@@ -334,9 +331,25 @@ object PqQueries {
           element_at(col("v"), j + 1) -
             element_at(element_at(element_at(ccl, lit(1)), col("cell") + 1),
               j + 1)).as("v"))
-    // ---- fine codebook on the residuals ----
-    val fine = trainCodebook(
-      residuals.select(col("vec_id"), col("v")), m, subDim, k, iters)
+    // ---- training: ONE outer cache spans both stages — the coarse
+    // rounds fill it and the fine stage's residual cache fills FROM it
+    // (trainCore leaves a pre-cached input alone), so the source is
+    // scanned once for training plus once by the lazy returned plan ----
+    var q0: Array[Long] = null
+    val cached = vecs.persist()
+    val (coarse, fine) =
+      try {
+        // coarse quantizer: one-subspace codebook over the full
+        // vector; the query vector rides out through the finish hook
+        val co = trainCore(cached, 1, dim, cells, iters) { pts =>
+          q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
+        }
+        val fi = trainCodebook(
+          residuals(codebookLit(co)).select(col("vec_id"), col("v")),
+          m, subDim, k, iters)
+        (co, fi)
+      } finally cached.unpersist()
+    val ccl = codebookLit(coarse)
 
     // ---- probe: the query's nprobe nearest cells, exact full-vector
     // distance, (d, cell) ascending ----
@@ -353,7 +366,7 @@ object PqQueries {
         (0 until subDim).map { j =>
           val t = qr(mm * subDim + j) - fine(mm)(kk)(j); t * t
         }.sum
-      }.map(_.toSeq)
+      }
     }.toMap
 
     val lutLit = typedlit(lutMap)
@@ -363,7 +376,7 @@ object PqQueries {
         element_at(element_at(element_at(lutLit, col("cell")), mm + 1),
           codeFor(fcl, mm, subDim, k) + 1)),
       lit(0L), (acc, x) => acc + x)
-    residuals
+    residuals(ccl)
       .filter(col("cell").isin(probes.map(Int.box): _*))
       .select(col("vec_id"), adc.as("adc_dist"))
       .filter(col("vec_id") =!= queryId)
