@@ -494,6 +494,50 @@ object EventQueries {
   private[graft] def psiWeight(a: Column, b: Column): Column =
     classWeight(a, b, RatioClasses.length, 2079L)
 
+  // --------------------------------------------------- small-ratio ladder
+  /** Extension of the ladder to SMALL rationals num/den ∈ (0, 1] —
+    * probabilities, where [[classWeight]]'s classes (built for
+    * near-1 drift ratios) would clamp everything below 1/4 to one
+    * value. Two exact stages: the dyadic exponent e (r ∈ [2⁻ᵉ, 2⁻ᵉ⁺¹))
+    * is found by ascending shifted compares num·2ᵉ ≥ den, then the
+    * mantissa m = r·2ᵉ ∈ [1, 2) refines into 4 classes at 5/4, 3/2,
+    * 7/4. The weight is ⌊1000·ln(geometric class midpoint)⌉ milli-nats
+    * — hard-coded integer constants over pure 64-bit compares, so both
+    * engines agree bit for bit. Ratios below 2⁻⁴⁰ clamp to the
+    * [2⁻⁴¹, 2⁻⁴⁰) midpoint. Overflow-safe: CASE evaluates branches in
+    * order, so the largest product actually computed is < 8·den. */
+  private val LnSmallMaxE = 40
+  private val MantissaMids: Seq[Double] =
+    Seq(math.sqrt(5.0 / 4), math.sqrt(15.0 / 8), math.sqrt(21.0 / 8),
+      math.sqrt(7.0 / 2))
+  private def lnSmallMnat(e: Int, c: Int): Long =
+    Math.round(1000.0 * (math.log(MantissaMids(c)) - e * math.log(2.0)))
+  private val LnSmallBottom: Long =
+    Math.round(1000.0 * (0.5 - (LnSmallMaxE + 1)) * math.log(2.0))
+
+  /** Column form; `num`/`den` must be ≥ 1 BIGINT exprs with num ≤ den. */
+  private[graft] def lnSmallWeight(num: Column, den: Column): Column =
+    (0 to LnSmallMaxE).foldRight(lit(LnSmallBottom): Column) { (e, rest) =>
+      when(num * (1L << e) >= den,
+        when(num * (4L << e) < den * 5L, lnSmallMnat(e, 0))
+          .when(num * (2L << e) < den * 3L, lnSmallMnat(e, 1))
+          .when(num * (4L << e) < den * 7L, lnSmallMnat(e, 2))
+          .otherwise(lnSmallMnat(e, 3)))
+        .otherwise(rest)
+    }
+
+  /** Same ladder as SQL text (for the DuckDB oracles). */
+  private[graft] def lnSmallWeightSql(num: String, den: String): String = {
+    val branches = (0 to LnSmallMaxE).map { e =>
+      s"WHEN ($num) * ${1L << e} >= ($den) THEN " +
+        s"(CASE WHEN ($num) * ${4L << e} < ($den) * 5 THEN ${lnSmallMnat(e, 0)} " +
+        s"WHEN ($num) * ${2L << e} < ($den) * 3 THEN ${lnSmallMnat(e, 1)} " +
+        s"WHEN ($num) * ${4L << e} < ($den) * 7 THEN ${lnSmallMnat(e, 2)} " +
+        s"ELSE ${lnSmallMnat(e, 3)} END)"
+    }
+    branches.mkString("(CASE ", " ", s" ELSE $LnSmallBottom END)")
+  }
+
   /** Shared q88/q89 smoothing pipeline → one row per (event_type,
     * bucket) with smoothed ppm shares a = qᵢ+1 (current window) and
     * b = pᵢ+1 (reference window). Events LEFT-join the reference

@@ -116,7 +116,117 @@ object SelectionQueries {
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020): score
+    * every doc by its negative log-likelihood under a Laplace-smoothed
+    * BIGRAM language model and flag the high-perplexity tail — the
+    * standard LM quality gate in LLM data pipelines (CCNet scores
+    * against a KenLM; here the LM is trained in-engine on a
+    * `doc_id % 10 = 0` split, so unseen-bigram and unseen-context
+    * backoff paths are genuinely exercised on the 90% held-out docs).
+    *
+    * Exactness: p(w₂|w₁) = (c₂+1)/(c₁+V) stays a rational of exact
+    * BIGINTs; its ln comes from [[EventQueries.lnSmallWeight]] — the
+    * dyadic+mantissa milli-nat ladder (pure 64-bit compares against
+    * hard-coded constants) — so every doc's NLL is an exact BIGINT
+    * and the flag test is multiplicative (nll > T·n_bigrams), no
+    * division anywhere.
+    *
+    * Output per source: docs scored, flagged count + share, corpus
+    * mean NLL per bigram in milli-nats.
+    *
+    * Scale: exactly the CCNet shape — the trained model is a bounded
+    * artifact that ships to every worker (here two broadcast count
+    * tables + a scalar V; at real scale cap the vocab at top-V tokens
+    * so it stays broadcastable, OOV → the unseen-context path), and
+    * scoring is one corpus scan: bigrams form scan-side from the token
+    * array (no posexplode self-join), meet the model in broadcast hash
+    * joins, and only per-doc partial sums shuffle. Training is one
+    * map-side-combined groupBy over the 10% split. */
+  private val PplTrainMod = 10
+  private val PplFlagMnat = 3600L
+
+  /** Per-doc NLL frame (source, doc_id, nll, nbg) — the spec asserts
+    * the ladder arithmetic and the planted-junk flagging on this. */
+  private[operators] def docNll(s: SparkSession, dir: String): DataFrame = {
+    // token array materialized below the spread exchange (q93 note);
+    // single-token docs produce no bigrams and drop out, same as the
+    // oracle's empty generate_series
+    val docs = Tables.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t")),
+      col("doc_id")).filter(size(col("t")) >= 2)
+    val bg = docs.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
+          .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bg.filter(col("doc_id") % PplTrainMod === 0)
+    val c2t = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1t = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vt = docs.filter(col("doc_id") % PplTrainMod === 0)
+      .select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.join(broadcast(c2t), Seq("w1", "w2"), "left")
+      .join(broadcast(c1t), Seq("w1"), "left")
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"), col("source"),
+        EventQueries.lnSmallWeight(
+          coalesce(col("c2"), lit(0L)) + 1L,
+          coalesce(col("c1"), lit(0L)) + col("v")).as("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((-sum(col("w"))).as("nll"), count(lit(1)).as("nbg"))
+  }
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    docNll(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nll") > lit(PplFlagMnat) * col("nbg"), 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("nll")).as("sum_nll"), sum(col("nbg")).as("sum_bg"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        Det.rate(col("n_flagged").cast("double") / col("n_docs")).as("flag_share"),
+        Det.rate(col("sum_nll").cast("double") / col("sum_bg")).as("avg_nll_mnat"))
+      .orderBy(col("source"))
+
+  private val q99Sql = {
+    val w = EventQueries.lnSmallWeightSql(
+      "COALESCE(c2, 0) + 1", "COALESCE(c1, 0) + v")
+    s"""WITH tl AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM tl, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |), c2t AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM bg WHERE doc_id % $PplTrainMod = 0 GROUP BY 1, 2
+       |), c1t AS (
+       |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |  FROM bg WHERE doc_id % $PplTrainMod = 0 GROUP BY 1
+       |), vt AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM tl WHERE doc_id % $PplTrainMod = 0)
+       |), sc AS (
+       |  SELECT b.doc_id, b.source,
+       |         CAST(-sum($w) AS BIGINT) AS nll,
+       |         CAST(count(*) AS BIGINT) AS nbg
+       |  FROM bg b LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1), vt
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN nll > $PplFlagMnat * nbg THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_flagged,
+       |       floor(CAST(sum(CASE WHEN nll > $PplFlagMnat * nbg THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS flag_share,
+       |       floor(CAST(sum(nll) AS DOUBLE) / sum(nbg) * 1e6 + 0.5) / 1e6
+       |         AS avg_nll_mnat
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
+    QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
   )
 }

@@ -37,6 +37,45 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(byTgt(true) > byTgt(false))
   }
 
+  test("small-ratio ladder: exact milli-nat pins") {
+    import spark.implicits._
+    // hand-computed: e=0/class0 → +112; 1/3 → e=2, m=4/3, class1 →
+    // round(1000·(½ln(15/8) − 2ln2)) = −1072; 1/1024 → e=10/class0 →
+    // 112 − 10·693.147 → −6820; below 2⁻⁴⁰ clamps to −28072
+    val got = Seq((1L, 1L), (1L, 3L), (1L, 1024L), (1L, 1L << 50))
+      .toDF("num", "den")
+      .select(EventQueries.lnSmallWeight(col("num"), col("den")).as("w"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(112L, -1072L, -6820L, -28072L))
+  }
+
+  test("held-out docs pay higher NLL than the train split they weren't fit on") {
+    val rows = SelectionQueries.docNll(spark, dir)
+      .select(col("doc_id"), col("nll"), col("nbg")).collect()
+    val (train, held) = rows.partition(_.getLong(0) % 10 == 0)
+    assert(train.nonEmpty && held.nonEmpty)
+    def avgNll(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(1).toDouble / r.getLong(2)).sum / rs.length
+    assert(avgNll(held) > avgNll(train),
+      "every train bigram was observed in fitting, so the held-out tail must score worse")
+    rows.foreach(r => assert(r.getLong(1) > 0L, "every doc pays positive NLL"))
+  }
+
+  test("q99 rollup equals the multiplicative per-doc flag rule") {
+    val per = SelectionQueries.docNll(spark, dir).collect()
+    // 3600 mnat/bigram is the registered PplFlagMnat constant
+    val expect = per.count(r => r.getAs[Long]("nll") > 3600L * r.getAs[Long]("nbg"))
+    val out = graft.QueryCatalog.all.find(_.name == "q99_ppl_filter").get
+      .fn(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_flagged")).sum === expect)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === per.length)
+    out.foreach { r =>
+      val share = r.getAs[Double]("flag_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("avg_nll_mnat") > 0.0)
+    }
+  }
+
   test("q93 per-source rollup accounts for every document") {
     val out = graft.QueryCatalog.all.find(_.name == "q93_dsir_select").get
       .fn(spark, dir).collect()
