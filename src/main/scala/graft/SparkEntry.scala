@@ -63,5 +63,6 @@ object QueryCatalog {
       operators.BpeQueries.specs ++
       operators.SelectionQueries.specs ++
       operators.RetrievalQueries.specs ++
-      operators.PqQueries.specs
+      operators.PqQueries.specs ++
+      operators.ClassifierQueries.specs
 }

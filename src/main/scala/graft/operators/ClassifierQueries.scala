@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality classifier — the second canonical LLM-data
+  * quality gate next to q99's perplexity LM: GPT-3/LLaMA-style
+  * pipelines score every document with a fast linear classifier
+  * (fastText / logistic over hashed features) trained to recognize a
+  * target domain. Here the classifier is multinomial naive Bayes over
+  * hashed-unigram counts — the linear model whose training is a
+  * CLOSED-FORM count aggregate, which is what makes it the honestly
+  * distributed choice: no sequential example loop (a batch perceptron
+  * oscillates on balanced noisy data — measured), no gradient
+  * schedule, one map-side-combined groupBy to fit.
+  *
+  * Label (weak supervision, the fastText-filter setup): y = +1 when
+  * the doc mentions `window` ≥ 2 times — the same content-defined
+  * target domain as q93, so selection (DSIR) and classification rank
+  * the same concept two ways.
+  *
+  * Exactness: per-class per-bucket Laplace log-likelihoods
+  * ln((c+1)/(N+B)) and the class prior both come from
+  * [[EventQueries.lnSmallWeight]] — integer milli-nats off pure
+  * 64-bit compares — and the per-doc score is an exact BIGINT
+  * Σ x_b·(w⁺_b − w⁻_b) + prior, so Spark and the DuckDB oracle agree
+  * bit for bit. The weights are COMPUTED BY SPARK EXPRESSIONS on the
+  * B-row count frame (collected once to a literal), so there is no
+  * Scala twin of the ladder to drift.
+  *
+  * Scale: training is one corpus scan → groupBy over B=64 buckets
+  * (map-side combined, B rows out); the model is B+1 longs shipped as
+  * an array LITERAL (the codebook pattern — no join, no exchange in
+  * the scoring pass); scoring is scan → per-doc partial-sum agg. The
+  * 10% train split exercises the real deployment: fit on a curated
+  * slice, score everything. */
+object ClassifierQueries {
+
+  private val Buckets = 64
+  private val TrainMod = 10
+
+  /** Sparse hashed-unigram features: (doc_id, source, y, b, x). */
+  private def feats(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("CASE WHEN size(filter(split(text, ' '), t -> t = 'window')) >= 2 " +
+          "THEN 1 ELSE -1 END").cast("long").as("y"),
+        split(col("text"), " ").as("t")),
+      col("doc_id"))
+      .select(col("doc_id"), col("source"), col("y"), explode(col("t")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint") % Buckets)
+      .groupBy(col("doc_id"), col("source"), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Per-doc NB scores (source, doc_id, y, s): fit on the
+    * doc_id % 10 = 0 split, score every doc. The spec asserts
+    * learning (held-out accuracy above the majority rate) here. */
+  private[operators] def docScores(s: SparkSession, dir: String): DataFrame = {
+    val f = feats(s, dir)
+    val train = f.filter(col("doc_id") % TrainMod === 0)
+    // ---- fit: B-row count frame, weights THROUGH the Spark ladder,
+    // collected once to a literal (the codebook pattern). Every bucket
+    // 0..B-1 gets a row (LEFT join off a range) so an unseen-in-train
+    // bucket carries its true Laplace weight, not an arbitrary 0. ----
+    val cnt = train.groupBy(col("b"))
+      .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("cn"))
+    val tot = cnt.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+    val wRows = s.range(Buckets).toDF("b")
+      .join(cnt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (EventQueries.lnSmallWeight(coalesce(col("cp"), lit(0L)) + 1L,
+          col("np") + Buckets) -
+          EventQueries.lnSmallWeight(coalesce(col("cn"), lit(0L)) + 1L,
+            col("nn") + Buckets)).as("w"))
+      .collect()
+    val w: Array[Long] = {
+      val a = new Array[Long](Buckets)
+      wRows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
+    // class prior, through the same ladder (an empty class clamps to
+    // the ladder bottom rather than erroring)
+    val prior = train.select(col("doc_id"), col("y")).distinct()
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("dp"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("dn"))
+      .select((EventQueries.lnSmallWeight(col("dp"), col("dp") + col("dn")) -
+        EventQueries.lnSmallWeight(col("dn"), col("dp") + col("dn"))).as("pr"))
+      .head().getLong(0)
+    // ---- score: literal lookup, per-doc partial-sum agg — no join ----
+    val wLit = typedlit(w.toSeq)
+    f.groupBy(col("source"), col("doc_id"), col("y"))
+      .agg((sum(col("x") *
+        element_at(wLit, (col("b") + 1).cast("int"))) + prior).as("s"))
+  }
+
+  // --------------------------------------------------------------- q100
+  /** Per-source classification report: docs, actual/predicted
+    * positives, correct count, accuracy (pred = score > 0). */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    docScores(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("s") > 0L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when((col("s") > 0L) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("source"), col("n_docs"), col("n_pos"), col("n_pred_pos"),
+        col("n_correct"),
+        Det.rate(col("n_correct").cast("double") / col("n_docs")).as("acc"))
+      .orderBy(col("source"))
+
+  private val q100Sql = {
+    val wpos = EventQueries.lnSmallWeightSql("cp + 1", s"np + $Buckets")
+    val wneg = EventQueries.lnSmallWeightSql("cn + 1", s"nn + $Buckets")
+    val prip = EventQueries.lnSmallWeightSql("dp", "dp + dn")
+    val prin = EventQueries.lnSmallWeightSql("dn", "dp + dn")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'window')) >= 2
+       |              THEN 1 ELSE -1 END AS y,
+       |         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % $Buckets AS b
+       |  FROM (SELECT doc_id, source, text,
+       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), f AS (
+       |  SELECT doc_id, source, y, b, CAST(count(*) AS BIGINT) AS x
+       |  FROM tk GROUP BY 1, 2, 3, 4
+       |), bu AS (
+       |  SELECT CAST(b AS BIGINT) AS b FROM unnest(generate_series(0, ${Buckets - 1})) u(b)
+       |), cnt AS (
+       |  SELECT b, CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END) AS BIGINT) AS scp,
+       |         CAST(sum(CASE WHEN y = -1 THEN x ELSE 0 END) AS BIGINT) AS scn
+       |  FROM f WHERE doc_id % $TrainMod = 0 GROUP BY 1
+       |), cb AS (
+       |  SELECT bu.b, COALESCE(scp, 0) AS cp, COALESCE(scn, 0) AS cn
+       |  FROM bu LEFT JOIN cnt USING (b)
+       |), tot AS (
+       |  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cb
+       |), pri AS (
+       |  SELECT CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS BIGINT) AS dp,
+       |         CAST(count(DISTINCT CASE WHEN y = -1 THEN doc_id END) AS BIGINT) AS dn
+       |  FROM f WHERE doc_id % $TrainMod = 0
+       |), wt AS (
+       |  SELECT b, ($wpos) - ($wneg) AS w FROM cb, tot
+       |), p AS (
+       |  SELECT f.source, f.doc_id, f.y,
+       |         CAST(sum(f.x * w.w) AS BIGINT)
+       |           + (SELECT ($prip) - ($prin) FROM pri) AS s
+       |  FROM f JOIN wt w ON w.b = f.b
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |       CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       floor(CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS acc
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q100_nb_classifier", Some(q100Sql), q100),
+  )
+}
