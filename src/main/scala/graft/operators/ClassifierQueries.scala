@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * slice, score everything. */
 object ClassifierQueries {
 
-  private val Buckets = 64
+  private[graft] val Buckets = 64
   private val TrainMod = 10
 
   /** Sparse hashed-unigram features: (doc_id, source, y, b, x). */
@@ -54,10 +54,10 @@ object ClassifierQueries {
       .groupBy(col("doc_id"), col("source"), col("y"), col("b"))
       .agg(count(lit(1)).as("x"))
 
-  /** Per-doc NB scores (source, doc_id, y, s): fit on the
-    * doc_id % 10 = 0 split, score every doc. The spec asserts
-    * learning (held-out accuracy above the majority rate) here. */
-  private[operators] def docScores(s: SparkSession, dir: String): DataFrame = {
+  /** The fitted model (per-bucket weights, class prior) as collected
+    * artifacts — the closure an online scorer ships
+    * ([[graft.streaming.QualityStream]]). */
+  private[graft] def fitNb(s: SparkSession, dir: String): (Array[Long], Long) = {
     val f = feats(s, dir)
     val train = f.filter(col("doc_id") % TrainMod === 0)
     // ---- fit: B-row count frame, weights THROUGH the Spark ladder,
@@ -90,6 +90,15 @@ object ClassifierQueries {
       .select((EventQueries.lnSmallWeight(col("dp"), col("dp") + col("dn")) -
         EventQueries.lnSmallWeight(col("dn"), col("dp") + col("dn"))).as("pr"))
       .head().getLong(0)
+    (w, prior)
+  }
+
+  /** Per-doc NB scores (source, doc_id, y, s): fit on the
+    * doc_id % 10 = 0 split, score every doc. The spec asserts
+    * learning (held-out accuracy above the majority rate) here. */
+  private[graft] def docScores(s: SparkSession, dir: String): DataFrame = {
+    val (w, prior) = fitNb(s, dir)
+    val f = feats(s, dir)
     // ---- score: literal lookup, per-doc partial-sum agg — no join ----
     val wLit = typedlit(w.toSeq)
     f.groupBy(col("source"), col("doc_id"), col("y"))

@@ -526,6 +526,24 @@ object EventQueries {
         .otherwise(rest)
     }
 
+  /** Scalar twin of [[lnSmallWeight]] for streaming closures — the
+    * SAME `lnSmallMnat`/`LnSmallBottom` constants and the same
+    * compares, so an online scorer cannot drift from the batch column
+    * form (parity-pinned in QualityStreamSpec). */
+  private[graft] def lnSmallMnatOf(num: Long, den: Long): Long = {
+    var e = 0
+    while (e <= LnSmallMaxE) {
+      if (num * (1L << e) >= den) {
+        return if (num * (4L << e) < den * 5L) lnSmallMnat(e, 0)
+        else if (num * (2L << e) < den * 3L) lnSmallMnat(e, 1)
+        else if (num * (4L << e) < den * 7L) lnSmallMnat(e, 2)
+        else lnSmallMnat(e, 3)
+      }
+      e += 1
+    }
+    LnSmallBottom
+  }
+
   /** Same ladder as SQL text (for the DuckDB oracles). */
   private[graft] def lnSmallWeightSql(num: String, den: String): String = {
     val branches = (0 to LnSmallMaxE).map { e =>

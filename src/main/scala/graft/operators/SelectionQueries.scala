@@ -144,11 +144,13 @@ object SelectionQueries {
     * joins, and only per-doc partial sums shuffle. Training is one
     * map-side-combined groupBy over the 10% split. */
   private val PplTrainMod = 10
-  private val PplFlagMnat = 3600L
+  private[graft] val PplFlagMnat = 3600L
 
-  /** Per-doc NLL frame (source, doc_id, nll, nbg) — the spec asserts
-    * the ladder arithmetic and the planted-junk flagging on this. */
-  private[operators] def docNll(s: SparkSession, dir: String): DataFrame = {
+  /** The LM-fit frames: (bg — bigram rows over ALL docs, c2t, c1t,
+    * vt — counts/vocab off the train split). Shared by the batch
+    * scorer and [[bigramLm]] (the streaming model export). */
+  private def lmFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // token array materialized below the spread exchange (q93 note);
     // single-token docs produce no bigrams and drop out, same as the
     // oracle's empty generate_series
@@ -168,6 +170,26 @@ object SelectionQueries {
     val vt = docs.filter(col("doc_id") % PplTrainMod === 0)
       .select(explode(col("t")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
+    (bg, c2t, c1t, vt)
+  }
+
+  /** The trained LM as collected artifacts (bigram counts, context
+    * counts, vocab size) — the closure an online scorer ships
+    * ([[graft.streaming.QualityStream]]); CCNet ships its KenLM to
+    * workers the same way. Vocab-scale: cap the vocabulary before
+    * collecting at real scale. */
+  private[graft] def bigramLm(
+      s: SparkSession, dir: String): (Map[(String, String), Long], Map[String, Long], Long) = {
+    val (_, c2t, c1t, vt) = lmFrames(s, dir)
+    (c2t.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      c1t.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      vt.head().getLong(0))
+  }
+
+  /** Per-doc NLL frame (source, doc_id, nll, nbg) — the spec asserts
+    * the ladder arithmetic and the planted-junk flagging on this. */
+  private[graft] def docNll(s: SparkSession, dir: String): DataFrame = {
+    val (bg, c2t, c1t, vt) = lmFrames(s, dir)
     bg.join(broadcast(c2t), Seq("w1", "w2"), "left")
       .join(broadcast(c1t), Seq("w1"), "left")
       .crossJoin(broadcast(vt))
