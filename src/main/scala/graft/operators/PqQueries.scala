@@ -429,8 +429,138 @@ object PqQueries {
        |WHERE k.vec_id <> 0
        |GROUP BY k.vec_id ORDER BY adc_dist, k.vec_id LIMIT $TopK""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  /** ANN recall evaluation — the harness every production ANN rollout
+    * runs before swapping an index in: take a bounded query panel
+    * (vec_id % 50 = 0, the q28 rule), compute EXACT L2 top-10 per
+    * query as ground truth, compute PQ-ADC top-10 with the trained
+    * codebook, and report per-query recall@10. Completes the ANN
+    * family: q28 is the oracle, q29/q42/q58/q96/q98 are the methods,
+    * this is the measurement.
+    *
+    * Exactness: ground truth and ADC scores are both exact BIGINT
+    * distances with (d, vec_id) tiebreaks, so recall itself is exact
+    * integer counting and the oracle replays the training via the
+    * same unrolled stage CTEs as q96.
+    *
+    * 100 TB: a recall eval is ALWAYS a bounded panel against the full
+    * corpus — the panel (and its per-query luts, Q·M·K longs) ships
+    * broadcast/literal; ground truth is one scan × Q fold-projections
+    * (the q28 brute shape, restricted to the panel); the ADC pass
+    * scores codes only. Per-query top-k is a qid-partitioned window
+    * over Q·N candidate rows cut to heap size by the same exchange
+    * the final report needs anyway. */
+  private val RecallMod = 50
+
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.spread(quantized(s, dir))
+    // train; the query panel rides out through the finish hook while
+    // the cache is live (Q rows — the q28 bounded-panel rule)
+    var qPanel: Array[(Long, Array[Long])] = null
+    val cent = trainCore(vecs, M, SubDim, K, Iters) { pts =>
+      qPanel = pts.filter(col("vec_id") % RecallMod === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    }
+    // per-query ADC luts (Q·M·K longs) as one map literal
+    val luts: Map[Long, Seq[Seq[Long]]] = qPanel.map { case (qid, q0) =>
+      qid -> Seq.tabulate(M, K) { (mm, kk) =>
+        (0 until SubDim).map { j =>
+          val d = q0(mm * SubDim + j) - cent(mm)(kk)(j); d * d
+        }.sum
+      }
+    }.toMap
+    val lutLit = typedlit(luts)
+    val qidsLit = typedlit(qPanel.map(_._1).toSeq)
+
+    def top10(df: DataFrame, score: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col(score), col("vec_id"))))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"))
+    }
+
+    // ---- ground truth: exact L2, panel broadcast into the scan ----
+    import s.implicits._
+    val queries = qPanel.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("qid", "qv")
+    val exact = top10(
+      vecs.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d")),
+      "d")
+
+    // ---- ADC: score codes against every query's lut ----
+    val adc = top10(
+      encoded(vecs, cent, SubDim)
+        .select(col("vec_id"), col("codes"), explode(qidsLit).as("qid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (0 until M).map(mm =>
+            element_at(element_at(element_at(lutLit, col("qid")), mm + 1),
+              element_at(col("codes"), mm + 1) + 1))
+            .reduce(_ + _).as("adc")),
+      "adc")
+
+    exact.join(adc.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        Det.rate(col("n_hit").cast("double") / TopK).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  private val q101Sql =
+    s"""WITH qv AS (
+       |  SELECT vec_id, CAST((i - 1) // $SubDim AS INT) AS m,
+       |         CAST((i - 1) % $SubDim AS INT) AS j,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS val
+       |  FROM embeddings, unnest(generate_series(1, ${M * SubDim})) AS u(i)
+       |),
+       |${stageCtes("", "qv", K, Iters, "codes")},
+       |qs AS (
+       |  SELECT DISTINCT vec_id AS qid FROM qv WHERE vec_id % $RecallMod = 0
+       |), ex AS (
+       |  SELECT q.vec_id AS qid, t.vec_id,
+       |         CAST(sum((t.val - q.val) * (t.val - q.val)) AS BIGINT) AS d
+       |  FROM qv t JOIN qv q ON q.m = t.m AND q.j = t.j
+       |  JOIN qs s ON q.vec_id = s.qid
+       |  WHERE t.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), exr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+       |    FROM ex) WHERE rn <= $TopK
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.cid,
+       |         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS ld
+       |  FROM cent$Iters c JOIN qv q ON q.m = c.m AND q.j = c.j
+       |  JOIN qs s ON q.vec_id = s.qid
+       |  GROUP BY 1, 2, 3
+       |), ad AS (
+       |  SELECT l.qid, k.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc
+       |  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+       |  WHERE k.vec_id <> l.qid
+       |  GROUP BY 1, 2
+       |), adr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |    FROM ad) WHERE rn <= $TopK
+       |)
+       |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |       floor(CAST(count(a.vec_id) AS DOUBLE) / $TopK * 1e6 + 0.5) / 1e6
+       |         AS recall
+       |FROM exr e LEFT JOIN adr a ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q96_pq_adc", Some(q96Sql), q96),
     QuerySpec("q98_ivfpq_search", Some(q98Sql), q98),
+    QuerySpec("q101_pq_recall", Some(q101Sql), q101),
   )
 }

@@ -103,6 +103,27 @@ class PqQueriesSpec extends SparkSpec {
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L), "query doc excluded")
   }
 
+  test("q101 recall: panel-sized, bounded, and far above random chance") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.QueryCatalog.all.find(_.name == "q101_pq_recall").get
+      .fn(spark, dir).collect()
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val panel = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length === panel, "one recall row per panel query")
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 10L)
+      assert(r.getAs[Double]("recall") === hit / 10.0)
+    }
+    // random top-10 would hit ~10/(n-1) of the exact set; PQ must beat
+    // that by a wide margin or the encoding is broken
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val chance = 10.0 / (n - 1)
+    assert(avg > 5 * chance,
+      f"avg recall $avg%.3f must clear 5x chance ($chance%.4f)")
+  }
+
   test("ADC of a vector sitting exactly on its codebook entries is 0 to itself's query") {
     // if the query IS an init centroid and survives as a fixed point,
     // lut at its own codes must be 0 — checked via a separated corpus
