@@ -29,8 +29,8 @@ class CatalogSmokeSpec extends SparkSpec {
   test("query ids are unique and follow the q<nn>_ naming contract") {
     val names = QueryCatalog.all.map(_.name)
     assert(names.distinct.size === names.size, "duplicate query names")
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
-    val ids = names.map(_.take(3))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    val ids = names.map(_.takeWhile(_ != '_'))
     assert(ids.distinct.size === ids.size, "duplicate query ids")
   }
 

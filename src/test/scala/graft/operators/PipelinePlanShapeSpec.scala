@@ -220,4 +220,32 @@ class PipelinePlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
   }
+
+  test("q99 perplexity: the LM meets the corpus by broadcast only") {
+    val p = finalPlan("q99_ppl_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram/context count tables must broadcast into the scoring scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle to meet the model:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"the spread exchange under the bigram explode must survive AQE:\n$p")
+  }
+
+  test("q100 nb classifier: literal weights — the scoring pass has no join at all") {
+    val p = finalPlan("q100_nb_classifier")
+    assert(!p.contains("Join") && !p.contains("NestedLoop"),
+      s"weights are a collected literal; no join may appear in the scoring plan:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"the spread exchange under the hash kernel must survive AQE:\n$p")
+  }
+
+  test("q101 recall: panel broadcasts into both passes, per-query top-k is rank-limited") {
+    val p = finalPlan("q101_pq_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the Q-row panel must broadcast — the corpus is the streamed side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-scale may shuffle to meet the panel:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-10 must use the rank-limit pushdown, not full window sorts:\n$p")
+  }
 }
