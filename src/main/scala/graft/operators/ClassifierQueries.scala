@@ -26,84 +26,103 @@ import org.apache.spark.sql.functions._
   * 64-bit compares — and the per-doc score is an exact BIGINT
   * Σ x_b·(w⁺_b − w⁻_b) + prior, so Spark and the DuckDB oracle agree
   * bit for bit. The weights are COMPUTED BY SPARK EXPRESSIONS on the
-  * B-row count frame (collected once to a literal), so there is no
-  * Scala twin of the ladder to drift.
+  * B-row count frame, so there is no Scala twin of the ladder to
+  * drift ([[fitNb]] collects those same frames for the streaming
+  * closure).
   *
   * Scale: training is one corpus scan → groupBy over B=64 buckets
-  * (map-side combined, B rows out); the model is B+1 longs shipped as
-  * an array LITERAL (the codebook pattern — no join, no exchange in
-  * the scoring pass); scoring is scan → per-doc partial-sum agg. The
-  * 10% train split exercises the real deployment: fit on a curated
-  * slice, score everything. */
+  * (map-side combined, B rows out); the B-row weight table and 1-row
+  * prior BROADCAST into the scoring scan (kept lazy — one plan, zero
+  * driver collects; a literal-collect variant measured ~2× slower at
+  * sf0.1 from the extra scheduled jobs); scoring is scan → per-doc
+  * partial-sum agg. The 10% train split exercises the real
+  * deployment: fit on a curated slice, score everything. */
 object ClassifierQueries {
 
   private[graft] val Buckets = 64
   private val TrainMod = 10
 
-  /** Sparse hashed-unigram features: (doc_id, source, y, b, x). */
-  private def feats(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(
-      Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        expr("CASE WHEN size(filter(split(text, ' '), t -> t = 'window')) >= 2 " +
-          "THEN 1 ELSE -1 END").cast("long").as("y"),
-        split(col("text"), " ").as("t")),
-      col("doc_id"))
+  /** Labeled docs (doc_id, source, y, t), un-spread. Callers filter
+    * FIRST, then [[toks]] spreads — so the train-split fit shuffles
+    * 10% of the text, not all of it. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      expr("CASE WHEN size(filter(split(text, ' '), t -> t = 'window')) >= 2 " +
+        "THEN 1 ELSE -1 END").cast("long").as("y"),
+      split(col("text"), " ").as("t"))
+
+  /** Hashed token rows of a labeled-doc frame: (doc_id, source, y, b)
+    * — one row per token, hash work above the spread exchange.
+    * Σ_tokens w(b) ≡ Σ_buckets x_b·w_b, so neither the fit nor the
+    * scoring pass needs a per-(doc, bucket) pre-aggregate. */
+  private def toks(docs: DataFrame): DataFrame =
+    Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), col("source"), col("y"), explode(col("t")).as("tok"))
       .withColumn("b",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint") % Buckets)
-      .groupBy(col("doc_id"), col("source"), col("y"), col("b"))
-      .agg(count(lit(1)).as("x"))
 
   /** The fitted model (per-bucket weights, class prior) as collected
     * artifacts — the closure an online scorer ships
     * ([[graft.streaming.QualityStream]]). */
   private[graft] def fitNb(s: SparkSession, dir: String): (Array[Long], Long) = {
-    val f = feats(s, dir)
-    val train = f.filter(col("doc_id") % TrainMod === 0)
-    // ---- fit: B-row count frame, weights THROUGH the Spark ladder,
-    // collected once to a literal (the codebook pattern). Every bucket
-    // 0..B-1 gets a row (LEFT join off a range) so an unseen-in-train
-    // bucket carries its true Laplace weight, not an arbitrary 0. ----
+    val (weights, prior) = fitFrames(s, dir)
+    val a = new Array[Long](Buckets)
+    weights.collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+    (a, prior.head().getLong(0))
+  }
+
+  /** The fit as LAZY frames: (weights — B rows (b, w), prior — one
+    * row (pr)). The batch query keeps the whole fit+score pipeline one
+    * lazy plan (B-row broadcast joins, zero driver collects — the q93
+    * shape; collecting the model to a literal costs three extra
+    * scheduled jobs per run, measured ~2× slower at sf0.1); [[fitNb]]
+    * collects these same frames for the streaming closure. */
+  private def fitFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val train = toks(labeled(s, dir).filter(col("doc_id") % TrainMod === 0))
+    // every bucket 0..B-1 gets a row (LEFT join off a range) so an
+    // unseen-in-train bucket carries its true Laplace weight, not an
+    // arbitrary 0
     val cnt = train.groupBy(col("b"))
-      .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("cp"),
-        sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("cn"))
-    val tot = cnt.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
-    val wRows = s.range(Buckets).toDF("b")
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("cn"))
+    // grand totals as a whole-frame window over the B-row count frame
+    // — NOT a separate .agg() subtree, which would re-run the train
+    // scan a second time inside the broadcast build
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = s.range(Buckets).toDF("b")
       .join(cnt, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      .withColumn("np", sum(col("cp")).over(whole))
+      .withColumn("nn", sum(col("cn")).over(whole))
       .select(col("b"),
-        (EventQueries.lnSmallWeight(coalesce(col("cp"), lit(0L)) + 1L,
-          col("np") + Buckets) -
-          EventQueries.lnSmallWeight(coalesce(col("cn"), lit(0L)) + 1L,
-            col("nn") + Buckets)).as("w"))
-      .collect()
-    val w: Array[Long] = {
-      val a = new Array[Long](Buckets)
-      wRows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
-      a
-    }
+        (EventQueries.lnSmallWeight(col("cp") + 1L, col("np") + Buckets) -
+          EventQueries.lnSmallWeight(col("cn") + 1L, col("nn") + Buckets)).as("w"))
     // class prior, through the same ladder (an empty class clamps to
-    // the ladder bottom rather than erroring)
-    val prior = train.select(col("doc_id"), col("y")).distinct()
+    // the ladder bottom rather than erroring); doc counts come off the
+    // pre-explode, un-spread doc frame — no tokenize/hash/shuffle work
+    // for two numbers
+    val prior = labeled(s, dir).filter(col("doc_id") % TrainMod === 0)
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("dp"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("dn"))
       .select((EventQueries.lnSmallWeight(col("dp"), col("dp") + col("dn")) -
         EventQueries.lnSmallWeight(col("dn"), col("dp") + col("dn"))).as("pr"))
-      .head().getLong(0)
-    (w, prior)
+    (weights, prior)
   }
 
   /** Per-doc NB scores (source, doc_id, y, s): fit on the
     * doc_id % 10 = 0 split, score every doc. The spec asserts
     * learning (held-out accuracy above the majority rate) here. */
   private[graft] def docScores(s: SparkSession, dir: String): DataFrame = {
-    val (w, prior) = fitNb(s, dir)
-    val f = feats(s, dir)
-    // ---- score: literal lookup, per-doc partial-sum agg — no join ----
-    val wLit = typedlit(w.toSeq)
-    f.groupBy(col("source"), col("doc_id"), col("y"))
-      .agg((sum(col("x") *
-        element_at(wLit, (col("b") + 1).cast("int"))) + prior).as("s"))
+    val (weights, prior) = fitFrames(s, dir)
+    // ---- score: the B-row weight table and 1-row prior broadcast
+    // into the token stream; ONE per-doc partial-sum agg ----
+    toks(labeled(s, dir))
+      .join(broadcast(weights), Seq("b"))
+      .crossJoin(broadcast(prior))
+      .groupBy(col("source"), col("doc_id"), col("y"))
+      .agg((sum(col("w")) + first(col("pr"))).as("s"))
   }
 
   // --------------------------------------------------------------- q100

@@ -62,8 +62,14 @@ object SelectionQueries {
     val counts = toks.groupBy(col("bucket"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
-    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val weights = counts.crossJoin(broadcast(tot))
+    // grand totals via a whole-frame window over the ≤ B-row count
+    // frame — a separate .agg() subtree would re-run the corpus scan a
+    // second time inside the broadcast build
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = counts
+      .withColumn("nt", sum(col("ct")).over(whole))
+      .withColumn("nr", sum(col("cr")).over(whole))
       .select(col("bucket"), EventQueries.psiWeight(
         expr(s"((ct + 1) * 1000000) div (nt + $DsirBuckets)"),
         expr(s"((cr + 1) * 1000000) div (nr + $DsirBuckets)")).as("w"))
@@ -153,21 +159,28 @@ object SelectionQueries {
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // token array materialized below the spread exchange (q93 note);
     // single-token docs produce no bigrams and drop out, same as the
-    // oracle's empty generate_series
-    val docs = Tables.spread(
-      Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        split(col("text"), " ").as("t")),
-      col("doc_id")).filter(size(col("t")) >= 2)
-    val bg = docs.select(col("doc_id"), col("source"),
+    // oracle's empty generate_series. Train-side frames filter BEFORE
+    // the spread so the fit shuffles 10% of the text, not all of it.
+    def docsOf(pre: DataFrame): DataFrame =
+      Tables.spread(
+        pre.select(col("doc_id"), col("source"), split(col("text"), " ").as("t")),
+        col("doc_id")).filter(size(col("t")) >= 2)
+    def bgOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
           .as("b"))
       .select(col("doc_id"), col("source"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val train = bg.filter(col("doc_id") % PplTrainMod === 0)
-    val c2t = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1t = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vt = docs.filter(col("doc_id") % PplTrainMod === 0)
+    val base = Tables.documents(s, dir)
+    val bg = bgOf(docsOf(base))
+    val trainDocs = docsOf(base.filter(col("doc_id") % PplTrainMod === 0))
+    val c2t = bgOf(trainDocs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // context counts are the bigram counts rolled up — c1(w1) = Σ_w2
+    // c2(w1, w2) — so the contexts cost a vocab-scale agg, not a
+    // second corpus pass
+    val c1t = c2t.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vt = trainDocs
       .select(explode(col("t")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     (bg, c2t, c1t, vt)

@@ -231,10 +231,12 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the spread exchange under the bigram explode must survive AQE:\n$p")
   }
 
-  test("q100 nb classifier: literal weights — the scoring pass has no join at all") {
+  test("q100 nb classifier: one lazy plan — model meets the corpus by broadcast only") {
     val p = finalPlan("q100_nb_classifier")
-    assert(!p.contains("Join") && !p.contains("NestedLoop"),
-      s"weights are a collected literal; no join may appear in the scoring plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-row weight table must broadcast into the scoring scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle to meet the model:\n$p")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"the spread exchange under the hash kernel must survive AQE:\n$p")
   }
