@@ -502,58 +502,51 @@ object EventQueries {
     * is found by ascending shifted compares num·2ᵉ ≥ den, then the
     * mantissa m = r·2ᵉ ∈ [1, 2) refines into 4 classes at 5/4, 3/2,
     * 7/4. The weight is ⌊1000·ln(geometric class midpoint)⌉ milli-nats
-    * — hard-coded integer constants over pure 64-bit compares, so both
-    * engines agree bit for bit. Ratios below 2⁻⁴⁰ clamp to the
-    * [2⁻⁴¹, 2⁻⁴⁰) midpoint. Overflow-safe: CASE evaluates branches in
-    * order, so the largest product actually computed is < 8·den. */
-  private val LnSmallMaxE = 40
-  private val MantissaMids: Seq[Double] =
-    Seq(math.sqrt(5.0 / 4), math.sqrt(15.0 / 8), math.sqrt(21.0 / 8),
-      math.sqrt(7.0 / 2))
-  private def lnSmallMnat(e: Int, c: Int): Long =
-    Math.round(1000.0 * (math.log(MantissaMids(c)) - e * math.log(2.0)))
-  private val LnSmallBottom: Long =
-    Math.round(1000.0 * (0.5 - (LnSmallMaxE + 1)) * math.log(2.0))
+    * — integer constants from [[graft.functions.LnSmallKernel]]'s one
+    * table, over pure 64-bit compares, so engines and forms agree bit
+    * for bit. Ratios below 2⁻⁴⁰ clamp to the [2⁻⁴¹, 2⁻⁴⁰) midpoint.
+    * Overflow-safe: branches evaluate in order, so the largest product
+    * actually computed is < 8·den. */
 
-  /** Column form; `num`/`den` must be ≥ 1 BIGINT exprs with num ≤ den. */
+  /** Column form (the NATIVE codegen expression — two child evals +
+    * one static call; see [[graft.functions.LnSmall]], registered as
+    * `graft_ln_small` by GraftExtensions, which every entry point
+    * installs). `num`/`den` must be ≥ 1 BIGINT exprs with num ≤ den. */
   private[graft] def lnSmallWeight(num: Column, den: Column): Column =
-    (0 to LnSmallMaxE).foldRight(lit(LnSmallBottom): Column) { (e, rest) =>
-      when(num * (1L << e) >= den,
-        when(num * (4L << e) < den * 5L, lnSmallMnat(e, 0))
-          .when(num * (2L << e) < den * 3L, lnSmallMnat(e, 1))
-          .when(num * (4L << e) < den * 7L, lnSmallMnat(e, 2))
-          .otherwise(lnSmallMnat(e, 3)))
-        .otherwise(rest)
-    }
+    call_function("graft_ln_small", num, den)
 
-  /** Scalar twin of [[lnSmallWeight]] for streaming closures — the
-    * SAME `lnSmallMnat`/`LnSmallBottom` constants and the same
-    * compares, so an online scorer cannot drift from the batch column
-    * form (parity-pinned in QualityStreamSpec). */
-  private[graft] def lnSmallMnatOf(num: Long, den: Long): Long = {
-    var e = 0
-    while (e <= LnSmallMaxE) {
-      if (num * (1L << e) >= den) {
-        return if (num * (4L << e) < den * 5L) lnSmallMnat(e, 0)
-        else if (num * (2L << e) < den * 3L) lnSmallMnat(e, 1)
-        else if (num * (4L << e) < den * 7L) lnSmallMnat(e, 2)
-        else lnSmallMnat(e, 3)
+  /** The fold-CaseWhen reference form of the same ladder — kept as the
+    * independently-derived executable spec the native expression is
+    * pinned against (LnSmallSpec's dense grid). */
+  private[graft] def lnSmallWeightRef(num: Column, den: Column): Column =
+    (0 to graft.functions.LnSmallKernel.MaxE)
+      .foldRight(lit(graft.functions.LnSmallKernel.Bottom): Column) { (e, rest) =>
+        val t = graft.functions.LnSmallKernel.table(e)
+        when(num * (1L << e) >= den,
+          when(num * (4L << e) < den * 5L, t(0))
+            .when(num * (2L << e) < den * 3L, t(1))
+            .when(num * (4L << e) < den * 7L, t(2))
+            .otherwise(t(3)))
+          .otherwise(rest)
       }
-      e += 1
-    }
-    LnSmallBottom
-  }
 
-  /** Same ladder as SQL text (for the DuckDB oracles). */
+  /** Scalar form for streaming closures (same kernel, zero drift). */
+  private[graft] def lnSmallMnatOf(num: Long, den: Long): Long =
+    graft.functions.LnSmallKernel.mnat(num, den)
+
+  /** Same ladder as SQL text (for the DuckDB oracles) — generated
+    * from the kernel's constant table. */
   private[graft] def lnSmallWeightSql(num: String, den: String): String = {
-    val branches = (0 to LnSmallMaxE).map { e =>
+    val k = graft.functions.LnSmallKernel
+    val branches = (0 to k.MaxE).map { e =>
+      val t = k.table(e)
       s"WHEN ($num) * ${1L << e} >= ($den) THEN " +
-        s"(CASE WHEN ($num) * ${4L << e} < ($den) * 5 THEN ${lnSmallMnat(e, 0)} " +
-        s"WHEN ($num) * ${2L << e} < ($den) * 3 THEN ${lnSmallMnat(e, 1)} " +
-        s"WHEN ($num) * ${4L << e} < ($den) * 7 THEN ${lnSmallMnat(e, 2)} " +
-        s"ELSE ${lnSmallMnat(e, 3)} END)"
+        s"(CASE WHEN ($num) * ${4L << e} < ($den) * 5 THEN ${t(0)} " +
+        s"WHEN ($num) * ${2L << e} < ($den) * 3 THEN ${t(1)} " +
+        s"WHEN ($num) * ${4L << e} < ($den) * 7 THEN ${t(2)} " +
+        s"ELSE ${t(3)} END)"
     }
-    branches.mkString("(CASE ", " ", s" ELSE $LnSmallBottom END)")
+    branches.mkString("(CASE ", " ", s" ELSE ${k.Bottom} END)")
   }
 
   /** Shared q88/q89 smoothing pipeline → one row per (event_type,

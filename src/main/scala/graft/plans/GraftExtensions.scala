@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LshSignCodes, Md5Keyed}
+import graft.functions.{DotProductD, LevenshteinD, LnSmall, LshSignCodes, Md5Keyed}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Keyed].getName, "graft_md5_keyed"),
       (children: Seq[Expression]) =>
         Md5Keyed(children(0), intLit("graft_md5_keyed", "n", children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ln_small"),
+      new ExpressionInfo(classOf[LnSmall].getName, "graft_ln_small"),
+      (children: Seq[Expression]) => LnSmall(children(0), children(1))))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }
