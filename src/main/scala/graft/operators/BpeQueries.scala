@@ -301,8 +301,92 @@ object BpeQueries {
        |FROM sw JOIN tok USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** End-to-end training-batch builder: the learned tokenizer's per-doc
+    * token counts feed bucketed sequence packing — train the K merges
+    * (q91), count each document's BPE tokens with the learned
+    * dictionary (q92's broadcast shape), then assign docs to
+    * fixed-token-budget packs with q75's bucketed running-sum rule.
+    * Output: one row per (bucket, pack) with doc count, BPE-token
+    * count, distinct sources mixed into the pack, and fill rate — the
+    * pack manifest a trainer's data loader reads.
+    *
+    * Scale: the corpus is scanned twice (once for the vocabulary count
+    * that training runs on, once to tokenize) and both passes join only
+    * broadcast vocab-sized frames; packing then shuffles one 16-byte
+    * (doc_id, tok) pair per doc into B independent bucket windows — no
+    * global sort, parallelism = B. Docs whose words all miss the
+    * dictionary (empty text) pack with tok = 0 via the LEFT join
+    * rather than vanishing. */
+  private val PackBudget = 4096
+  private val PackBuckets = 8
+
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val words = vocab(s, dir)
+    var tokPerWord: DataFrame = null
+    trainCore(words, MergeSteps) { finalSeg =>
+      val tok = finalSeg
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+      tokPerWord = s.createDataFrame(
+        java.util.Arrays.asList(tok.collect(): _*), tok.schema)
+    }
+    val docs = Tables.documents(s, dir)
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tokPerWord), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_tok")).as("tok"))
+    val assigned = docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("tok"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    assigned
+      .withColumn("cum", sum(col("tok")).over(seq))
+      .withColumn("pack",
+        floor((col("cum") - col("tok")).cast("double") / PackBudget).cast("long"))
+      .groupBy(col("bucket"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("fill_rate",
+        Det.rate(col("pack_tokens").cast("double") / PackBudget))
+      .orderBy(col("bucket"), col("pack"))
+  }
+
+  private val q102Sql =
+    s"""$ctePrefix,
+       |tok AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM seg$MergeSteps GROUP BY w
+       |), sw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), dtok AS (
+       |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS tok
+       |  FROM sw JOIN tok USING (w) GROUP BY doc_id
+       |), assigned AS (
+       |  SELECT d.doc_id, d.source, COALESCE(dtok.tok, 0) AS tok,
+       |         d.doc_id % $PackBuckets AS bucket
+       |  FROM documents d LEFT JOIN dtok USING (doc_id)
+       |), c AS (
+       |  SELECT bucket, doc_id, source, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM assigned
+       |)
+       |SELECT bucket,
+       |       CAST(floor(CAST(cum - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS pack,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |       floor(CAST(sum(tok) AS DOUBLE) / $PackBudget * 1e6 + 0.5) / 1e6
+       |         AS fill_rate
+       |FROM c GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
+    QuerySpec("q102_bpe_packing", Some(q102Sql), q102),
   )
 }

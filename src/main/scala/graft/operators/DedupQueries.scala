@@ -72,15 +72,22 @@ object DedupQueries {
     * shingle → 16 minhashes (min of md5(h:shingle)) → 8 band signatures
     * → bucket self-join → candidate pairs → exact-Jaccard filter ≥ 0.5.
     * Lexicographic min over md5 hex == a valid random permutation min. */
-  private def q25(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
-    // 16 minhashes as 16 parallel min-aggregates over the (doc, shingle)
-    // rows — no row explosion, map-side partial agg, ONE shuffle of 16
-    // columns per doc (vs exploding 16× and shuffling every hash row).
-    // The native graft_md5_keyed kernel computes all 16 digests with one
-    // byte conversion (values byte-identical to md5(concat(h,':',s)) —
-    // Md5KeyedSpec pins it); sessions without GraftExtensions fall back
-    // to the builtin chain.
+  /** MinHash band signatures of a (doc_id, s) shingle frame:
+    * (doc_id, n, band, bh) — n is the doc's shingle-set size
+    * (piggybacked on the minhash aggregate so no separate sizes pass),
+    * bh the md5 band signature. 16 minhashes as 16 parallel
+    * min-aggregates over the (doc, shingle) rows — no row explosion,
+    * map-side partial agg, ONE shuffle of 16 columns per doc (vs
+    * exploding 16× and shuffling every hash row). The native
+    * graft_md5_keyed kernel computes all 16 digests with one byte
+    * conversion (values byte-identical to md5(concat(h,':',s)) —
+    * Md5KeyedSpec pins it); sessions without GraftExtensions fall back
+    * to the builtin chain. Band signature = md5 of "hh:minhash" pairs
+    * joined in h order — byte-identical to the oracle's
+    * string_agg(... ORDER BY h). Shared by q25 (candidate generation)
+    * and q103 (the recall harness), so the two cannot drift. */
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     val hashed =
       if (s.catalog.functionExists("graft_md5_keyed"))
         sh.withColumn("hx", expr(s"graft_md5_keyed(s, $NumHashes)"))
@@ -88,11 +95,9 @@ object DedupQueries {
         sh.withColumn("hx", array((0 until NumHashes).map(h =>
           md5(concat(lit(h.toString), lit(":"), col("s")))): _*))
     val mh = hashed.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"), // shingle-set size, piggybacked — no separate sizes pass
+      count(lit(1)).as("n"),
       (0 until NumHashes).map(h =>
         min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
-    // band signature = md5 of "hh:minhash" pairs joined in h order —
-    // byte-identical to the oracle's string_agg(... ORDER BY h).
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
       val items = (0 until RowsPerBand).map { r =>
         val h = b * RowsPerBand + r
@@ -100,26 +105,32 @@ object DedupQueries {
       }
       struct(lit(b).as("band"), md5(concat_ws(",", items: _*)).as("bh"))
     }
-    // persist: both sides of the candidate self-join (and nothing after)
-    // need bands — without it the 16-wide min-md5 aggregate recomputes
-    // (and re-codegens) once per join side.
+    mh
+      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.band").as("band"), col("p.bh").as("bh"))
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from a persisted +
+    * materialized bands frame: the band-bucket equi-self-join. */
+  private def candidatesOf(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist()
     // persist: both sides of the candidate self-join and the sizes
     // lookup reuse bands — without it the 16-wide min-md5 aggregate
     // recomputes (and re-codegens) once per consumer.
-    val bands = mh
-      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("p"))
-      .select(col("doc_id"), col("n"), col("p.band").as("band"), col("p.bh").as("bh"))
-      .persist()
+    val bands = bandsOf(sh).persist()
     // materialize BEFORE the self-join: its two scan stages run
     // concurrently in one job, and racing a cold cache re-runs the
     // 16-wide min-md5 aggregate (and the shingle explode under it) once
     // per side
     bands.count()
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
-        col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = candidatesOf(bands)
     val sizes = bands.select(col("doc_id"), col("n")).distinct()
     // candidates are tiny after LSH — broadcast them into the shingle
     // joins instead of shuffling the full shingle table twice.
@@ -510,6 +521,84 @@ object DedupQueries {
        |       CASE WHEN match_doc % 10 = 0 THEN 'batch' ELSE 'corpus' END AS match_src
        |FROM ranked WHERE rn = 1 ORDER BY batch_doc""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** LSH recall harness — the dedup twin of q101's ANN recall
+    * evaluation: per exact-Jaccard decile, what fraction of the true
+    * near-dup pairs does the MinHash band-bucket candidate set reach?
+    * Truth and candidates are both computed over the SAME rare-shingle
+    * (df ≤ 25) universe: truth is the q26 inverted-index exact kernel
+    * (every pair with Jaccard ≥ 0.3), candidates are [[bandsOf]] +
+    * [[candidatesOf]] — the identical kernels q26/q25 run in
+    * production, so the measured curve IS the deployed configuration's
+    * recall, rising from ~(1-(1-J⁴)⁴) at J=0.3 toward 1.0 at J≥0.9.
+    *
+    * Scale: everything downstream of the shingle window is
+    * posting-list / signature sized — truth pair-gen explodes ≤25-doc
+    * lists, the band join shuffles 16-byte signatures, and the decile
+    * rollup is ≤ 8 rows. One corpus-scale pass (the shared shingle
+    * window), identical to running q25 + q26 alone. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    // pairStatsFrom persists the index; rs and bands below reuse that
+    // same cache entry (no second persist here)
+    val index = postingIndex(s, dir)
+    val rs = index.select(explode(col("ds")).as("doc_id"), col("s"))
+    val truth = jaccardFrom(pairStatsFrom(index))
+    val bands = bandsOf(rs).persist()
+    bands.count()
+    val cand = candidatesOf(bands).withColumn("hit", lit(1L))
+    truth
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("decile", floor(col("jaccard") * 10).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        Det.rate(col("n_hit").cast("double") / col("n_truth")))
+      .orderBy(col("decile"))
+  }
+
+  private val q103Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6
+       |      AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |),
+       |hx AS (
+       |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
+       |  FROM rs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
+       |),
+       |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || mh, ',' ORDER BY h)) AS bh
+       |  FROM mh GROUP BY doc_id, h // $RowsPerBand
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)
+       |SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS decile,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       floor(CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |GROUP BY decile ORDER BY decile""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -518,5 +607,6 @@ object DedupQueries {
     QuerySpec("q63_simhash_neardup", Some(q63Sql), q63),
     QuerySpec("q71_containment", Some(q71Sql), q71),
     QuerySpec("q84_incremental_neardup", Some(q84Sql), q84),
+    QuerySpec("q103_lsh_recall", Some(q103Sql), q103),
   )
 }
