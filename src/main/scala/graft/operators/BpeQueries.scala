@@ -196,20 +196,35 @@ object BpeQueries {
     * reduces to single symbols in < K merges, trainCore stops early and
     * the oracle's LEFT-joined steps pass the segmentation through
     * unchanged, so the two dictionaries stay identical. */
-  private def q92(s: SparkSession, dir: String): DataFrame = {
-    val words = vocab(s, dir)
-    // the token dictionary comes straight off the trainer's FINAL
-    // cached segmentation (no second replay of the K merges), collected
-    // once into a LocalRelation (the q43 pattern): it is |V| rows and
-    // feeds a broadcast join, so the driver holds it either way — and
-    // unlike persist() it leaves no cache entry behind per invocation
+  /** Learned token dictionary (w, n_tok): the trainer's FINAL cached
+    * segmentation (no second replay of the K merges), collected once
+    * into a LocalRelation (the q43 pattern) — it is |V| rows and feeds
+    * a broadcast join, so the driver holds it either way, and unlike
+    * persist() it leaves no cache entry behind per invocation. Shared
+    * by q92 (tokenize) and q102 (packing) so the two cannot drift. */
+  private def tokenDict(s: SparkSession, dir: String): DataFrame = {
     var tokPerWord: DataFrame = null
-    trainCore(words, MergeSteps) { finalSeg =>
+    trainCore(vocab(s, dir), MergeSteps) { finalSeg =>
       val tok = finalSeg
         .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
       tokPerWord = s.createDataFrame(
         java.util.Arrays.asList(tok.collect(): _*), tok.schema)
     }
+    tokPerWord
+  }
+
+  /** SQL twin of [[tokenDict]] (tok) + the per-`key` word explode (sw)
+    * both q92Sql and q102Sql build on. */
+  private def tokSwCtes(key: String): String =
+    s"""tok AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM seg$MergeSteps GROUP BY w
+       |), sw AS (
+       |  SELECT $key, unnest(string_split(text, ' ')) AS w FROM documents
+       |)""".stripMargin
+
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val tokPerWord = tokenDict(s, dir)
     Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(tokPerWord), Seq("w"))
@@ -287,12 +302,7 @@ object BpeQueries {
 
   private val q92Sql =
     s"""$ctePrefix,
-       |tok AS (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
-       |  FROM seg$MergeSteps GROUP BY w
-       |), sw AS (
-       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
-       |)
+       |${tokSwCtes("source")}
        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
        |       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
@@ -311,25 +321,19 @@ object BpeQueries {
     * count, distinct sources mixed into the pack, and fill rate — the
     * pack manifest a trainer's data loader reads.
     *
-    * Scale: the corpus is scanned twice (once for the vocabulary count
-    * that training runs on, once to tokenize) and both passes join only
-    * broadcast vocab-sized frames; packing then shuffles one 16-byte
-    * (doc_id, tok) pair per doc into B independent bucket windows — no
-    * global sort, parallelism = B. Docs whose words all miss the
-    * dictionary (empty text) pack with tok = 0 via the LEFT join
-    * rather than vanishing. */
+    * Scale: the corpus is scanned three times — the vocabulary count
+    * that training runs on, the tokenize explode, and the
+    * column-pruned (doc_id, source) base of the LEFT join — and every
+    * pass joins only broadcast vocab-sized frames; packing then
+    * shuffles one 16-byte (doc_id, tok) pair per doc into B
+    * independent bucket windows — no global sort, parallelism = B.
+    * Docs whose words all miss the dictionary (empty text) pack with
+    * tok = 0 via the LEFT join rather than vanishing. */
   private val PackBudget = 4096
   private val PackBuckets = 8
 
   private def q102(s: SparkSession, dir: String): DataFrame = {
-    val words = vocab(s, dir)
-    var tokPerWord: DataFrame = null
-    trainCore(words, MergeSteps) { finalSeg =>
-      val tok = finalSeg
-        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
-      tokPerWord = s.createDataFrame(
-        java.util.Arrays.asList(tok.collect(): _*), tok.schema)
-    }
+    val tokPerWord = tokenDict(s, dir)
     val docs = Tables.documents(s, dir)
     val perDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -357,12 +361,7 @@ object BpeQueries {
 
   private val q102Sql =
     s"""$ctePrefix,
-       |tok AS (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
-       |  FROM seg$MergeSteps GROUP BY w
-       |), sw AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-       |), dtok AS (
+       |${tokSwCtes("doc_id")}, dtok AS (
        |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS tok
        |  FROM sw JOIN tok USING (w) GROUP BY doc_id
        |), assigned AS (

@@ -141,7 +141,10 @@ object ClassifierQueries {
         Det.rate(col("n_correct").cast("double") / col("n_docs")).as("acc"))
       .orderBy(col("source"))
 
-  private val q100Sql = {
+  /** Shared oracle CTE block ending in p = (source, doc_id, y, s) —
+    * the SQL twin of [[docScores]], built on by q100 (classification
+    * report) and q104 (calibration) so the two cannot drift. */
+  private val scoreCtes = {
     val wpos = EventQueries.lnSmallWeightSql("cp + 1", s"np + $Buckets")
     val wneg = EventQueries.lnSmallWeightSql("cn + 1", s"nn + $Buckets")
     val prip = EventQueries.lnSmallWeightSql("dp", "dp + dn")
@@ -179,7 +182,11 @@ object ClassifierQueries {
        |           + (SELECT ($prip) - ($prin) FROM pri) AS s
        |  FROM f JOIN wt w ON w.b = f.b
        |  GROUP BY 1, 2, 3
-       |)
+       |)""".stripMargin
+  }
+
+  private val q100Sql =
+    s"""$scoreCtes
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
@@ -188,9 +195,56 @@ object ClassifierQueries {
        |       floor(CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
        |                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS acc
        |FROM p GROUP BY source ORDER BY source""".stripMargin
-  }
+
+  // --------------------------------------------------------------- q104
+  /** Classifier calibration audit — the evaluation-harness sibling of
+    * q101/q103 for the quality gate: bucket every doc's exact
+    * milli-nat NB score into fixed-width bins (4 nats wide, clamped to
+    * ±5) and report the observed positive rate per bin — the
+    * reliability-diagram table a pipeline reviews before trusting
+    * q100's scores as a keep/drop threshold. A calibrated (or merely
+    * monotone) scorer shows pos_rate rising with the bin; the spec
+    * asserts the top bin dominates the bottom bin and that the bins
+    * partition the corpus.
+    *
+    * Exactness: scores are exact BIGINTs (q100's ladder), the bin is
+    * integer floor-division arithmetic both engines replay bit-for-bit,
+    * and pos_rate is the one Det.rate-rounded column.
+    *
+    * Scale: identical to q100 (fit = B-row broadcast, score = one
+    * corpus scan with per-doc partial sums); the bin rollup adds one
+    * map-side-combined aggregate over ≤ 11 rows. */
+  private val BinWidth = 4000L // milli-nats per calibration bin
+  private val BinClamp = 5L
+
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    docScores(s, dir)
+      .withColumn("bin",
+        greatest(least(floor(col("s").cast("double") / BinWidth).cast("long"),
+          lit(BinClamp)), lit(-BinClamp)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("s")).as("min_score"),
+        max(col("s")).as("max_score"))
+      .withColumn("pos_rate",
+        Det.rate(col("n_pos").cast("double") / col("n_docs")))
+      .orderBy(col("bin"))
+
+  private val q104Sql =
+    s"""$scoreCtes
+       |SELECT GREATEST(LEAST(CAST(floor(CAST(s AS DOUBLE) / $BinWidth) AS BIGINT),
+       |                      $BinClamp), -$BinClamp) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CAST(min(s) AS BIGINT) AS min_score,
+       |       CAST(max(s) AS BIGINT) AS max_score,
+       |       floor(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate
+       |FROM p GROUP BY bin ORDER BY bin""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q100_nb_classifier", Some(q100Sql), q100),
+    QuerySpec("q104_nb_calibration", Some(q104Sql), q104),
   )
 }

@@ -207,9 +207,14 @@ object DedupQueries {
     * it to parquet between runs (the standing inverted index q84's
     * incremental dedup reads); PostingIndexSpec proves a parquet
     * round-trip of this frame reproduces the pair set byte-for-byte. */
-  private[operators] def postingIndex(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def postingIndex(s: SparkSession, dir: String): DataFrame =
+    postingIndexFrom(shingles(s, dir))
+
+  /** Same, over an existing (doc_id, s) shingle frame — lets q103 share
+    * one shingle pass between the truth index and the band signatures. */
+  private[operators] def postingIndexFrom(sh: DataFrame): DataFrame = {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    shingles(s, dir)
+    sh
       .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") <= 25)
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -525,25 +530,28 @@ object DedupQueries {
   /** LSH recall harness — the dedup twin of q101's ANN recall
     * evaluation: per exact-Jaccard decile, what fraction of the true
     * near-dup pairs does the MinHash band-bucket candidate set reach?
-    * Truth and candidates are both computed over the SAME rare-shingle
-    * (df ≤ 25) universe: truth is the q26 inverted-index exact kernel
-    * (every pair with Jaccard ≥ 0.3), candidates are [[bandsOf]] +
-    * [[candidatesOf]] — the identical kernels q26/q25 run in
-    * production, so the measured curve IS the deployed configuration's
-    * recall, rising from ~(1-(1-J⁴)⁴) at J=0.3 toward 1.0 at J≥0.9.
+    * Both sides are the DEPLOYED kernels, unmodified: truth is the q26
+    * inverted-index exact Jaccard over the rare-shingle (df ≤ 25)
+    * universe (every pair ≥ 0.3), candidates are q25's [[bandsOf]] +
+    * [[candidatesOf]] over the FULL shingle set — exactly the pairs
+    * production LSH would surface. The decile axis is rare-set
+    * Jaccard while the signatures minhash the full set, so the curve
+    * sits near (not exactly on) the theoretical 1-(1-J⁴)⁴, reaching
+    * 1.0 for exact duplicates (identical sets collide in every band).
     *
-    * Scale: everything downstream of the shingle window is
+    * Scale: everything downstream of the shingle pass is
     * posting-list / signature sized — truth pair-gen explodes ≤25-doc
     * lists, the band join shuffles 16-byte signatures, and the decile
-    * rollup is ≤ 8 rows. One corpus-scale pass (the shared shingle
-    * window), identical to running q25 + q26 alone. */
+    * rollup is ≤ 8 rows. One corpus-scale shingle pass shared by both
+    * sides, identical to running q25 + q26 alone. Cache hygiene is the
+    * session convention (Verify/Bench clearCache between queries —
+    * see IvfQueries). */
   private def q103(s: SparkSession, dir: String): DataFrame = {
-    // pairStatsFrom persists the index; rs and bands below reuse that
-    // same cache entry (no second persist here)
-    val index = postingIndex(s, dir)
-    val rs = index.select(explode(col("ds")).as("doc_id"), col("s"))
-    val truth = jaccardFrom(pairStatsFrom(index))
-    val bands = bandsOf(rs).persist()
+    // one shared shingle pass: the rare-filtered truth index and the
+    // full-set band signatures both read this cache entry
+    val sh = shingles(s, dir).persist()
+    val truth = jaccardFrom(pairStatsFrom(postingIndexFrom(sh)))
+    val bands = bandsOf(sh).persist()
     bands.count()
     val cand = candidatesOf(bands).withColumn("hit", lit(1L))
     truth
@@ -578,7 +586,7 @@ object DedupQueries {
        |),
        |hx AS (
        |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
-       |  FROM rs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
        |),
        |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY doc_id, h),
        |bands AS (

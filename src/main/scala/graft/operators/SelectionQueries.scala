@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Targeted data selection for LLM training sets. */
@@ -260,8 +260,104 @@ object SelectionQueries {
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q105
+  /** Temperature-weighted token-budget apportionment (the UniMax /
+    * LLaMA data-mixing step): given per-source token counts n_s, give
+    * each source sampling weight n_s^α with α = 1/2 (sqrt temperature
+    * — upweights small sources without letting a giant crawl dominate)
+    * and split a fixed training-token budget across sources by the
+    * largest-remainder (Hamilton) method, so the integer budgets sum
+    * EXACTLY to the total. Output per source: docs, tokens, weight,
+    * allotted budget, budget share, and epochs (budget/n_s — how many
+    * passes over the source the allocation implies; UniMax's cap would
+    * clamp this). The computed mix is exactly the target-proportion
+    * input q76's resampler consumes.
+    *
+    * Exactness: √n is an exact integer sqrt (double sqrt then a ±1
+    * integer correction — bit-identical in both engines for
+    * n < 2⁶²); base shares and remainders are pure BIGINT div/mod;
+    * the +1 top-up ranks remainders with a total (rem DESC, source)
+    * order. Only share/epochs are Det.rate-rounded.
+    *
+    * Scale: one corpus scan → map-side-combined per-source aggregate
+    * (|S| rows); everything after — whole-frame windows, the
+    * remainder rank — runs on that |S|-row frame, so the global
+    * windows cost nothing. Budget·weight stays < 2⁶³ for any corpus
+    * under ~10²⁴ tokens. */
+  private val BudgetTokens = 1000000L
+
+  /** Exact integer sqrt: correct the double-sqrt candidate by one in
+    * either direction (handles half-ulp rounding at square
+    * boundaries). */
+  private def isqrt(c: Column): Column = {
+    val r = floor(sqrt(c.cast("double"))).cast("long")
+    when((r + 1) * (r + 1) <= c, r + 1)
+      .when(r * r > c, r - 1)
+      .otherwise(r)
+  }
+
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val byRem = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("rem").desc, col("source"))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+      .withColumn("w", isqrt(col("n_tok")))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .withColumn("base", expr(s"($BudgetTokens * w) div tw"))
+      .withColumn("rem", expr(s"($BudgetTokens * w) % tw"))
+      .withColumn("short", lit(BudgetTokens) - sum(col("base")).over(whole))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("budget"))
+      .withColumn("budget_share",
+        Det.rate(col("budget").cast("double") / BudgetTokens))
+      .withColumn("epochs",
+        Det.rate(col("budget").cast("double") / col("n_tok")))
+      .orderBy(col("source"))
+  }
+
+  private val q105Sql =
+    s"""WITH src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source
+       |), r0 AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS r
+       |  FROM src
+       |), wt AS (
+       |  SELECT source, n_docs, n_tok,
+       |         CASE WHEN (r + 1) * (r + 1) <= n_tok THEN r + 1
+       |              WHEN r * r > n_tok THEN r - 1 ELSE r END AS w
+       |  FROM r0
+       |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+       |alloc AS (
+       |  SELECT source, n_docs, n_tok, w,
+       |         ($BudgetTokens * w) // tw AS base,
+       |         ($BudgetTokens * w) % tw AS rem
+       |  FROM wt, tot
+       |), topped AS (
+       |  SELECT source, n_docs, n_tok, w, base, rem,
+       |         $BudgetTokens - sum(base) OVER () AS short,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM alloc
+       |)
+       |SELECT source, n_docs, n_tok, CAST(w AS BIGINT) AS weight,
+       |       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |         AS budget,
+       |       floor(CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS DOUBLE)
+       |             / $BudgetTokens * 1e6 + 0.5) / 1e6 AS budget_share,
+       |       floor(CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS DOUBLE)
+       |             / n_tok * 1e6 + 0.5) / 1e6 AS epochs
+       |FROM topped ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
+    QuerySpec("q105_token_budget", Some(q105Sql), q105),
   )
 }

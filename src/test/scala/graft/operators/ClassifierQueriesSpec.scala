@@ -45,4 +45,29 @@ class ClassifierQueriesSpec extends SparkSpec {
       assert(acc >= 0.0 && acc <= 1.0)
     }
   }
+
+  test("q104 bins partition the corpus and calibration rises end-to-end") {
+    val rows = graft.QueryCatalog.all.find(_.name == "q104_nb_calibration").get
+      .fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      graft.Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_score") <= r.getAs[Long]("max_score"))
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+    // bins are disjoint score ranges in bin order (clamping only merges
+    // the extremes into the end bins, never reorders)
+    val sorted = rows.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0).getAs[Long]("max_score") < w(1).getAs[Long]("min_score"))
+    }
+    // the scorer must separate end to end: the top bin's observed
+    // positive rate beats the bottom bin's
+    assert(sorted.length >= 2, "corpus must spread over >= 2 score bins")
+    assert(sorted.last.getAs[Double]("pos_rate") >
+      sorted.head.getAs[Double]("pos_rate"))
+  }
 }

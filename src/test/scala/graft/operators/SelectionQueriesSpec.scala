@@ -87,4 +87,36 @@ class SelectionQueriesSpec extends SparkSpec {
       assert(share >= 0.0 && share <= 1.0)
     }
   }
+
+  test("q105 budgets sum exactly to the total and follow sqrt temperature") {
+    val out = graft.QueryCatalog.all.find(_.name == "q105_token_budget").get
+      .fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val budget = 1000000L
+    // Hamilton apportionment conserves the budget EXACTLY
+    assert(out.map(_.getAs[Long]("budget")).sum === budget)
+    // weight is the exact integer sqrt of the source's token count
+    out.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_tok"), r.getAs[Long]("weight"))
+      assert(w * w <= n && (w + 1) * (w + 1) > n,
+        s"weight $w is not isqrt($n)")
+    }
+    // every budget sits within one token of its real-valued quota
+    val tw = out.map(_.getAs[Long]("weight")).sum
+    out.foreach { r =>
+      val quota = budget.toDouble * r.getAs[Long]("weight") / tw
+      val b = r.getAs[Long]("budget")
+      assert(b >= math.floor(quota) && b <= math.ceil(quota))
+    }
+    // sqrt temperature flattens the mix: the biggest source is
+    // DOWN-weighted vs its raw token share, the smallest UP-weighted
+    // (2e-6 slack: budgets are quota ±1 on a 1e6 budget)
+    val totTok = out.map(_.getAs[Long]("n_tok")).sum.toDouble
+    val big = out.maxBy(_.getAs[Long]("n_tok"))
+    val small = out.minBy(_.getAs[Long]("n_tok"))
+    assert(big.getAs[Long]("budget").toDouble / budget <=
+      big.getAs[Long]("n_tok") / totTok + 2e-6)
+    assert(small.getAs[Long]("budget").toDouble / budget >=
+      small.getAs[Long]("n_tok") / totTok - 2e-6)
+  }
 }
