@@ -149,9 +149,11 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val q25Sql =
-    s"""WITH sh AS ($shinglesSql),
-       |hx AS (
+  /** Shared band-signature CTE chain (hx → mh → bands) over a `sh`
+    * CTE — the SQL twin of [[bandsOf]], used by q25/q103/q106 so the
+    * three oracles cannot drift. */
+  private val bandCtesSql =
+    s"""hx AS (
        |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
        |),
@@ -160,7 +162,11 @@ object DedupQueries {
        |  SELECT doc_id, h // $RowsPerBand AS band,
        |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || mh, ',' ORDER BY h)) AS bh
        |  FROM mh GROUP BY doc_id, h // $RowsPerBand
-       |),
+       |)""".stripMargin
+
+  private val q25Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |$bandCtesSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -584,16 +590,7 @@ object DedupQueries {
        |  JOIN sizes zb ON zb.doc_id = doc_b
        |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
        |),
-       |hx AS (
-       |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
-       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
-       |),
-       |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY doc_id, h),
-       |bands AS (
-       |  SELECT doc_id, h // $RowsPerBand AS band,
-       |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || mh, ',' ORDER BY h)) AS bh
-       |  FROM mh GROUP BY doc_id, h // $RowsPerBand
-       |),
+       |$bandCtesSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -607,6 +604,85 @@ object DedupQueries {
        |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
        |GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** LSH precision harness — the other axis of q103's recall curve:
+    * per band-agreement count (how many of the 8 band signatures
+    * collide), what fraction of the candidate pairs are TRUE near-dups
+    * at q25's J ≥ 0.5 threshold? Production tunes (bands, rows) on
+    * exactly this pair of tables — precision rises with the agreement
+    * count while recall falls, and the two harnesses bracket the
+    * operating point. Candidates and the exact-Jaccard verification
+    * are q25's deployed kernels unmodified; a candidate pair with no
+    * shared shingle (reachable only through hash collisions) scores
+    * jaccard 0 via the LEFT join rather than vanishing.
+    *
+    * Scale: the band self-join shuffles 16-byte signatures; the
+    * post-LSH candidate set is tiny and BROADCASTS into the shingle
+    * intersection joins (q25's shape); the rollup is ≤ 8 rows. Cache
+    * hygiene is the session convention (Verify/Bench clearCache
+    * between queries). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist()
+    val bands = bandsOf(sh).persist()
+    bands.count()
+    // band agreement count per candidate pair (1..NumHashes/RowsPerBand)
+    val candNb = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("nb"))
+    val sizes = bands.select(col("doc_id"), col("n")).distinct()
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(broadcast(candNb.select(col("doc_a"), col("doc_b"))), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
+    candNb
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("icnt"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb2"))), Seq("doc_b"))
+      .withColumn("jaccard",
+        Det.rate(col("icnt").cast("double") / (col("na") + col("nb2") - col("icnt"))))
+      .groupBy(col("nb"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("prec", Det.rate(col("n_true").cast("double") / col("n_cand")))
+      .orderBy(col("nb"))
+  }
+
+  private val q106Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |$bandCtesSql,
+       |candnb AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS icnt
+       |  FROM candnb c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |),
+       |j AS (
+       |  SELECT c.nb,
+       |         floor((CAST(COALESCE(i.icnt, 0) AS DOUBLE)
+       |                / (za.n + zb.n - COALESCE(i.icnt, 0))) * 1e6 + 0.5) / 1e6
+       |           AS jaccard
+       |  FROM candnb c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes za ON za.doc_id = c.doc_a
+       |  JOIN sizes zb ON zb.doc_id = c.doc_b
+       |)
+       |SELECT nb, CAST(count(*) AS BIGINT) AS n_cand,
+       |       CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_true,
+       |       floor(CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*) * 1e6 + 0.5) / 1e6 AS prec
+       |FROM j GROUP BY nb ORDER BY nb""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -616,5 +692,6 @@ object DedupQueries {
     QuerySpec("q71_containment", Some(q71Sql), q71),
     QuerySpec("q84_incremental_neardup", Some(q84Sql), q84),
     QuerySpec("q103_lsh_recall", Some(q103Sql), q103),
+    QuerySpec("q106_lsh_precision", Some(q106Sql), q106),
   )
 }

@@ -3,9 +3,10 @@ package graft.operators
 import graft.{QueryCatalog, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** q102 (BPE-packed training batches) and q103 (LSH recall harness)
-  * invariants on real testdata — conservation laws that hold for ANY
-  * corpus, so they pin the kernels without re-deriving the oracle.
+/** q102 (BPE-packed training batches), q103 (LSH recall harness), and
+  * q106 (LSH precision harness) invariants on real testdata —
+  * conservation laws that hold for ANY corpus, so they pin the
+  * kernels without re-deriving the oracle.
   */
 class BatchBuilderSpec extends SparkSpec {
 
@@ -84,5 +85,27 @@ class BatchBuilderSpec extends SparkSpec {
     val top10 = rows.filter(_.getAs[Long]("decile") === 10L)
     assert(top10.nonEmpty, "corpus has exact duplicates; decile 10 must be present")
     top10.foreach(r => assert(r.getAs[Double]("recall") === 1.0))
+  }
+
+  test("q106 precision accounts exactly for q25's verified output") {
+    val rows = run("q106_lsh_precision")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("nb")
+      assert(nb >= 1L && nb <= 8L, "agreement count is 1..8 bands")
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_cand"))
+      val p = r.getAs[Double]("prec")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // the candidates that pass the exact J >= 0.5 verification ARE
+    // q25's result set: Σ n_true across agreement counts must equal
+    // its row count
+    val q25n = QueryCatalog.all.find(_.name == "q25_minhash_lsh").get
+      .fn(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_true")).sum === q25n)
+    // more agreeing bands can only mean more-similar signatures: the
+    // strongest agreement level's precision dominates the weakest's
+    val byNb = rows.map(r => r.getAs[Long]("nb") -> r.getAs[Double]("prec")).toMap
+    assert(byNb(byNb.keys.max) >= byNb(byNb.keys.min))
   }
 }
