@@ -66,15 +66,40 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert with exact
-    * integer division (a double roundtrip would lose precision above 2^53
-    * ns ≈ 1970+104 days). DuckDB truncates ns→µs the same way. */
+  /** events.parquet's physical `ts` type has drifted across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only surfaces as a long via nanosAsLong) and TIMESTAMP(MICROS)
+    * without UTC adjustment (inferred as TIMESTAMP_NTZ). Dispatch on the
+    * loaded footer schema so every generation loads, and always hand
+    * downstream code µs-precision TimestampType (session tz is UTC
+    * everywhere, so NTZ≡LTZ value-for-value).
+    *
+    * The MICROS path re-reads with an explicit `ts: TimestampType` schema
+    * instead of `cast(ts)`: the column stays SCAN-NATIVE, so `ts` range
+    * predicates push into the parquet scan (PushedFilters) — something
+    * the NANOS path's derived `DIV` column structurally never allowed,
+    * and a cast-wrapped column wouldn't either. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: exact integer ns→µs (a double roundtrip would
+        // lose precision above 2^53 ns ≈ 1970+104 days); DuckDB
+        // truncates ns→µs the same way.
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        val fixed = StructType(df.schema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        spark.read.schema(fixed).parquet(s"$dir/events.parquet")
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other — expected TIMESTAMP(NANOS) " +
+        "(long via nanosAsLong), TIMESTAMP(MICROS) (ntz), or TIMESTAMP; " +
+        "the driver testdata generator's timestamp encoding drifted again")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

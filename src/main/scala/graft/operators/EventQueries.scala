@@ -683,6 +683,33 @@ object EventQueries {
        |SELECT event_type, greatest(raw // 2, 0) AS jsd_scaled
        |FROM s ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Windowed aggregation over a ts RANGE SLICE — the scan-pruning twin
+    * of q30. The range predicate sits on the scan-native µs `ts` column
+    * ([[Tables.events]] r7 loader), so it reaches the parquet reader as
+    * PushedFilters (row-group stats pruning); on a date-partitioned
+    * production table the same predicate is the partition pruner. The
+    * r6-era nanos loader DERIVED ts from `DIV` arithmetic, which
+    * structurally blocked this pushdown — EventsPlanShapeSpec pins the
+    * recovered behavior. */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.rnd(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  private val q107Sql =
+    """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
+      | count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -698,5 +725,6 @@ object EventQueries {
     QuerySpec("q86_scd2_intervals", Some(q86Sql), q86),
     QuerySpec("q88_psi_drift", Some(q88Sql), q88),
     QuerySpec("q89_jsd_drift", Some(q89Sql), q89),
+    QuerySpec("q107_pruned_window", Some(q107Sql), q107),
   )
 }

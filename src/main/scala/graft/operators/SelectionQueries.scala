@@ -142,15 +142,28 @@ object SelectionQueries {
     * mean NLL per bigram in milli-nats.
     *
     * Scale: exactly the CCNet shape — the trained model is a bounded
-    * artifact that ships to every worker (here two broadcast count
-    * tables + a scalar V; at real scale cap the vocab at top-V tokens
-    * so it stays broadcastable, OOV → the unseen-context path), and
+    * artifact that ships to every worker (two broadcast count tables
+    * PRUNED to the top-[[LmVocabCap]] train tokens + a scalar V —
+    * ≤ K² + K rows by construction; OOV → the unseen-smoothing
+    * path), and
     * scoring is one corpus scan: bigrams form scan-side from the token
     * array (no posexplode self-join), meet the model in broadcast hash
     * joins, and only per-doc partial sums shuffle. Training is one
     * map-side-combined groupBy over the 10% split. */
   private val PplTrainMod = 10
   private[graft] val PplFlagMnat = 3600L
+
+  /** Vocabulary cap for the bigram LM: the model keeps only bigrams
+    * and contexts whose tokens are in the top-K train tokens (K by
+    * count desc, token asc — a total order). OOV bigrams score
+    * through the ordinary unseen-smoothing path, so rare/junk text
+    * gets HIGHER perplexity under the pruned model — the same reason
+    * CCNet ships a *pruned* KenLM. This is what bounds the collected
+    * streaming artifact ([[bigramLm]]) at O(K²) regardless of corpus
+    * size. K=24 binds against the synthetic corpus's 31-token train
+    * vocab so the prune path is exercised at every sf; production
+    * would set 10⁵–10⁶. */
+  private[graft] val LmVocabCap = 24
 
   /** The LM-fit frames: (bg — bigram rows over ALL docs, c2t, c1t,
     * vt — counts/vocab off the train split). Shared by the batch
@@ -175,22 +188,42 @@ object SelectionQueries {
     val base = Tables.documents(s, dir)
     val bg = bgOf(docsOf(base))
     val trainDocs = docsOf(base.filter(col("doc_id") % PplTrainMod === 0))
-    val c2t = bgOf(trainDocs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // token counts do double duty: |vocab| (V in the Laplace
+    // denominator — the FULL vocab, pruning doesn't change smoothing
+    // mass) and the top-K prune set
+    val tokCounts = trainDocs.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vt = tokCounts.agg(count(lit(1)).as("v"))
+    val vocab = tokCounts
+      .orderBy(col("c").desc, col("tok")).limit(LmVocabCap).select(col("tok"))
+    val c2Full = bgOf(trainDocs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // context counts are the bigram counts rolled up — c1(w1) = Σ_w2
     // c2(w1, w2) — so the contexts cost a vocab-scale agg, not a
-    // second corpus pass
-    val c1t = c2t.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vt = trainDocs
-      .select(explode(col("t")).as("tok"))
-      .agg(count_distinct(col("tok")).as("v"))
+    // second corpus pass. Rolled up BEFORE the prune: an in-vocab
+    // context keeps its true count even where rare continuations were
+    // pruned (KenLM keeps original backoff statistics the same way).
+    val c1Full = c2Full.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // the prune: keep model entries only inside the top-K alphabet —
+    // ≤ K² bigrams, ≤ K contexts, the bound that makes the collected
+    // artifact shippable at any corpus size
+    val c2t = c2Full
+      .join(broadcast(vocab.withColumnRenamed("tok", "w1")), Seq("w1"), "left_semi")
+      .join(broadcast(vocab.withColumnRenamed("tok", "w2")), Seq("w2"), "left_semi")
+      // semi joins hoist their key to column 0 — restore (w1, w2, c2) so
+      // positional consumers ([[bigramLm]]'s collect) read true key order
+      .select(col("w1"), col("w2"), col("c2"))
+    val c1t = c1Full
+      .join(broadcast(vocab.withColumnRenamed("tok", "w1")), Seq("w1"), "left_semi")
     (bg, c2t, c1t, vt)
   }
 
   /** The trained LM as collected artifacts (bigram counts, context
     * counts, vocab size) — the closure an online scorer ships
-    * ([[graft.streaming.QualityStream]]); CCNet ships its KenLM to
-    * workers the same way. Vocab-scale: cap the vocabulary before
-    * collecting at real scale. */
+    * ([[graft.streaming.QualityStream]]); CCNet ships its (pruned)
+    * KenLM to workers the same way. The frames arrive already pruned
+    * to the top-[[LmVocabCap]] alphabet, so this collect is provably
+    * ≤ K² + K entries at ANY corpus size — OOV lookups fall through
+    * `getOrElse` to the unseen-smoothing path scorer-side. */
   private[graft] def bigramLm(
       s: SparkSession, dir: String): (Map[(String, String), Long], Map[String, Long], Long) = {
     val (_, c2t, c1t, vt) = lmFrames(s, dir)
@@ -234,15 +267,24 @@ object SelectionQueries {
        |), bg AS (
        |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
        |  FROM tl, unnest(generate_series(1, len(t) - 1)) AS u(i)
-       |), c2t AS (
+       |), tc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(t) AS tok FROM tl WHERE doc_id % $PplTrainMod = 0)
+       |  GROUP BY 1
+       |), vt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v FROM tc
+       |), vocab AS (
+       |  SELECT tok FROM tc ORDER BY c DESC, tok LIMIT $LmVocabCap
+       |), c2a AS (
        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
        |  FROM bg WHERE doc_id % $PplTrainMod = 0 GROUP BY 1, 2
+       |), c2t AS (
+       |  SELECT c2a.* FROM c2a
+       |  WHERE w1 IN (SELECT tok FROM vocab) AND w2 IN (SELECT tok FROM vocab)
+       |), c1a AS (
+       |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2a GROUP BY 1
        |), c1t AS (
-       |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
-       |  FROM bg WHERE doc_id % $PplTrainMod = 0 GROUP BY 1
-       |), vt AS (
-       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-       |  FROM (SELECT unnest(t) AS tok FROM tl WHERE doc_id % $PplTrainMod = 0)
+       |  SELECT c1a.* FROM c1a WHERE w1 IN (SELECT tok FROM vocab)
        |), sc AS (
        |  SELECT b.doc_id, b.source,
        |         CAST(-sum($w) AS BIGINT) AS nll,
