@@ -50,6 +50,16 @@ object BattleDemo {
     println("=== meta matchup summary (min 4 games) ===")
     MetaAnalytics.metaMatchupSummary(matrix, minGames = 4).show(8)
 
+    // ---- Plot bundle: the notebook's on-disk chart files (cell 4),
+    // written fully offline — Vega-Lite spec + rasterized PNG each
+    println("=== plot bundle ===")
+    val plotsDir = sys.env.getOrElse("SPARK_GRAFT_PLOTS_DIR", "plots")
+    val userPlots = PlotBundle.userPlots(classified, plotsDir)
+    val metaPlots = PlotBundle.metaPlots(
+      deckSummary, MetaAnalytics.metaMatchupSummary(matrix, minGames = 4), plotsDir)
+    (userPlots ++ metaPlots).toSeq.sortBy(_._1)
+      .foreach { case (k, p) => println(s"$k -> $p") }
+
     // ---- Phase 2: deterministic routing + context assembly
     println("=== Phase 2: Q&A routing ===")
     val question = "How do I play against Beatdown decks?"

@@ -38,6 +38,48 @@ object UserAnalytics {
       .withColumn("win_rate", Det.rate(col("wins").cast("double") / col("games")))
       .orderBy(col("win_rate").desc, col("games").desc, col("deck_type"))
 
+  /** summarize_deck_types returns a (my, opp) PAIR in the reference
+    * (deck_type.py:192-274); [[summarizeDeckTypes]] is the union view.
+    * This is the side-scoped view the plot bundle needs: "my" groups
+    * my_deck_type with the result as-is, "opp" groups opp_deck_type
+    * with the result flipped (deck_type.py:252-268 — opp wins when I
+    * lose). Sorted like the union view. */
+  def deckTypesBySide(battles: DataFrame, side: String): DataFrame = {
+    require(side == "my" || side == "opp", s"side must be my|opp, got $side")
+    val rows =
+      if (side == "opp")
+        battles.select(col("opp_deck_type").as("deck_type"),
+          Wld.flip(col("result")).as("result"))
+      else
+        battles.select(col("my_deck_type").as("deck_type"), col("result"))
+    rows.groupBy(col("deck_type"))
+      .agg(Wld.counts(col("result")).head, Wld.counts(col("result")).tail: _*)
+      .withColumn("win_rate", Det.rate(col("wins").cast("double") / col("games")))
+      .orderBy(col("win_rate").desc, col("games").desc, col("deck_type"))
+  }
+
+  /** compute_card_performance splits sides in the reference
+    * (user_analytics.py:285-307: best/worst read MY cards only,
+    * tough/easy read OPPONENT cards with the result flipped);
+    * [[cardPerformance]] is the union view. Side-scoped twin for the
+    * plot bundle, same min-games HAVING and ranking quirks. */
+  def cardPerformanceBySide(battles: DataFrame, side: String,
+      minGames: Int = 3, worst: Boolean = false): DataFrame = {
+    require(side == "my" || side == "opp", s"side must be my|opp, got $side")
+    val rows =
+      if (side == "opp")
+        battles.select(explode(col("opp_cards")).as("card"),
+          Wld.flip(col("result")).as("result"))
+      else
+        battles.select(explode(col("my_cards")).as("card"), col("result"))
+    val perCard = rows.groupBy(col("card"))
+      .agg(Wld.counts(col("result")).head, Wld.counts(col("result")).tail: _*)
+      .filter(col("games") >= minGames)
+      .withColumn("win_rate", Det.rate(col("wins").cast("double") / col("games")))
+    if (worst) perCard.orderBy(col("win_rate").asc, col("games").asc, col("card").desc)
+    else perCard.orderBy(col("win_rate").desc, col("games").desc, col("card"))
+  }
+
   /** compute_deck_type_matchups (user_analytics.py:9-96): user-POV
     * archetype-vs-archetype, min games filter, (games, win_rate) desc. */
   def deckTypeMatchups(battles: DataFrame, minGames: Int = 1): DataFrame =
