@@ -76,6 +76,30 @@ class SelectionQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM artifact is capped: prune active, collect O(K²)-bounded") {
+    val (c2, c1, v) = SelectionQueries.bigramLm(spark, dir)
+    val k = SelectionQueries.LmVocabCap
+    // the cap BINDS on this corpus: contexts are exactly the top-K
+    // alphabet, strictly smaller than the full train vocab V
+    assert(c1.size === k, s"expected exactly $k pruned contexts, got ${c1.size}")
+    assert(v > k, s"cap must bind (full vocab $v ≤ K=$k means the prune is idle)")
+    assert(c2.size <= k.toLong * k, "bigram map must stay within the K² bound")
+    // every surviving bigram lives inside the pruned alphabet
+    val alphabet = c1.keySet
+    assert(c2.keys.forall { case (w1, w2) => alphabet.contains(w1) && alphabet.contains(w2) },
+      "pruned bigrams must only reference pruned contexts")
+    // pruned-away (OOV) bigrams score through unseen smoothing: the
+    // unseen-context cost -ln(1/(0+V)) must exceed every RETAINED
+    // bigram's cost -ln((c2+1)/(c1+V)) — pruning can only make rare
+    // text more perplexed, never less (junk stays detectable)
+    val oovStep = -EventQueries.lnSmallMnatOf(1L, v)
+    val minSeenStep = c2.map { case ((w1, _), n2) =>
+      -EventQueries.lnSmallMnatOf(n2 + 1L, c1(w1) + v)
+    }.min
+    assert(oovStep > minSeenStep,
+      s"unseen cost $oovStep mnat must exceed the cheapest seen bigram $minSeenStep")
+  }
+
   test("q93 per-source rollup accounts for every document") {
     val out = graft.QueryCatalog.all.find(_.name == "q93_dsir_select").get
       .fn(spark, dir).collect()
