@@ -187,6 +187,115 @@ object CorpusQueries {
        |       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q109
+  /** Dedup-aware train/val/test split assignment + leakage audit — the
+    * step between q54's clustering and an actual training run: if
+    * near-duplicate documents land in different splits, the eval set
+    * leaks into training (the benchmark-contamination mechanism q55
+    * screens for, created IN-HOUSE by a careless split). The fix every
+    * serious pipeline applies: assign WHOLE near-dup clusters to one
+    * split by hashing the CLUSTER id, not the doc id.
+    *
+    * Output: one row per (scheme, split) — docs, clusters, and the
+    * number of near-dup edges with exactly one endpoint in the split
+    * ("leak_edges"). The cluster scheme's leak count is structurally 0
+    * (both endpoints share a component, components share a split); the
+    * naive doc-id scheme shows the leakage a naive split would ship.
+    * Split = md5-decile of the anchor id (8/1/1 train/val/test), the
+    * q19/q76 engine-portable uniform.
+    *
+    * Scale: rides q54's clustering (the one RDD loop) + the SAME
+    * cached jaccard-pair frame for the audit; everything after is
+    * (id, component, split) rows — three narrow columns per doc, the
+    * edge audit joins the pair list (already candidate-pruned by the
+    * q26 kernel) against the assignment twice by id. No text moves. */
+  private def splitDecile(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 12), 16, 10)
+      .cast("bigint") % 10
+
+  private def splitName(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(d <= 7, "train").when(d === 8, "val").otherwise(lit("test"))
+
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val jac = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    try {
+      jac.count() // materialize once for the CC loop AND the edge audit
+      val clusters = clustersFrom(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")), jac)
+      val asg = clusters.select(col("doc_id"), col("component_id"),
+        splitName(splitDecile(col("component_id"))).as("cluster"),
+        splitName(splitDecile(col("doc_id"))).as("naive"))
+      val docsLong = asg.select(col("doc_id"), col("component_id"),
+          explode(array(
+            struct(lit("cluster").as("scheme"), col("cluster").as("split")),
+            struct(lit("naive").as("scheme"), col("naive").as("split")))).as("x"))
+        .select(col("x.scheme").as("scheme"), col("x.split").as("split"),
+          col("doc_id"), col("component_id"))
+      val docCounts = docsLong.groupBy(col("scheme"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("component_id")).as("n_clusters"))
+      val ea = asg.select(col("doc_id").as("doc_a"), col("cluster").as("ca"),
+        col("naive").as("na"))
+      val eb = asg.select(col("doc_id").as("doc_b"), col("cluster").as("cb"),
+        col("naive").as("nb"))
+      val edges = jac.join(ea, Seq("doc_a")).join(eb, Seq("doc_b"))
+      val leakCluster = edges.filter(col("ca") =!= col("cb"))
+        .select(explode(array(col("ca"), col("cb"))).as("split"))
+        .withColumn("scheme", lit("cluster"))
+      val leakNaive = edges.filter(col("na") =!= col("nb"))
+        .select(explode(array(col("na"), col("nb"))).as("split"))
+        .withColumn("scheme", lit("naive"))
+      val leaks = leakCluster.unionByName(leakNaive)
+        .groupBy(col("scheme"), col("split"))
+        .agg(count(lit(1)).as("leak_edges"))
+      docCounts.join(leaks, Seq("scheme", "split"), "left")
+        .select(col("scheme"), col("split"), col("n_docs"), col("n_clusters"),
+          coalesce(col("leak_edges"), lit(0L)).as("leak_edges"))
+        .orderBy(col("scheme"), col("split"))
+    } finally jac.unpersist()
+  }
+
+  private val q109Sql = {
+    def decile(x: String) =
+      s"(CAST('0x' || substr(md5('split:' || CAST($x AS VARCHAR)), 1, 12) AS BIGINT) % 10)"
+    def name(x: String) =
+      s"CASE WHEN ${decile(x)} <= 7 THEN 'train' WHEN ${decile(x)} = 8 THEN 'val' ELSE 'test' END"
+    s"""$ccPrefix,
+       |asg AS (
+       |  SELECT doc_id, component_id,
+       |         ${name("component_id")} AS cluster_split,
+       |         ${name("doc_id")} AS naive_split
+       |  FROM comp
+       |), dl AS (
+       |  SELECT 'cluster' AS scheme, cluster_split AS split, doc_id, component_id FROM asg
+       |  UNION ALL
+       |  SELECT 'naive', naive_split, doc_id, component_id FROM asg
+       |), dc AS (
+       |  SELECT scheme, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT component_id) AS BIGINT) AS n_clusters
+       |  FROM dl GROUP BY 1, 2
+       |), ep AS (
+       |  SELECT a.cluster_split AS ca, a.naive_split AS na,
+       |         b.cluster_split AS cb, b.naive_split AS nb
+       |  FROM pairs p
+       |  JOIN asg a ON a.doc_id = p.doc_a
+       |  JOIN asg b ON b.doc_id = p.doc_b
+       |), ll AS (
+       |  SELECT 'cluster' AS scheme, u.s AS split
+       |  FROM ep, unnest([ca, cb]) AS u(s) WHERE ca <> cb
+       |  UNION ALL
+       |  SELECT 'naive', u.s FROM ep, unnest([na, nb]) AS u(s) WHERE na <> nb
+       |), lc AS (
+       |  SELECT scheme, split, CAST(count(*) AS BIGINT) AS leak_edges
+       |  FROM ll GROUP BY 1, 2
+       |)
+       |SELECT dc.scheme, dc.split, dc.n_docs, dc.n_clusters,
+       |       CAST(COALESCE(lc.leak_edges, 0) AS BIGINT) AS leak_edges
+       |FROM dc LEFT JOIN lc ON lc.scheme = dc.scheme AND lc.split = dc.split
+       |ORDER BY dc.scheme, dc.split""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q55
   /** Distinct word-8-gram shingles per doc. 8-grams (not bigrams) so the
     * tiny synthetic vocabulary still yields near-unique benchmark
@@ -654,6 +763,7 @@ object CorpusQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
+    QuerySpec("q109_leakage_safe_splits", Some(q109Sql), q109),
     QuerySpec("q55_decontamination", Some(q55Sql), q55),
     QuerySpec("q56_repetition_quality", Some(q56Sql), q56),
     QuerySpec("q57_stratified_sample", Some(q57Sql), q57),

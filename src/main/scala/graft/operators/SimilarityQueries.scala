@@ -73,17 +73,26 @@ object SimilarityQueries {
     if ("13579bdf".contains(hex.charAt(0))) 1.0 else -1.0
   }
 
-  private def q29(s: SparkSession, dir: String): DataFrame = {
-    val base = normed(s, dir)
+  /** (vec_id, label, v, nrm, bucket): vectors under the 8-plane sign-LSH
+    * bucketing — the candidate-generation frame q29 (search) and q108
+    * (hard-negative mining) share. */
+  private def bucketedVecs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
     val bucket = (0 until 8).map { j =>
       val plane = typedLit((0 until 64).map(d => planeComponent(j, d)))
       val dotJ = expr(s"aggregate(zip_with(v, p$j, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
       (plane.as(s"p$j"), when(dotJ > 0, lit(1 << j)).otherwise(lit(0)))
     }
-    val withPlanes = base.select(Seq(col("vec_id"), col("v"), col("nrm")) ++ bucket.map(_._1): _*)
-    val bucketed = withPlanes
+    base.select(Seq(col("vec_id"), col("label"), col("v"), col("nrm")) ++ bucket.map(_._1): _*)
       .withColumn("bucket", bucket.map(_._2).reduce(_ + _))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("bucket"))
+  }
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = bucketedVecs(s, dir)
     val q = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = bucketed
@@ -207,9 +216,76 @@ object SimilarityQueries {
        |             / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
        |FROM pred WHERE vr = 1 GROUP BY true_label ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- q108
+  /** Hard-negative mining for contrastive training — the DPR/Contriever
+    * training-data step: for each panel query, the top-K most similar
+    * candidates that are safe to use as negatives. Two exclusions make
+    * them safe: (a) near-duplicates (sim ≥ τ, the q72 dedup threshold)
+    * are unlabeled POSITIVES — training against them poisons the loss
+    * (the "false negative" problem); (b) same-label candidates are
+    * potential positives under the supervised-contrastive rule. What
+    * survives is the hardest honest negative set, ranked sim desc.
+    *
+    * Scale: candidate generation IS the q29 sign-LSH bucket equi-join
+    * (hash shuffle on bucket, never a cross join), both exclusions are
+    * scan-side predicates on the joined pair — no extra exchange over
+    * the ANN search the miner rides on — and per-query top-K plans
+    * rank-limit heaps. At 100 TB swap the bucket join for the IVF
+    * partition-pruned probe (q42) unchanged. */
+  private val NegDupTau = 0.4
+  private val NegK = 3
+
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketedVecs(s, dir)
+    val q = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = b.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+      col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("neg_id") && col("q_label") =!= col("neg_label"))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .filter(col("sim") < NegDupTau)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neg_id")))
+        .cast("long"))
+      .filter(col("rn") <= NegK)
+      .select(col("qid"), col("rn"), col("neg_id"), col("sim"),
+        col("q_label"), col("neg_label"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val q108Sql: String = {
+    def planeArray(j: Int): String =
+      (0 until 64).map(d => planeComponent(j, d)).mkString("[", ", ", "]::DOUBLE[]")
+    val bucketExpr = (0 until 8)
+      .map(j => s"(CASE WHEN list_dot_product(v, ${planeArray(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH nv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, label, v, nrm, $bucketExpr AS bucket FROM nv
+       |), p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS neg_id,
+       |         q.label AS q_label, c.label AS neg_label,
+       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id % 50 = 0
+       |   AND q.vec_id <> c.vec_id AND q.label <> c.label
+       |), r AS (
+       |  SELECT qid, neg_id, q_label, neg_label, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neg_id) AS rn
+       |  FROM p WHERE sim < $NegDupTau
+       |)
+       |SELECT qid, rn, neg_id, sim, q_label, neg_label
+       |FROM r WHERE rn <= $NegK ORDER BY qid, rn""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
     QuerySpec("q79_knn_label_vote", Some(q79Sql), q79),
+    QuerySpec("q108_hard_negatives", Some(q108Sql), q108),
   )
 }
