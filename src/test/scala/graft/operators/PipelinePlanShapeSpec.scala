@@ -241,6 +241,14 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the spread exchange under the hash kernel must survive AQE:\n$p")
   }
 
+  test("q108 hard negatives: candidates come from the bucket equi-join, top-k is rank-limited") {
+    val p = finalPlan("q108_hard_negatives")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay the LSH bucket equi-join, never all-pairs:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must use the rank-limit pushdown, not full window sorts:\n$p")
+  }
+
   test("q101 recall: panel broadcasts into both passes, per-query top-k is rank-limited") {
     val p = finalPlan("q101_pq_recall")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
