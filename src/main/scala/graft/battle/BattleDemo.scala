@@ -60,6 +60,28 @@ object BattleDemo {
     (userPlots ++ metaPlots).toSeq.sortBy(_._1)
       .foreach { case (k, p) => println(s"$k -> $p") }
 
+    // ---- Serving: the server.py twin — start, self-exercise over real
+    // HTTP, stop (the demo must terminate; a deployment just skips stop)
+    println("=== serving layer ===")
+    val server = new AnalyticsServer(
+      Map(
+        "user_summary" -> UserAnalytics.computeSummary(classified),
+        "user_deck_summary" -> UserAnalytics.summarizeDeckTypes(classified),
+        "user_matchups" -> UserAnalytics.deckTypeMatchups(classified),
+        "meta_deck_summary" -> deckSummary,
+        "meta_matchups" -> MetaAnalytics.metaMatchupSummary(matrix, minGames = 4),
+        "card_performance" -> UserAnalytics.cardPerformance(classified)),
+      gamesPlayed = res.totalBattles)
+    val port = server.start()
+    def fetch(path: String): String = {
+      val src = scala.io.Source.fromURL(s"http://127.0.0.1:$port$path", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    println(s"serving on 127.0.0.1:$port")
+    println(s"GET /health -> ${fetch("/health")}")
+    println(s"GET /qna    -> ${fetch("/qna?q=what%20beats%20Beatdown%3F").take(200)}...")
+    server.stop()
+
     // ---- Phase 2: deterministic routing + context assembly
     println("=== Phase 2: Q&A routing ===")
     val question = "How do I play against Beatdown decks?"
