@@ -164,11 +164,157 @@ object TextQueries {
       |)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q110
+  /** Boilerplate segment removal profile — RefinedWeb/CCNet line-wise
+    * dedup re-expressed for the newline-free testdata corpus: a doc is
+    * segmented into non-overlapping W-token chunks (the "lines"), and a
+    * chunk that recurs in ≥ 2 DISTINCT documents of the SAME source is
+    * boilerplate (headers, footers, terms-of-service — the text that
+    * repeats because the site template repeats, not because authors
+    * wrote it twice). Output is the per-source removal profile: how
+    * many segment instances a line-dedup pass would strip and the
+    * resulting boilerplate ppm of the source's token volume.
+    *
+    * Scale: segmentation + hashing are scan-side array expressions
+    * (contrast q90's stride-1 overlapping windows — stride-W here, so
+    * the segment volume is tokens/W, not tokens); the only data that
+    * ever shuffles is (source, 16-byte digest, doc_id) — never text —
+    * and both aggregations hash on the same (source, h) key so the
+    * second is exchange-free. The per-source frames meet at 20-row
+    * aggregates. At 100 TB the df count is the same shuffle a term-df
+    * computation costs, on a W× smaller row count. */
+  private val BoilerW = 3
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+    // full W-token chunks only; a trailing partial chunk is content,
+    // never boilerplate-eligible (it can't recur structurally)
+    val segs = docs.withColumn("hs", expr(
+        s"""CASE WHEN size(t) >= $BoilerW
+           |  THEN transform(sequence(0, size(t) DIV $BoilerW - 1),
+           |                 i -> md5(array_join(slice(t, i * $BoilerW + 1, $BoilerW), ' ')))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val df = segs.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+    val perSrc = df.groupBy(col("source"))
+      .agg(
+        sum(col("occ")).as("n_segments"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_segs"),
+        (lit(BoilerW.toLong) * sum(when(col("df") >= 2, col("occ")).otherwise(0L)))
+          .as("removed_tokens"))
+    val tot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    tot.join(perSrc, Seq("source"))
+      .withColumn("boiler_ppm",
+        expr("(removed_tokens * 1000000) DIV total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_segments"),
+        col("n_boiler_segs"), col("removed_tokens"), col("boiler_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q110Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         generate_subscripts(string_split(text, ' '), 1) AS ord,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), doc_tok AS (
+       |  SELECT source, doc_id, count(*) AS n_toks FROM toks GROUP BY source, doc_id
+       |), segs AS (
+       |  SELECT doc_id, source, CAST(floor((ord - 1) / $BoilerW) AS BIGINT) AS seg,
+       |         md5(string_agg(tok, ' ' ORDER BY ord)) AS h, count(*) AS w
+       |  FROM toks GROUP BY doc_id, source, seg
+       |), f AS (
+       |  SELECT source, h, count(DISTINCT doc_id) AS df, count(*) AS occ
+       |  FROM segs WHERE w = $BoilerW GROUP BY source, h
+       |), per_src AS (
+       |  SELECT source, CAST(sum(occ) AS BIGINT) AS n_segments,
+       |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_segs,
+       |         CAST($BoilerW * sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT)
+       |           AS removed_tokens
+       |  FROM f GROUP BY source
+       |), tot AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+       |  FROM doc_tok GROUP BY source
+       |)
+       |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, t.total_tokens,
+       |       p.n_segments, p.n_boiler_segs, p.removed_tokens,
+       |       CAST((p.removed_tokens * 1000000) // t.total_tokens AS BIGINT) AS boiler_ppm
+       |FROM tot t JOIN per_src p ON t.source = p.source
+       |ORDER BY t.source""".stripMargin
+
+  // --------------------------------------------------------------- q111
+  /** Token-distribution Shannon entropy gate: per doc,
+    * H = −Σ (c/N)·ln(c/N) over the doc's own token frequencies, in exact
+    * integer MILLI-NATS via the graft_ln_small ladder (the q99/q100
+    * arithmetic — both engines score the identical quantized ln, so the
+    * gate is hash-exact, no float drift). Low entropy = a repetitive
+    * template/spam doc even when q56's top-token and dup-bigram signals
+    * miss it (entropy reads the WHOLE distribution, not its head).
+    * keep = H ≥ 2.8 nats, the corpus' ~20th percentile.
+    *
+    * Scale: zero-shuffle per-doc math — the frequency table is an
+    * array expression over the doc's own tokens (array_distinct +
+    * filter counts, O(U·N) per doc with U bounded by doc length), the
+    * entropy sum folds inside the same projection, and the ladder is
+    * a native codegen expression. 100 TB of docs is 100 TB of
+    * embarrassingly parallel scan; nothing exchanges until the caller
+    * aggregates the keep bits.
+    *
+    * The `greatest(0, …)` clamp: every c < N term is ≤ −112 mnats, so
+    * a genuinely mixed doc is strictly positive; only the degenerate
+    * single-type doc (true H = 0) can go negative through the ladder's
+    * +112 c = N class midpoint, and the clamp pins exactly it — which
+    * also keeps the integer division on non-negative ground, where
+    * Spark's trunc DIV and DuckDB's floor // agree. */
+  private val EntropyKeepMnats = 2800L
+
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("cnts", expr(
+        "transform(array_distinct(t), d -> CAST(size(filter(t, x -> x = d)) AS BIGINT))"))
+      .withColumn("ssum", expr(
+        "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * graft_ln_small(c, n))"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        size(col("cnts")).cast("long").as("vocab"),
+        expr("greatest(CAST(0 AS BIGINT), -ssum) DIV n").as("entropy_mnat"))
+      .withColumn("keep", col("entropy_mnat") >= EntropyKeepMnats)
+      .orderBy(col("doc_id"))
+
+  private val q111Sql = {
+    val ladder = EventQueries.lnSmallWeightSql("c.c", "nn.n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), c AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+       |), nn AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
+       |  FROM c GROUP BY doc_id
+       |), s AS (
+       |  SELECT c.doc_id, CAST(sum(c.c * $ladder) AS BIGINT) AS ssum
+       |  FROM c JOIN nn ON c.doc_id = nn.doc_id GROUP BY c.doc_id
+       |)
+       |SELECT nn.doc_id, nn.n AS n_tokens, CAST(nn.vocab AS BIGINT) AS vocab,
+       |       CAST(greatest(0, -s.ssum) // nn.n AS BIGINT) AS entropy_mnat,
+       |       (greatest(0, -s.ssum) // nn.n) >= $EntropyKeepMnats AS keep
+       |FROM nn JOIN s ON nn.doc_id = s.doc_id
+       |ORDER BY nn.doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
     QuerySpec("q22_doc_fingerprint", Some(q22Sql), q22),
     QuerySpec("q23_lang_id_confusion", Some(q23Sql), q23),
     QuerySpec("q66_vocab_profile", Some(q66Sql), q66),
+    QuerySpec("q110_boilerplate_profile", Some(q110Sql), q110),
+    QuerySpec("q111_entropy_gate", Some(q111Sql), q111),
   )
 }
