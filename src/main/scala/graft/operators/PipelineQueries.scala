@@ -514,6 +514,68 @@ object PipelineQueries {
        |FROM base b LEFT JOIN spans s ON s.doc_id = b.doc_id
        |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Deterministic epoch shuffle + shard assignment — the training
+    * data-loader step between curation and the trainer: each epoch
+    * permutes the corpus with a seeded hash (md5 of epoch:doc_id — a
+    * different, reproducible order every epoch, the "reshuffle each
+    * epoch" training requirement) and deals docs into S shards by the
+    * hash's top bits, with shard-local order given by the same key.
+    * Output per (epoch, shard): doc/token balance plus an order
+    * FINGERPRINT (md5 of the shard's doc ids in shard order) — the
+    * audit a reproducibility harness compares across reruns and across
+    * engines; any nondeterminism in the shuffle shows up as a changed
+    * fingerprint, not a silent training-order drift.
+    *
+    * Scale: this IS Spark's repartition + sortWithinPartitions writer
+    * shape — one hash shuffle on (epoch, shard), shard-local sort, no
+    * global order anywhere. The fingerprint's collect_list is bounded
+    * by shard size here; a 100 TB run would fingerprint fixed-size
+    * position blocks instead (same chained-hash idea, bounded state),
+    * while the assignment path ships unchanged. */
+  private val ShuffleEpochs = 2
+  private val Shards = 8
+
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val epochs = array((0 until ShuffleEpochs).map(e => lit(e.toLong)): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        explode(epochs).as("epoch"))
+      .withColumn("k", md5(concat(
+        col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 12), 16, 10).cast("bigint") % Shards)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(array_join(expr(
+          "transform(sort_array(collect_list(struct(k, doc_id))), x -> CAST(x.doc_id AS STRING))"),
+          ",")).as("order_fp"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  private val q113Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), e AS (
+       |  SELECT epoch, doc_id, n_tokens,
+       |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM d, (SELECT unnest([${(0 until ShuffleEpochs).mkString(", ")}]) AS epoch)
+       |), s AS (
+       |  SELECT epoch, doc_id, n_tokens, k,
+       |         CAST('0x' || substr(k, 1, 12) AS BIGINT) % $Shards AS shard
+       |  FROM e
+       |)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+       |         AS order_fp
+       |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
@@ -522,5 +584,6 @@ object PipelineQueries {
     QuerySpec("q83_doc_chunking", Some(q83Sql), q83),
     QuerySpec("q87_pps_sample", Some(q87Sql), q87),
     QuerySpec("q90_dup_spans", Some(q90Sql), q90),
+    QuerySpec("q113_epoch_shards", Some(q113Sql), q113),
   )
 }

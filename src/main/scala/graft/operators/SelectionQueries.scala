@@ -259,7 +259,11 @@ object SelectionQueries {
         Det.rate(col("sum_nll").cast("double") / col("sum_bg")).as("avg_nll_mnat"))
       .orderBy(col("source"))
 
-  private val q99Sql = {
+  /** Shared oracle prefix: the pruned-LM fit + per-doc scoring CTE
+    * chain, ending in sc(doc_id, source, nll, nbg). q99 aggregates it
+    * per source; q112 bins it into curriculum phases. One text, zero
+    * drift between the two oracles. */
+  private def docNllSqlPrefix: String = {
     val w = EventQueries.lnSmallWeightSql(
       "COALESCE(c2, 0) + 1", "COALESCE(c1, 0) + v")
     s"""WITH tl AS (
@@ -291,7 +295,11 @@ object SelectionQueries {
        |         CAST(count(*) AS BIGINT) AS nbg
        |  FROM bg b LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1), vt
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+  }
+
+  private val q99Sql =
+    s"""$docNllSqlPrefix
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CASE WHEN nll > $PplFlagMnat * nbg THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_flagged,
@@ -300,7 +308,69 @@ object SelectionQueries {
        |       floor(CAST(sum(nll) AS DOUBLE) / sum(nbg) * 1e6 + 0.5) / 1e6
        |         AS avg_nll_mnat
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q112
+  /** Curriculum phase assignment (curriculum learning / Bengio et al.
+    * 2009 applied to corpus construction): order the corpus by model
+    * difficulty — per-doc avg NLL under q99's pruned bigram LM — and
+    * cut it into 3 phases of equal TOKEN volume (easy warm-up → hard
+    * tail), reporting how each source's volume distributes across
+    * phases (the per-phase mixing matrix a staged training run feeds
+    * its sampler).
+    *
+    * The cut is computed on a bounded DIFFICULTY-BIN frame, not the
+    * doc stream: per-doc difficulty in micro-nats/bigram quantizes to
+    * 0.01-nat bins (the ladder's range caps the grid at a few
+    * thousand bins at any corpus size), bins aggregate map-side, and
+    * the running-total window that places the two phase boundaries
+    * runs on that bounded frame — never a global sort of the corpus.
+    * Docs then broadcast-join their bin's phase. Phase boundaries are
+    * exact integer arithmetic (3·cum_excl DIV total, clamped to 2),
+    * so a bin straddling a boundary lands wholly in the earlier phase
+    * — the documented bin-granular semantics.
+    *
+    * Single-token docs have no bigrams, no difficulty, and drop out —
+    * same as q99 and the oracle's empty generate_series. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docNll(s, dir).select(col("source"),
+      (col("nbg") + 1L).as("n_tokens"),
+      expr("((nll * 1000) DIV nbg) DIV 10000").as("bin"))
+    val bins = d.groupBy(col("bin")).agg(sum(col("n_tokens")).as("bt"))
+    // global window + cross join: both run on the bin frame, whose
+    // size is fixed by the ladder's range, not the corpus
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val ph = bins
+      .withColumn("cum_excl", coalesce(sum(col("bt")).over(cumW), lit(0L)))
+      .crossJoin(broadcast(bins.agg(sum(col("bt")).as("tot"))))
+      .select(col("bin"), least(lit(2L), expr("(3 * cum_excl) DIV tot")).as("phase"))
+    d.join(broadcast(ph), Seq("bin"))
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("phase"), col("source"))
   }
+
+  private val q112Sql =
+    s"""$docNllSqlPrefix
+       |, d AS (
+       |  SELECT doc_id, source, CAST(nbg + 1 AS BIGINT) AS n_tokens,
+       |         CAST(((nll * 1000) // nbg) // 10000 AS BIGINT) AS bin
+       |  FROM sc
+       |), b AS (
+       |  SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS bt FROM d GROUP BY bin
+       |), w AS (
+       |  SELECT bin, CAST(COALESCE(sum(bt) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+       |  FROM b
+       |), t AS (
+       |  SELECT CAST(sum(bt) AS BIGINT) AS tot FROM b
+       |), ph AS (
+       |  SELECT bin, least(2, (3 * cum_excl) // tot) AS phase FROM w, t
+       |)
+       |SELECT ph.phase, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+       |FROM d JOIN ph USING (bin)
+       |GROUP BY ph.phase, d.source ORDER BY ph.phase, d.source""".stripMargin
 
   // --------------------------------------------------------------- q105
   /** Temperature-weighted token-budget apportionment (the UniMax /
@@ -401,5 +471,6 @@ object SelectionQueries {
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
     QuerySpec("q105_token_budget", Some(q105Sql), q105),
+    QuerySpec("q112_curriculum_phases", Some(q112Sql), q112),
   )
 }
