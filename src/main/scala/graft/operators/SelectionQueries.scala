@@ -333,6 +333,12 @@ object SelectionQueries {
     * same as q99 and the oracle's empty generate_series. */
   private def q112(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the per-doc difficulty frame feeds BOTH the bin aggregate (via
+    // the broadcast phase map) and the final rollup; the two subtrees
+    // are IDENTICAL, so AQE's exchange reuse executes the LM-scoring
+    // chain once within the single result job — an explicit
+    // persist + eager-collect variant measured SLOWER (3.3 s vs 2.1 s
+    // at sf0.1: it serializes the passes and pays the cache write)
     val d = docNll(s, dir).select(col("source"),
       (col("nbg") + 1L).as("n_tokens"),
       expr("((nll * 1000) DIV nbg) DIV 10000").as("bin"))

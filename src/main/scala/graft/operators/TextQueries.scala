@@ -186,33 +186,44 @@ object TextQueries {
   private val BoilerW = 3
 
   private def q110(s: SparkSession, dir: String): DataFrame = {
+    // full W-token chunks only; a trailing partial chunk is content,
+    // never boilerplate-eligible (it can't recur structurally).
+    // The per-doc frame feeds BOTH the segment chain and the token
+    // totals; pin it so the scan + split + hash pass runs once — and
+    // pin the projection AFTER hashing, so what's cached is digests
+    // and counts, never the text.
     val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-      .withColumn("n_toks", size(col("t")).cast("long"))
-    // full W-token chunks only; a trailing partial chunk is content,
-    // never boilerplate-eligible (it can't recur structurally)
-    val segs = docs.withColumn("hs", expr(
-        s"""CASE WHEN size(t) >= $BoilerW
-           |  THEN transform(sequence(0, size(t) DIV $BoilerW - 1),
-           |                 i -> md5(array_join(slice(t, i * $BoilerW + 1, $BoilerW), ' ')))
-           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-    val df = segs.groupBy(col("source"), col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
-    val perSrc = df.groupBy(col("source"))
-      .agg(
-        sum(col("occ")).as("n_segments"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_segs"),
-        (lit(BoilerW.toLong) * sum(when(col("df") >= 2, col("occ")).otherwise(0L)))
-          .as("removed_tokens"))
-    val tot = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-    tot.join(perSrc, Seq("source"))
-      .withColumn("boiler_ppm",
-        expr("(removed_tokens * 1000000) DIV total_tokens"))
-      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_segments"),
-        col("n_boiler_segs"), col("removed_tokens"), col("boiler_ppm"))
-      .orderBy(col("source"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_toks"),
+        expr(
+          s"""CASE WHEN size(t) >= $BoilerW
+             |  THEN transform(sequence(0, size(t) DIV $BoilerW - 1),
+             |                 i -> md5(array_join(slice(t, i * $BoilerW + 1, $BoilerW), ' ')))
+             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("hs"))
+      .persist()
+    try {
+      val segs = docs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+      val df = segs.groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      val perSrc = df.groupBy(col("source"))
+        .agg(
+          sum(col("occ")).as("n_segments"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_segs"),
+          (lit(BoilerW.toLong) * sum(when(col("df") >= 2, col("occ")).otherwise(0L)))
+            .as("removed_tokens"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      val outPlan = tot.join(perSrc, Seq("source"))
+        .withColumn("boiler_ppm",
+          expr("(removed_tokens * 1000000) DIV total_tokens"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("n_segments"),
+          col("n_boiler_segs"), col("removed_tokens"), col("boiler_ppm"))
+        .orderBy(col("source"))
+      // |sources| rows: collect once into a LocalRelation (q43 pattern)
+      // so the result survives the unpersist below
+      s.createDataFrame(java.util.Arrays.asList(outPlan.collect(): _*), outPlan.schema)
+    } finally docs.unpersist()
   }
 
   private val q110Sql =
