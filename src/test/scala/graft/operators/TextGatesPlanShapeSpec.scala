@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape proofs for the round-7 text gates / loader ops: what
+  * shuffles — and what must NOT — asserted on the executed adaptive
+  * plan at sf0.001.
+  */
+class TextGatesPlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = graft.QueryCatalog.all.find(_.name == name).get.fn(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q111 entropy gate: zero exchanges below the output sort") {
+    val p = executedPlan("q111_entropy_gate")
+    // per-doc math is scan-local: the ONLY exchanges allowed are the
+    // explicit spread repartition and the final ORDER BY's range
+    // partitioning — no hash exchange from any agg/join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q111 must not join:\n$p")
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.isEmpty || hashEx.forall(_.contains("REPARTITION_BY_NUM")),
+      s"only the explicit spread may hash-exchange:\n$p")
+    assert(p.contains("graft_ln_small") || p.contains("lnsmall"),
+      "the native ladder expression must be in the plan")
+  }
+
+  test("q110 boilerplate: eager bounded result, cache released on exit") {
+    // shared test session: start from a clean cache so the emptiness
+    // assertion below sees only what q110 itself leaves behind
+    spark.catalog.clearCache()
+    val df = graft.QueryCatalog.all.find(_.name == "q110_boilerplate_profile")
+      .get.fn(spark, dir)
+    // the q43 contract: the heavy chain executed INSIDE the query while
+    // its digest-frame pin was alive; what escapes is a |sources|-row
+    // LocalRelation with no lazy lineage to re-run after the unpersist
+    assert(df.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "q110 must return the collected LocalRelation, not a lazy plan")
+    assert(df.count() <= 20L)
+    // and no cache entry survives the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q110 must release its digest-frame pin before returning")
+  }
+
+  test("q113 epoch shards: one hash exchange on the grouping key, no global sort of docs") {
+    val p = executedPlan("q113_epoch_shards")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"q113 must not join:\n$p")
+    // rangepartitioning may appear ONLY for the 16-row output ORDER BY;
+    // the doc-level data moves through exactly one hash exchange
+    // (epoch, shard) feeding the fingerprint aggregate
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.length === 1, s"exactly one doc-level hash exchange:\n$p")
+    assert(hashEx.head.contains("epoch") && hashEx.head.contains("shard"),
+      s"the exchange must key on (epoch, shard):\n${hashEx.head}")
+    assert(!hashEx.head.contains("text#"),
+      "the shard exchange must carry token counts, not text")
+  }
+
+  test("q112 curriculum: docs meet their phase by broadcast, never a shuffle join") {
+    val p = executedPlan("q112_curriculum_phases")
+    assert(p.contains("BroadcastHashJoin"), "phase map must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the doc frame must never shuffle to meet the bin-phase map")
+  }
+}
