@@ -21,7 +21,7 @@ def main():
         name = os.path.basename(t).replace(".parquet", "")
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
-    out = {}
+    out, failed = {}, []
     for name in sorted(sqls):
         best = None
         for _ in range(runs):
@@ -30,12 +30,20 @@ def main():
                 con.execute(sqls[name]).fetchall()
             except Exception as e:
                 print(f"[duckbench] {name} failed: {e}", file=sys.stderr)
+                best = None
+                failed.append(name)
+                break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        out[name] = best
-    print(json.dumps({"metric": "total", "value": sum(out.values()),
+        out[name] = best  # null marks a failure — never a near-zero "time"
+    ok = [v for v in out.values() if v is not None]
+    print(json.dumps({"metric": "total", "value": sum(ok),
                       "unit": "sec", "queries": out, "sf": sf_dir,
-                      "engine": "duckdb", "runs": runs}))
+                      "engine": "duckdb", "runs": runs,
+                      "failed": sorted(set(failed))}))
+    if failed:
+        # a comparison against a partially-failed run is not a comparison
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()

@@ -183,7 +183,16 @@ object TextQueries {
     * second is exchange-free. The per-source frames meet at 20-row
     * aggregates. At 100 TB the df count is the same shuffle a term-df
     * computation costs, on a W× smaller row count. */
-  private val BoilerW = 3
+  private[graft] val BoilerW = 3
+
+  /** THE stride-W chunk-hash kernel, as one expression string over a
+    * token-array column `t` — q110 (batch) and
+    * [[graft.streaming.BoilerStream]] (incremental) both build on this
+    * single text, so their segmentations are byte-identical by
+    * construction: the streaming prefix-equivalence pin depends on it.
+    * Callers must guard `size(t) >= w` (sequence() would descend). */
+  private[graft] def chunkHashesExpr(w: Int): String =
+    s"transform(sequence(0, size(t) DIV $w - 1), i -> md5(array_join(slice(t, i * $w + 1, $w), ' ')))"
 
   private def q110(s: SparkSession, dir: String): DataFrame = {
     // full W-token chunks only; a trailing partial chunk is content,
@@ -197,9 +206,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         size(col("t")).cast("long").as("n_toks"),
         expr(
-          s"""CASE WHEN size(t) >= $BoilerW
-             |  THEN transform(sequence(0, size(t) DIV $BoilerW - 1),
-             |                 i -> md5(array_join(slice(t, i * $BoilerW + 1, $BoilerW), ' ')))
+          s"""CASE WHEN size(t) >= $BoilerW THEN ${chunkHashesExpr(BoilerW)}
              |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("hs"))
       .persist()
     try {
@@ -268,8 +275,8 @@ object TextQueries {
     * keep = H ≥ 2.8 nats, the corpus' ~20th percentile.
     *
     * Scale: zero-shuffle per-doc math — the frequency table is an
-    * array expression over the doc's own tokens (array_distinct +
-    * filter counts, O(U·N) per doc with U bounded by doc length), the
+    * sorted run-length fold over the doc's own token array (one
+    * array_sort + one pass — O(N log N) per doc at any vocab), the
     * entropy sum folds inside the same projection, and the ladder is
     * a native codegen expression. 100 TB of docs is 100 TB of
     * embarrassingly parallel scan; nothing exchanges until the caller
@@ -287,15 +294,32 @@ object TextQueries {
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-      .withColumn("cnts", expr(
-        "transform(array_distinct(t), d -> CAST(size(filter(t, x -> x = d)) AS BIGINT))"))
-      .withColumn("ssum", expr(
-        "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * graft_ln_small(c, n))"))
+      // one sorted run-length fold computes Σ c·ln(c/N) AND the vocab
+      // count — O(N log N) per doc (an array_distinct + filter-count
+      // variant is O(U·N), quadratic on long high-vocab docs). Each
+      // closing run of length c adds c·mnat(c, N); the finisher closes
+      // the last run.
+      .withColumn("f", expr(
+        """aggregate(array_sort(t),
+          |  named_struct('prev', CAST(NULL AS STRING),
+          |               'run', CAST(0 AS BIGINT),
+          |               'ssum', CAST(0 AS BIGINT),
+          |               'vocab', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+          |    'ssum', acc.ssum + IF(x <=> acc.prev OR acc.run = 0L, 0L,
+          |                          acc.run * graft_ln_small(acc.run, n)),
+          |    'vocab', acc.vocab + IF(x <=> acc.prev, 0L, 1L)),
+          |  acc -> named_struct(
+          |    'ssum', acc.ssum + IF(acc.run = 0L, 0L,
+          |                          acc.run * graft_ln_small(acc.run, n)),
+          |    'vocab', acc.vocab))""".stripMargin))
       .select(
         col("doc_id"),
         col("n").as("n_tokens"),
-        size(col("cnts")).cast("long").as("vocab"),
-        expr("greatest(CAST(0 AS BIGINT), -ssum) DIV n").as("entropy_mnat"))
+        col("f.vocab").as("vocab"),
+        expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n").as("entropy_mnat"))
       .withColumn("keep", col("entropy_mnat") >= EntropyKeepMnats)
       .orderBy(col("doc_id"))
 

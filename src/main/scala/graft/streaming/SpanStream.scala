@@ -76,8 +76,12 @@ object SpanStream {
       corpus: DataFrame,
       w: Int): Dataset[DupWindow] = {
     import spark.implicits._
+    // stream-static joins re-execute the static plan EVERY micro-batch;
+    // the index is the standing artifact, so pin it once here (it lives
+    // as long as the query — exactly the artifact's lifetime)
+    val pinned = corpus.persist()
     val probed = windowHashes(docs.toDF(), w)
-      .join(broadcast(corpus), Seq("wh"), "left")
+      .join(broadcast(pinned), Seq("wh"), "left")
       .select(col("doc_id"), col("pos"), col("wh"),
         coalesce(col("corpus_docs"), lit(0L)).as("cn"),
         coalesce(col("corpus_min_doc"), lit(Long.MinValue)).as("cmin"))
@@ -109,9 +113,11 @@ object SpanStream {
           state.update(
             if (established) HState(st.map(_.doc).getOrElse(docs.min), Nil, emitted = true)
             else st match {
-              // not established ⇒ every arrival is the stored doc or the first
-              case Some(s) => s.copy(positions = s.positions ++ arr.map(_.pos))
-              case None => HState(docs.head, arr.map(_.pos).toList, emitted = false)
+              // not established ⇒ every arrival is the stored doc or the
+              // first; dedup positions so a RE-INGESTED copy of the same
+              // doc (a re-crawl) can't inflate the retroactive flush
+              case Some(s) => s.copy(positions = (s.positions ++ arr.map(_.pos)).distinct)
+              case None => HState(docs.head, arr.map(_.pos).distinct.toList, emitted = false)
             })
           (retro ++ now).iterator
       }

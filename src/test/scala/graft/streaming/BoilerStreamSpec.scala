@@ -65,6 +65,20 @@ class BoilerStreamSpec extends SparkSpec {
       Set((5L, 0L), (5L, 1L), (6L, 0L)))
   }
 
+  test("re-ingesting a not-yet-established doc never inflates the retro flush") {
+    // doc 7 is crawled twice before any second distinct doc arrives; the
+    // retroactive emission must flag each instance exactly ONCE (a seq
+    // comparison — the set-based equivalence test can't see duplicates)
+    val out = runStream(Seq(
+      Seq(SrcDoc(7L, "srcA", "g1 g2 g3 u1 u2 u3")),
+      Seq(SrcDoc(7L, "srcA", "g1 g2 g3 u1 u2 u3")),
+      Seq(SrcDoc(8L, "srcA", "g1 g2 g3 w1 w2 w3"))), corpus)
+    val flagged = out.map(b => (b.doc_id, b.seg))
+    assert(flagged.sorted === flagged.distinct.sorted,
+      s"duplicate emissions in retro flush: $flagged")
+    assert(flagged.toSet === Set((7L, 0L), (8L, 0L)))
+  }
+
   test("corpus doc re-ingesting itself shares no second distinct doc") {
     val out = runStream(Seq(Seq(SrcDoc(100L, "srcA", "c1 c2 c3 x1 x2 x3"))), corpus)
     assert(out.isEmpty)
