@@ -288,7 +288,7 @@ object TextQueries {
     * +112 c = N class midpoint, and the clamp pins exactly it — which
     * also keeps the integer division on non-negative ground, where
     * Spark's trunc DIV and DuckDB's floor // agree. */
-  private val EntropyKeepMnats = 2800L
+  private[graft] val EntropyKeepMnats = 2800L
 
   private def q111(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))

@@ -3,11 +3,12 @@ package graft.streaming
 import graft.operators.EventQueries
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-/** Online quality gating — the streaming half of the q99/q100 lambda
-  * split: the batch jobs train the bigram LM
+/** Online quality gating — the streaming half of the q99/q100/q111
+  * lambda split: the batch jobs train the bigram LM
   * (`SelectionQueries.bigramLm`) and the NB classifier
   * (`ClassifierQueries.fitNb`); this scores documents the moment they
-  * land, with both FROZEN models shipped as plain closure values —
+  * land — LM perplexity, NB score, AND the model-free q111 token-
+  * entropy gate — with both FROZEN models shipped as plain closure values —
   * exactly how production ingest gates run (CCNet ships a trained
   * KenLM; fastText filters ship trained weights; neither re-fits on
   * the stream).
@@ -30,7 +31,8 @@ object QualityStream {
   final case class DocIn(doc_id: Long, source: String, text: String)
   final case class QualityVerdict(
       doc_id: Long, source: String, nll: Long, n_bigrams: Long,
-      ppl_flagged: Boolean, nb_score: Long, nb_positive: Boolean)
+      ppl_flagged: Boolean, nb_score: Long, nb_positive: Boolean,
+      entropy_mnat: Long, entropy_kept: Boolean)
 
   /** Both frozen models in one closure value. `flagMnat` is the q99
     * per-bigram threshold; `nbWeights` is indexed by hash bucket. */
@@ -65,8 +67,24 @@ object QualityStream {
       s += m.nbWeights(b)
       j += 1
     }
+    // ---- q111 twin: token-distribution entropy in exact milli-nats,
+    // the sorted run-length form (no model — a gate CONSTANT, so it
+    // rides the same frozen closure without being a trained artifact) ----
+    val n = toks.length.toLong
+    val sorted = toks.sorted
+    var ssum = 0L
+    var k = 0
+    while (k < sorted.length) {
+      var r = k + 1
+      while (r < sorted.length && sorted(r) == sorted(k)) r += 1
+      val c = (r - k).toLong
+      ssum += c * graft.functions.LnSmallKernel.mnat(c, n)
+      k = r
+    }
+    val ent = if (n == 0L) 0L else math.max(0L, -ssum) / n
     QualityVerdict(d.doc_id, d.source, nll, nbg,
-      nbg > 0 && nll > m.flagMnat * nbg, s, s > 0L)
+      nbg > 0 && nll > m.flagMnat * nbg, s, s > 0L,
+      ent, ent >= graft.operators.TextQueries.EntropyKeepMnats)
   }
 
   /** Score a document stream against the frozen models. */

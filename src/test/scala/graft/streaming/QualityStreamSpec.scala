@@ -61,6 +61,23 @@ class QualityStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream entropy verdicts equal the batch q111 gate per doc") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[DocIn].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val got = docs.map(d => d.doc_id -> QualityStream.scoreOne(d, model, md)).toMap
+    val batch = graft.QueryCatalog.all.find(_.name == "q111_entropy_gate").get
+      .fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("entropy_mnat"), r.getAs[Boolean]("keep")))).toMap
+    assert(batch.nonEmpty && batch.size === docs.size)
+    batch.foreach { case (id, (ent, keep)) =>
+      assert(got(id).entropy_mnat === ent, s"doc $id entropy")
+      assert(got(id).entropy_kept === keep, s"doc $id entropy keep")
+    }
+  }
+
   test("short and empty docs get a verdict instead of being dropped") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val one = QualityStream.scoreOne(DocIn(1L, "s", "solo"), model, md)
