@@ -681,9 +681,12 @@ object CorpusQueries {
   /** Corpus-curation filter funnel (the C4/RefinedWeb pipeline shape):
     * every document is attributed to the FIRST filter that rejects it —
     * too short → repetitive (top-token fraction, Gopher-style; 0.15
-    * suits this corpus's flat synthetic token distribution) → exact
-    * duplicate (not the min doc_id of its md5 group) → near duplicate
-    * (the high-id side of a q26 Jaccard pair, i.e. "keep first
+    * suits this corpus's flat synthetic token distribution) →
+    * low_entropy (q111's exact milli-nat Shannon gate — reads the
+    * WHOLE token distribution, catching templated docs whose top
+    * token alone stays under the repetitive bar) → exact duplicate
+    * (not the min doc_id of its md5 group) → near duplicate (the
+    * high-id side of a q26 Jaccard pair, i.e. "keep first
     * occurrence") — else kept. Output is the per-stage doc count and
     * share: the attribution report every curation run ships with.
     *
@@ -703,10 +706,14 @@ object CorpusQueries {
     // scaladoc) — no explode, no two-level hash agg, no stats join;
     // semantics identical to the explode + groupBy form (and to the
     // oracle's per-doc subquery).
+    val entN = "CAST(size(split(text, ' ')) AS BIGINT)"
     val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), md5(col("text")).as("fp"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
-        maxRun("split(text, ' ')").as("top_c"))
+        maxRun("split(text, ' ')").as("top_c"),
+        expr(s"greatest(CAST(0 AS BIGINT), " +
+          s"-(${TextQueries.entropyFoldExpr("split(text, ' ')", entN)}).ssum) DIV $entN")
+          .as("ent"))
     val nearDup = jaccard
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
@@ -716,6 +723,7 @@ object CorpusQueries {
       .select(col("doc_id"),
         when(col("n_tok") < 30, "short")
           .when(col("top_c").cast("double") / col("n_tok") > 0.15, "repetitive")
+          .when(col("ent") < TextQueries.EntropyKeepMnats, "low_entropy")
           .when(col("doc_id") =!= col("keep_id"), "exact_dup")
           .when(col("is_near").isNotNull, "near_dup")
           .otherwise("kept").as("stage"))
@@ -745,15 +753,30 @@ object CorpusQueries {
        |         (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok)) AS top_c
        |  FROM st
        |),
+       |efreq AS (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok
+       |),
+       |ent AS (
+       |  SELECT c.doc_id,
+       |         CAST(greatest(0, -sum(c.c * ${EventQueries.lnSmallWeightSql("c.c", "nn.n")})) // nn.n AS BIGINT) AS ent
+       |  FROM efreq c
+       |  JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |        FROM documents) nn ON c.doc_id = nn.doc_id
+       |  GROUP BY c.doc_id, nn.n
+       |),
        |keepfirst AS (SELECT fp, min(doc_id) AS keep_id FROM st GROUP BY fp),
        |lab AS (
        |  SELECT s.doc_id,
        |    CASE WHEN t.n_tok < 30 THEN 'short'
        |         WHEN CAST(t.top_c AS DOUBLE) / t.n_tok > 0.15 THEN 'repetitive'
+       |         WHEN e.ent < ${TextQueries.EntropyKeepMnats} THEN 'low_entropy'
        |         WHEN s.doc_id <> k.keep_id THEN 'exact_dup'
        |         WHEN s.doc_id IN (SELECT doc_b FROM nd) THEN 'near_dup'
        |         ELSE 'kept' END AS stage
        |  FROM st s JOIN tstat t ON t.doc_id = s.doc_id JOIN keepfirst k ON k.fp = s.fp
+       |       JOIN ent e ON e.doc_id = s.doc_id
        |),
        |agg AS (SELECT stage, count(*) AS docs FROM lab GROUP BY stage)
        |SELECT stage, CAST(docs AS BIGINT) AS docs,

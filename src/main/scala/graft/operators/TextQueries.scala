@@ -290,31 +290,37 @@ object TextQueries {
     * Spark's trunc DIV and DuckDB's floor // agree. */
   private[graft] val EntropyKeepMnats = 2800L
 
+  /** The sorted run-length entropy fold as ONE expression string over
+    * a token-array expression `t` and a BIGINT count expression `n` —
+    * a struct('ssum' = Σ c·mnat(c, N), 'vocab'). One sorted pass is
+    * O(N log N) per doc at any vocabulary (an array_distinct +
+    * filter-count variant is O(U·N), quadratic on long high-vocab
+    * docs); each closing run of length c adds c·mnat(c, N), the
+    * finisher closes the last run. q111 (gate query), q70's
+    * low_entropy funnel stage, and the scalar twin in
+    * `QualityStream.scoreOne` are held to this same arithmetic. */
+  private[graft] def entropyFoldExpr(t: String, n: String): String =
+    s"""aggregate(array_sort($t),
+       |  named_struct('prev', CAST(NULL AS STRING),
+       |               'run', CAST(0 AS BIGINT),
+       |               'ssum', CAST(0 AS BIGINT),
+       |               'vocab', CAST(0 AS BIGINT)),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'ssum', acc.ssum + IF(x <=> acc.prev OR acc.run = 0L, 0L,
+       |                          acc.run * graft_ln_small(acc.run, $n)),
+       |    'vocab', acc.vocab + IF(x <=> acc.prev, 0L, 1L)),
+       |  acc -> named_struct(
+       |    'ssum', acc.ssum + IF(acc.run = 0L, 0L,
+       |                          acc.run * graft_ln_small(acc.run, $n)),
+       |    'vocab', acc.vocab))""".stripMargin
+
   private def q111(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-      // one sorted run-length fold computes Σ c·ln(c/N) AND the vocab
-      // count — O(N log N) per doc (an array_distinct + filter-count
-      // variant is O(U·N), quadratic on long high-vocab docs). Each
-      // closing run of length c adds c·mnat(c, N); the finisher closes
-      // the last run.
-      .withColumn("f", expr(
-        """aggregate(array_sort(t),
-          |  named_struct('prev', CAST(NULL AS STRING),
-          |               'run', CAST(0 AS BIGINT),
-          |               'ssum', CAST(0 AS BIGINT),
-          |               'vocab', CAST(0 AS BIGINT)),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
-          |    'ssum', acc.ssum + IF(x <=> acc.prev OR acc.run = 0L, 0L,
-          |                          acc.run * graft_ln_small(acc.run, n)),
-          |    'vocab', acc.vocab + IF(x <=> acc.prev, 0L, 1L)),
-          |  acc -> named_struct(
-          |    'ssum', acc.ssum + IF(acc.run = 0L, 0L,
-          |                          acc.run * graft_ln_small(acc.run, n)),
-          |    'vocab', acc.vocab))""".stripMargin))
+      .withColumn("f", expr(entropyFoldExpr("t", "n")))
       .select(
         col("doc_id"),
         col("n").as("n_tokens"),
