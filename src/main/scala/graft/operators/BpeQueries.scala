@@ -383,9 +383,67 @@ object BpeQueries {
        |         AS fill_rate
        |FROM c GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** Tokenizer fertility audit per LANGUAGE — the multilingual-fairness
+    * read of the learned q91 vocabulary (NLLB / UniMax reporting):
+    * fertility = BPE tokens per whitespace word, and the premium each
+    * language pays relative to English (a BPE trained on an en-heavy
+    * corpus spends more subword tokens per word on low-resource
+    * languages — which silently shrinks their effective share of any
+    * token-denominated budget like q114's). q92 reports compression per
+    * SOURCE; this is the same learned dictionary read along the axis
+    * that decides whether a language budget is fair in TOKENS vs WORDS.
+    *
+    * premium_vs_en divides the two unrounded double fertilities (same
+    * IEEE ops both engines); only the outputs are Det.rate-rounded.
+    * Empty words (consecutive spaces) carry no dictionary entry and
+    * drop from the inner join on both sides, exactly as in q92.
+    *
+    * Scale: q92's shape — |V|-row dictionary broadcast into one corpus
+    * explode, map-side-combined to |langs| rows; the en-baseline window
+    * runs on that tiny frame. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val fert = col("n_bpe_tokens").cast("double") / col("n_words")
+    val tokPerWord = tokenDict(s, dir)
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tokPerWord), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("en_fert", max(when(col("lang") === "en", fert)).over(whole))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        Det.rate(fert).as("fertility"),
+        Det.rate(fert / col("en_fert")).as("premium_vs_en"))
+      .orderBy(col("lang"))
+  }
+
+  private val q115Sql =
+    s"""$ctePrefix,
+       |${tokSwCtes("lang")}, per AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |         CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+       |  FROM sw JOIN tok USING (w) GROUP BY lang
+       |), wf AS (
+       |  SELECT *, CAST(n_bpe_tokens AS DOUBLE) / n_words AS f,
+       |         max(CASE WHEN lang = 'en'
+       |                  THEN CAST(n_bpe_tokens AS DOUBLE) / n_words END)
+       |           OVER () AS ef
+       |  FROM per
+       |)
+       |SELECT lang, n_words, n_chars, n_bpe_tokens,
+       |       floor(f * 1e6 + 0.5) / 1e6 AS fertility,
+       |       floor(f / ef * 1e6 + 0.5) / 1e6 AS premium_vs_en
+       |FROM wf ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
     QuerySpec("q102_bpe_packing", Some(q102Sql), q102),
+    QuerySpec("q115_bpe_fertility", Some(q115Sql), q115),
   )
 }

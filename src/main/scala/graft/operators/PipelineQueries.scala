@@ -418,10 +418,17 @@ object PipelineQueries {
     * has boilerplate — not needed at this vocabulary. */
   private val SpanW = 10
 
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+  /** (doc_id, source, t, n_tokens) base frame both span queries scan. */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
+
+  /** Merged cross-doc duplicated-span islands per doc — (doc_id, st, en),
+    * 0-based token positions, [st, en) half-open, islands DISJOINT by
+    * construction (the gaps-and-islands merge). Shared by q90 (profile)
+    * and q117 (scrub) so the two agree on what a duplicated span IS. */
+  private def dupIslands(docs: DataFrame): DataFrame = {
     val wins = docs.filter(size(col("t")) >= SpanW)
       .select(col("doc_id"),
         posexplode(expr(
@@ -439,7 +446,7 @@ object PipelineQueries {
     // gaps-and-islands: a window opens a new island iff it starts past
     // every previous window's end; island id = running count of opens
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-    val spans = dupPos
+    dupPos
       .withColumn("prev_end", max(col("en")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("opens", when(col("prev_end").isNull || col("st") > col("prev_end"), 1L)
@@ -447,9 +454,15 @@ object PipelineQueries {
       .withColumn("island", sum(col("opens")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("en")) - min(col("st"))).as("span_tokens"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .select(col("doc_id"), col("st"), col("en"))
+  }
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val spans = dupIslands(docs)
       .groupBy(col("doc_id"))
-      .agg(sum(col("span_tokens")).as("dup_tokens"))
+      .agg(sum(col("en") - col("st")).as("dup_tokens"))
     docs.select(col("doc_id"), col("source"), col("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
@@ -463,7 +476,10 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
-  private val q90Sql =
+  /** Shared oracle CTE chain, text → merged disjoint islands per doc
+    * (`sp`: doc_id, st, en). q90Sql and q117Sql both build on this one
+    * text, mirroring the shared [[dupIslands]] kernel. */
+  private val spanCtePrefix =
     s"""WITH d AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
        |), base AS (
@@ -498,11 +514,15 @@ object PipelineQueries {
        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |           AS island
        |  FROM isl
-       |), spans AS (
-       |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens FROM (
-       |    SELECT doc_id, island, max(en) - min(st) AS span_tokens
-       |    FROM grp GROUP BY doc_id, island)
-       |  GROUP BY doc_id
+       |), sp AS (
+       |  SELECT doc_id, CAST(min(st) AS BIGINT) AS st, CAST(max(en) AS BIGINT) AS en
+       |  FROM grp GROUP BY doc_id, island
+       |)""".stripMargin
+
+  private val q90Sql =
+    s"""$spanCtePrefix, spans AS (
+       |  SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS dup_tokens
+       |  FROM sp GROUP BY doc_id
        |)
        |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CASE WHEN COALESCE(s.dup_tokens, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -576,6 +596,153 @@ object PipelineQueries {
        |         AS order_fp
        |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Padding-waste audit: the counterfactual that justifies q75/q102's
+    * packing — pad-to-batch-max batching (the BERT-era dataloader
+    * shape: B rows per batch, every row padded to the batch's longest
+    * sequence, docs truncated at the model's max length) costs real
+    * FLOPs, and sorting by length before batching recovers most of
+    * them. Both strategies are computed exactly: docs deal into
+    * independent shards, a per-shard row_number in arrival (doc_id)
+    * order vs length-sorted order assigns batches of B, and per batch
+    * pad = rows·max(len) − Σlen. Output: one row per strategy with
+    * total padding and waste ppm of the padded slot volume — the
+    * number a "switch to packing / sorted batching" decision reads.
+    *
+    * Scale: batch assignment is q113's repartition+sortWithinPartitions
+    * writer shape — windows partitioned BY SHARD (never global, either
+    * order), parallelism = shard count; the rollup meets at
+    * |shards×strategies| rows. Sorting by length inside a shard is
+    * exactly what production length-bucketed loaders do. */
+  private val MaxSeqLen = 128L
+  private val PadBatchRows = 8
+  private val PadShards = 8
+
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")).cast("long"), lit(MaxSeqLen)).as("len"))
+      .withColumn("shard", col("doc_id") % PadShards)
+    def strat(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+      base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("b", expr(s"(rn - 1) div $PadBatchRows"))
+        .groupBy(col("shard"), col("b"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("len")).as("tok_sum"),
+          max(col("len")).as("mx"))
+        .groupBy()
+        .agg(sum(col("n_rows")).as("n_docs"), count(lit(1)).as("n_batches"),
+          sum(col("tok_sum")).as("real_tokens"),
+          sum(col("mx") * col("n_rows") - col("tok_sum")).as("pad_tokens"))
+        .withColumn("strategy", lit(name))
+    }
+    strat("arrival", Seq(col("doc_id")))
+      .unionByName(strat("length_sorted", Seq(col("len"), col("doc_id"))))
+      .withColumn("waste_ppm",
+        expr("(pad_tokens * 1000000) div (real_tokens + pad_tokens)"))
+      .select(col("strategy"), col("n_docs"), col("n_batches"),
+        col("real_tokens"), col("pad_tokens"), col("waste_ppm"))
+      .orderBy(col("strategy"))
+  }
+
+  private val q116Sql = {
+    def chain(tag: String, order: String) =
+      s"""b_$tag AS (
+         |  SELECT shard,
+         |         (row_number() OVER (PARTITION BY shard ORDER BY $order) - 1)
+         |           // $PadBatchRows AS b,
+         |         len
+         |  FROM base
+         |), g_$tag AS (
+         |  SELECT shard, b, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS tok_sum,
+         |         CAST(max(len) AS BIGINT) AS mx
+         |  FROM b_$tag GROUP BY shard, b
+         |), t_$tag AS (
+         |  SELECT '$tag' AS strategy, CAST(sum(n_rows) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_batches,
+         |         CAST(sum(tok_sum) AS BIGINT) AS real_tokens,
+         |         CAST(sum(mx * n_rows - tok_sum) AS BIGINT) AS pad_tokens
+         |  FROM g_$tag
+         |)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(least(len(string_split(text, ' ')), $MaxSeqLen) AS BIGINT) AS len,
+       |         doc_id % $PadShards AS shard
+       |  FROM documents
+       |), ${chain("arrival", "doc_id")}, ${chain("length_sorted", "len, doc_id")}
+       |SELECT strategy, n_docs, n_batches, real_tokens, pad_tokens,
+       |       CAST((pad_tokens * 1000000) // (real_tokens + pad_tokens) AS BIGINT)
+       |         AS waste_ppm
+       |FROM (SELECT * FROM t_arrival UNION ALL SELECT * FROM t_length_sorted)
+       |ORDER BY strategy""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q117
+  /** Exact-substring scrub — q90's spans MATERIALIZED as the cleaned
+    * corpus (the step Lee et al.'s ExactSubstr tool actually performs
+    * after finding duplicates): every token inside a cross-document
+    * duplicated span is cut from every occurrence (the conservative
+    * all-copies variant; keep-one-canonical is the documented
+    * alternative and would only change which single doc keeps each
+    * span). Output per doc: original/dup/kept token counts and the
+    * md5 fingerprint of the scrubbed text — the content a downstream
+    * tokenization run would actually consume, audit-able by hash.
+    *
+    * The cut itself is a scan-side indexed-lambda filter over the
+    * doc's own token array against its (collected, disjoint-by-
+    * construction) island list — per-doc CPU, no extra shuffle beyond
+    * q90's island computation; the islands list per doc is bounded by
+    * n_tokens/W. kept_tokens ≡ n_tokens − dup_tokens is structural
+    * (islands are disjoint) and spec-pinned.
+    *
+    * Scale: identical exchange profile to q90 (the 16-byte window-hash
+    * shuffle + doc-partitioned windows) plus one broadcast-free
+    * doc-keyed join of the |dup-docs| island frame back to the text —
+    * at 100 TB that join is doc_id-equi and shuffles only dup docs'
+    * (few) island structs against the text scan. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val spans = dupIslands(docs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("spans"),
+        sum(col("en") - col("st")).as("dup_tokens"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("t"))
+        .otherwise(expr(
+          "filter(t, (x, i) -> NOT exists(spans, sp -> sp.st <= i AND i < sp.en))")))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql =
+    s"""$spanCtePrefix, dupt AS (
+       |  SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS dup_tokens
+       |  FROM sp GROUP BY doc_id
+       |), toks AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS ord, unnest(t) AS tok FROM d
+       |), kept AS (
+       |  SELECT t.doc_id, t.ord, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |                    WHERE sp.doc_id = t.doc_id
+       |                      AND sp.st <= t.ord - 1 AND t.ord - 1 < sp.en)
+       |), ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |         md5(string_agg(tok, ' ' ORDER BY ord)) AS fp
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.source, b.n_tokens,
+       |       CAST(COALESCE(dupt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |       COALESCE(ka.fp, md5('')) AS cleaned_fp
+       |FROM base b
+       |LEFT JOIN dupt ON dupt.doc_id = b.doc_id
+       |LEFT JOIN ka ON ka.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
@@ -585,5 +752,7 @@ object PipelineQueries {
     QuerySpec("q87_pps_sample", Some(q87Sql), q87),
     QuerySpec("q90_dup_spans", Some(q90Sql), q90),
     QuerySpec("q113_epoch_shards", Some(q113Sql), q113),
+    QuerySpec("q116_padding_waste", Some(q116Sql), q116),
+    QuerySpec("q117_span_scrub", Some(q117Sql), q117),
   )
 }

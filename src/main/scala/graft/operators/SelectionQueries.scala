@@ -473,10 +473,118 @@ object SelectionQueries {
        |             / n_tok * 1e6 + 0.5) / 1e6 AS epochs
        |FROM topped ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** UniMax epoch-capped uniform allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining") — the cap q105's scaladoc points at,
+    * made real, and on UniMax's own axis (LANGUAGE, not source): spread
+    * a training-token budget as evenly as possible across languages,
+    * but never ask any language for more than E epochs of its corpus.
+    * That is exact integer WATERFILLING: alloc_l = min(cap_l, λ) with
+    * cap_l = E·n_l and the water level λ chosen so Σ alloc = B.
+    *
+    * Closed-form, not iterative: sort languages by cap ascending with a
+    * lang tiebreak; a language is capped iff every prefix language
+    * passes the level test cap_i·(S−i+1) ≤ B − Σ_{j<i} cap_j (an exact
+    * cross-multiplied integer compare — the test is provably monotone
+    * under the ascending sort, and the prefix-min makes "capped is a
+    * prefix" structural rather than assumed). Uncapped languages split
+    * the remaining budget to the token: base DIV + largest-remainder
+    * +1s in the same total order, so Σ alloc == min(B, Σ cap) EXACTLY.
+    * B = (3·T) DIV 2 and E = 2 are corpus-relative, so the same split
+    * logic binds at every sf: low-resource languages hit their 2-epoch
+    * cap, the head language absorbs the rest at < 1 epoch — the
+    * paper's headline behavior.
+    *
+    * Scale: one map-side-combined corpus scan to the |langs|-row
+    * aggregate; every window after runs on that frame, so the "global"
+    * windows are free. UniMaxSpec pins the closed form against an
+    * independent iterative waterfiller on randomized corpora. */
+  private val UniMaxEpochCap = 2L
+
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val asc = Window.partitionBy().orderBy(col("cap"), col("lang"))
+    val ascPrev = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val ascTo = asc.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+      .withColumn("cap", lit(UniMaxEpochCap) * col("n_tok"))
+      .withColumn("budget", expr("(3 * sum(n_tok) OVER ()) div 2"))
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("s_cnt", count(lit(1)).over(whole))
+      .withColumn("cum_before", coalesce(sum(col("cap")).over(ascPrev), lit(0L)))
+      .withColumn("cond",
+        when(col("cap") * (col("s_cnt") - col("i") + 1) <=
+          col("budget") - col("cum_before"), 1L).otherwise(0L))
+      .withColumn("capped", min(col("cond")).over(ascTo))
+      .withColumn("k", sum(col("capped")).over(whole))
+      .withColumn("used_cap", sum(col("capped") * col("cap")).over(whole))
+      .withColumn("u_cnt", col("s_cnt") - col("k"))
+      .withColumn("rem", col("budget") - col("used_cap"))
+      .withColumn("alloc",
+        when(col("capped") === 1 || col("u_cnt") === 0, col("cap"))
+          .otherwise(expr("rem div u_cnt") +
+            when(col("i") - col("k") <= col("rem") % col("u_cnt"), 1L)
+              .otherwise(0L)))
+      .select(col("lang"), col("n_docs"), col("n_tok"), col("cap"),
+        col("alloc"),
+        expr("(alloc * 1000) div n_tok").as("epochs_milli"),
+        (col("capped") === 1).as("capped"))
+      .orderBy(col("lang"))
+  }
+
+  private val q114Sql =
+    s"""WITH per AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY lang
+       |), st AS (
+       |  SELECT lang, n_docs, n_tok, $UniMaxEpochCap * n_tok AS cap,
+       |         (3 * sum(n_tok) OVER ()) // 2 AS budget
+       |  FROM per
+       |), ord AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+       |         CAST(count(*) OVER () AS BIGINT) AS s_cnt,
+       |         CAST(COALESCE(sum(cap) OVER (ORDER BY cap, lang
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
+       |  FROM st
+       |), cnd AS (
+       |  SELECT *, CASE WHEN cap * (s_cnt - i + 1) <= budget - cum_before
+       |                 THEN 1 ELSE 0 END AS cond
+       |  FROM ord
+       |), cp AS (
+       |  SELECT *, min(cond) OVER (ORDER BY cap, lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+       |  FROM cnd
+       |), tot AS (
+       |  SELECT *, CAST(sum(capped) OVER () AS BIGINT) AS k,
+       |         CAST(sum(capped * cap) OVER () AS BIGINT) AS used_cap
+       |  FROM cp
+       |), fin AS (
+       |  SELECT *, s_cnt - k AS u_cnt, budget - used_cap AS rem FROM tot
+       |)
+       |SELECT lang, n_docs, n_tok, CAST(cap AS BIGINT) AS cap,
+       |       CAST(CASE WHEN capped = 1 OR u_cnt = 0 THEN cap
+       |                 ELSE rem // u_cnt +
+       |                      CASE WHEN i - k <= rem % u_cnt THEN 1 ELSE 0 END
+       |            END AS BIGINT) AS alloc,
+       |       CAST((CASE WHEN capped = 1 OR u_cnt = 0 THEN cap
+       |                  ELSE rem // u_cnt +
+       |                       CASE WHEN i - k <= rem % u_cnt THEN 1 ELSE 0 END
+       |             END * 1000) // n_tok AS BIGINT) AS epochs_milli,
+       |       capped = 1 AS capped
+       |FROM fin ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
     QuerySpec("q105_token_budget", Some(q105Sql), q105),
     QuerySpec("q112_curriculum_phases", Some(q112Sql), q112),
+    QuerySpec("q114_unimax_mix", Some(q114Sql), q114),
   )
 }
