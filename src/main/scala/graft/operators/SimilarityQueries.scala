@@ -282,10 +282,94 @@ object SimilarityQueries {
        |FROM r WHERE rn <= $NegK ORDER BY qid, rn""".stripMargin
   }
 
+  // --------------------------------------------------------------- q119
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality-reduction
+    * audit: project the 64-d embeddings to K = 16 dimensions with a
+    * deterministic ±1 sign matrix (Achlioptas 2003 — the database-
+    * friendly projection: no Gaussians, just signs) and report the
+    * norm-distortion histogram ‖Pv‖/(√K·‖v‖) — the measured answer to
+    * "can the ANN index run at quarter dimension?" (the q96/q98 PQ
+    * family's cheaper cousin, and the standard pre-step before LSH at
+    * high dim).
+    *
+    * Exactness: embeddings quantize to integer codes first
+    * (floor(x·64 + 0.5) — one multiply+floor per element, the q58
+    * int-code move), so every projected coordinate and both squared
+    * norms are exact BIGINT sums — immune to float-addition order
+    * across engines/partitions; the single sqrt+divide per vector is
+    * bit-identical IEEE. The sign matrix derives from md5("rp:j:k")
+    * nibbles, generated RELATIONALLY (a 1024-row frame both engines
+    * build from the same string hashes) — no literal matrix to drift.
+    *
+    * Scale: explode factor D (the projection reads each coordinate
+    * once), a 1024-row broadcast join, two integer map-side-combined
+    * aggregations keyed by vec_id, and a ≤ ~60-bucket histogram.
+    * All-zero vectors have no defined distortion and are excluded by
+    * the c2 > 0 guard (none exist in the testdata; the spec pins the
+    * accounting). */
+  private val RpK = 16
+  private val RpQuant = 64
+
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val signs = s.range(64L * RpK)
+      .select(expr(s"id div $RpK").as("j"), (col("id") % RpK).as("k"))
+      .withColumn("sgn",
+        when(substring(md5(concat_ws(":", lit("rp"), col("j").cast("string"),
+          col("k").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L))
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        floor(col("x").cast("double") * RpQuant + lit(0.5)).cast("long").as("code"))
+    val p2 = codes.join(broadcast(signs), Seq("j"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("code") * col("sgn")).as("p"))
+      .groupBy(col("vec_id")).agg(sum(col("p") * col("p")).as("p2"))
+    val c2 = codes.groupBy(col("vec_id")).agg(sum(col("code") * col("code")).as("c2"))
+    c2.join(p2, Seq("vec_id"))
+      .filter(col("c2") > 0)
+      .withColumn("ratio", sqrt(col("p2").cast("double") / (lit(RpK) * col("c2"))))
+      .withColumn("bucket", floor(col("ratio") * 40).cast("long"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q119Sql =
+    s"""WITH signs AS (
+       |  SELECT j, k,
+       |         CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':' ||
+       |                               CAST(k AS VARCHAR)), 1, 1)
+       |                IN ('0','1','2','3','4','5','6','7')
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT id // $RpK AS j, id % $RpK AS k
+       |        FROM range(${64 * RpK}) t(id))
+       |), codes AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $RpQuant + 0.5)
+       |              AS BIGINT) AS code
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT c.vec_id, s.k, CAST(sum(c.code * s.sgn) AS BIGINT) AS p
+       |  FROM codes c JOIN signs s ON c.j = s.j
+       |  GROUP BY c.vec_id, s.k
+       |), p2 AS (
+       |  SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS p2 FROM proj GROUP BY vec_id
+       |), c2 AS (
+       |  SELECT vec_id, CAST(sum(code * code) AS BIGINT) AS c2
+       |  FROM codes GROUP BY vec_id
+       |)
+       |SELECT CAST(floor(sqrt(CAST(p2.p2 AS DOUBLE) / ($RpK * c2.c2)) * 40)
+       |            AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM c2 JOIN p2 USING (vec_id)
+       |WHERE c2.c2 > 0
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
     QuerySpec("q79_knn_label_vote", Some(q79Sql), q79),
     QuerySpec("q108_hard_negatives", Some(q108Sql), q108),
+    QuerySpec("q119_random_projection", Some(q119Sql), q119),
   )
 }

@@ -349,6 +349,66 @@ object TextQueries {
        |ORDER BY nn.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q118
+  /** Zipf coverage curve: what share of the corpus' running tokens the
+    * top-K vocabulary types cover, for a ladder of K — the number that
+    * sizes a tokenizer vocabulary / frequency cutoff (and the
+    * corpus-level read of q66's per-language type-token profile).
+    * Exact integers throughout: rank by (count desc, token), running
+    * coverage at rank min(K, V), coverage as integer ppm.
+    *
+    * Scale: the corpus collapses to the |V|-row type-count aggregate
+    * first (map-side combined); the global rank window runs over
+    * VOCABULARY rows, not corpus rows — bounded by |V|, and on an
+    * open 100 TB vocabulary the same q99 move applies (pre-filter to
+    * counts above a floor before ranking; every K here sits far above
+    * any such floor). The K ladder joins as a 4-row broadcast. */
+  private val CoverageKs = Seq(100L, 300L, 1000L, 3000L)
+
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byFreq = Window.partitionBy().orderBy(col("c").desc, col("token"))
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = Tables.documents(s, dir)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum",
+        sum(col("c")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("vocab", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("c")).over(whole))
+    ranked.join(broadcast(CoverageKs.toDF("k")),
+        col("rk") === least(col("k"), col("vocab")))
+      .select(col("k"), col("vocab"), col("total"),
+        col("cum").as("covered_tokens"))
+      .withColumn("coverage_ppm",
+        expr("(covered_tokens * 1000000) div total"))
+      .orderBy(col("k"))
+  }
+
+  private val q118Sql =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS c FROM t WHERE token <> '' GROUP BY token
+       |), r AS (
+       |  SELECT token, c,
+       |         CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rk,
+       |         CAST(sum(c) OVER (ORDER BY c DESC, token
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(count(*) OVER () AS BIGINT) AS vocab,
+       |         CAST(sum(c) OVER () AS BIGINT) AS total
+       |  FROM c
+       |), ks AS (
+       |  SELECT CAST(unnest([${CoverageKs.mkString(", ")}]) AS BIGINT) AS k
+       |)
+       |SELECT ks.k, r.vocab, r.total, r.cum AS covered_tokens,
+       |       CAST((r.cum * 1000000) // r.total AS BIGINT) AS coverage_ppm
+       |FROM r JOIN ks ON r.rk = least(ks.k, r.vocab)
+       |ORDER BY ks.k""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -357,5 +417,6 @@ object TextQueries {
     QuerySpec("q66_vocab_profile", Some(q66Sql), q66),
     QuerySpec("q110_boilerplate_profile", Some(q110Sql), q110),
     QuerySpec("q111_entropy_gate", Some(q111Sql), q111),
+    QuerySpec("q118_vocab_coverage", Some(q118Sql), q118),
   )
 }
