@@ -144,7 +144,7 @@ object ClassifierQueries {
   /** Shared oracle CTE block ending in p = (source, doc_id, y, s) —
     * the SQL twin of [[docScores]], built on by q100 (classification
     * report) and q104 (calibration) so the two cannot drift. */
-  private val scoreCtes = {
+  private[operators] val scoreCtes = {
     val wpos = EventQueries.lnSmallWeightSql("cp + 1", s"np + $Buckets")
     val wneg = EventQueries.lnSmallWeightSql("cn + 1", s"nn + $Buckets")
     val prip = EventQueries.lnSmallWeightSql("dp", "dp + dn")
@@ -243,8 +243,118 @@ object ClassifierQueries {
        |             / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate
        |FROM p GROUP BY bin ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** Quality-gate ensemble agreement — the audit a pipeline runs
+    * before composing its gates (DataComp/Dolma-style multi-filter
+    * curation): do the three independent keep/drop signals — q99's
+    * perplexity LM, q100's NB classifier, q111's token entropy —
+    * agree on the same documents, or does each cut a different slice?
+    * Per gate pair: the 2×2 confusion counts, raw agreement ppm, and
+    * Cohen's kappa (chance-corrected agreement — raw agreement alone
+    * flatters gates that both keep almost everything). Low kappa =
+    * the gates are complementary (ensemble adds signal); high kappa =
+    * redundant (drop one and save a corpus pass).
+    *
+    * Exactness: every keep bit is the exact integer arithmetic of its
+    * parent query (milli-nat ladders, BIGINT scores); the confusion
+    * counts are integer sums, agreement is integer ppm, and kappa's
+    * num/den are exact BIGINT expressions divided once in double and
+    * Det-rounded to 3 decimals (|num|, den < N² — exact in double at
+    * any bench sf; a 10¹²-doc run promotes to DECIMAL).
+    *
+    * Scale: the three per-doc gate frames are each one corpus scan
+    * with broadcast models (their parent queries' shapes); the joins
+    * are doc_id-equi on 3 narrow columns; the pair explode triples
+    * 3-bit rows before a 3-row aggregate. Domain = docs scored by all
+    * three gates (the LM needs ≥ 2 tokens), inner-join semantics both
+    * engines share. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val lm = SelectionQueries.docNll(s, dir)
+      .select(col("doc_id"),
+        (!(col("nll") > lit(SelectionQueries.PplFlagMnat) * col("nbg")))
+          .as("keep_lm"))
+    val nb = docScores(s, dir).select(col("doc_id"), (col("s") > 0L).as("keep_nb"))
+    val ent = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("f", expr(TextQueries.entropyFoldExpr("t", "n")))
+      .select(col("doc_id"),
+        (expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n") >=
+          TextQueries.EntropyKeepMnats).as("keep_ent"))
+    val pairs = lm.join(nb, Seq("doc_id")).join(ent, Seq("doc_id"))
+      .select(explode(array(
+        struct(lit("lm~nb").as("pair"), col("keep_lm").as("ka"),
+          col("keep_nb").as("kb")),
+        struct(lit("lm~entropy").as("pair"), col("keep_lm").as("ka"),
+          col("keep_ent").as("kb")),
+        struct(lit("nb~entropy").as("pair"), col("keep_nb").as("ka"),
+          col("keep_ent").as("kb")))).as("x"))
+      .select(col("x.pair").as("pair"), col("x.ka").as("ka"), col("x.kb").as("kb"))
+    val chance =
+      (col("both_keep") + col("a_only")) * (col("both_keep") + col("b_only")) +
+        (col("both_drop") + col("b_only")) * (col("both_drop") + col("a_only"))
+    pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("both_drop"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("a_only"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("b_only"))
+      .withColumn("agree_ppm",
+        expr("((both_keep + both_drop) * 1000000) div n_docs"))
+      .withColumn("kappa", Det.rnd(
+        (col("n_docs") * (col("both_keep") + col("both_drop")) - chance)
+          .cast("double") /
+          (col("n_docs") * col("n_docs") - chance).cast("double"), 3))
+      .orderBy(col("pair"))
+  }
+
+  private val q120Sql = {
+    val entW = EventQueries.lnSmallWeightSql("ec.c", "en.n")
+    val chance = "((both_keep + a_only) * (both_keep + b_only) + " +
+      "(both_drop + b_only) * (both_drop + a_only))"
+    s"""${SelectionQueries.docNllSqlPrefix},
+       |${scoreCtes.stripPrefix("WITH ")},
+       |etk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), ec AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM etk GROUP BY 1, 2
+       |), en AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ec GROUP BY 1
+       |), es AS (
+       |  SELECT ec.doc_id, CAST(sum(ec.c * $entW) AS BIGINT) AS ssum
+       |  FROM ec JOIN en USING (doc_id) GROUP BY 1
+       |), gates AS (
+       |  SELECT sc.doc_id,
+       |         NOT (sc.nll > ${SelectionQueries.PplFlagMnat} * sc.nbg) AS keep_lm,
+       |         p.s > 0 AS keep_nb,
+       |         (greatest(0, -es.ssum) // en.n) >= ${TextQueries.EntropyKeepMnats}
+       |           AS keep_ent
+       |  FROM sc JOIN p ON p.doc_id = sc.doc_id
+       |  JOIN es ON es.doc_id = sc.doc_id
+       |  JOIN en ON en.doc_id = sc.doc_id
+       |), pr2 AS (
+       |  SELECT 'lm~nb' AS pair, keep_lm AS ka, keep_nb AS kb FROM gates
+       |  UNION ALL SELECT 'lm~entropy', keep_lm, keep_ent FROM gates
+       |  UNION ALL SELECT 'nb~entropy', keep_nb, keep_ent FROM gates
+       |), agg AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+       |    CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS both_drop,
+       |    CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+       |    CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS b_only
+       |  FROM pr2 GROUP BY pair
+       |)
+       |SELECT pair, n_docs, both_keep, both_drop, a_only, b_only,
+       |  CAST(((both_keep + both_drop) * 1000000) // n_docs AS BIGINT) AS agree_ppm,
+       |  floor(CAST(n_docs * (both_keep + both_drop) - $chance AS DOUBLE)
+       |        / (n_docs * n_docs - $chance) * 1000 + 0.5) / 1000 AS kappa
+       |FROM agg ORDER BY pair""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q100_nb_classifier", Some(q100Sql), q100),
     QuerySpec("q104_nb_calibration", Some(q104Sql), q104),
+    QuerySpec("q120_gate_agreement", Some(q120Sql), q120),
   )
 }

@@ -438,6 +438,98 @@ object ProfilingQueries {
       |FROM grp g LEFT JOIN exposed e ON g.event_type = e.event_type
       |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Document-feature correlation profile — the ANALYZE-style second
+    * moment pass over per-doc curation features (token count, char
+    * count, vocabulary size, entropy): Pearson r for the feature pairs
+    * a gate designer eyeballs before composing thresholds (highly
+    * correlated features gate the same docs twice — q120's kappa at
+    * the continuous level). The n_tokens~n_chars pair doubles as a
+    * built-in sanity bound (near-1 by construction).
+    *
+    * Exactness: all five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy²) are exact BIGINT sums of integer features (entropy in exact
+    * milli-nats via the shared q111 fold) — immune to summation
+    * order; r is computed once in double from those exact longs
+    * (identical IEEE ops both engines) and Det-rounded. Feature
+    * magnitudes keep every statistic < 2⁶³ up to ~10¹² docs; past
+    * that the production move is DECIMAL(38) partials.
+    *
+    * Scale: ONE corpus scan computes all features per row (the
+    * entropy fold is per-doc CPU), the pair explode emits 4 small
+    * structs per doc, and the whole query meets at a 4-row aggregate
+    * — map-side combined, nothing but partial sums ever shuffles. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("f", expr(TextQueries.entropyFoldExpr("t", "n")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("n_chars"), col("f.vocab").as("vocab"),
+        expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n").as("entropy_mnat"))
+    def pair(name: String, x: String, y: String) =
+      struct(lit(name).as("pair"), col(x).as("x"), col(y).as("y"))
+    feats
+      .select(explode(array(
+        pair("n_tokens~n_chars", "n_tokens", "n_chars"),
+        pair("n_tokens~vocab", "n_tokens", "vocab"),
+        pair("n_tokens~entropy", "n_tokens", "entropy_mnat"),
+        pair("vocab~entropy", "vocab", "entropy_mnat"))).as("p"))
+      .select(col("p.pair").as("pair"), col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr", Det.rate(
+        (col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_docs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select(col("pair"), col("n_docs"), col("corr"))
+      .orderBy(col("pair"))
+  }
+
+  private val q121Sql = {
+    val entW = EventQueries.lnSmallWeightSql("ec.c", "en.n")
+    s"""WITH etk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), ec AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM etk GROUP BY 1, 2
+       |), en AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS vocab
+       |  FROM ec GROUP BY 1
+       |), es AS (
+       |  SELECT ec.doc_id, CAST(sum(ec.c * $entW) AS BIGINT) AS ssum
+       |  FROM ec JOIN en USING (doc_id) GROUP BY 1
+       |), feats AS (
+       |  SELECT d.doc_id, en.n AS n_tokens, d.n_chars, en.vocab,
+       |         CAST(greatest(0, -es.ssum) // en.n AS BIGINT) AS entropy_mnat
+       |  FROM documents d
+       |  JOIN en ON en.doc_id = d.doc_id
+       |  JOIN es ON es.doc_id = d.doc_id
+       |), pr AS (
+       |  SELECT 'n_tokens~n_chars' AS pair, n_tokens AS x, n_chars AS y FROM feats
+       |  UNION ALL SELECT 'n_tokens~vocab', n_tokens, vocab FROM feats
+       |  UNION ALL SELECT 'n_tokens~entropy', n_tokens, entropy_mnat FROM feats
+       |  UNION ALL SELECT 'vocab~entropy', vocab, entropy_mnat FROM feats
+       |), agg AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pr GROUP BY pair
+       |)
+       |SELECT pair, n_docs,
+       |       floor(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+       |             / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+       |                    * CAST(n_docs * syy - sy * sy AS DOUBLE))
+       |             * 1e6 + 0.5) / 1e6 AS corr
+       |FROM agg ORDER BY pair""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -448,5 +540,6 @@ object ProfilingQueries {
     QuerySpec("q81_equiwidth_histogram", Some(q81Sql), q81),
     QuerySpec("q82_join_size_estimate", Some(q82Sql), q82),
     QuerySpec("q95_k_anonymity", Some(q95Sql), q95),
+    QuerySpec("q121_feature_corr", Some(q121Sql), q121),
   )
 }

@@ -263,7 +263,7 @@ object SelectionQueries {
     * chain, ending in sc(doc_id, source, nll, nbg). q99 aggregates it
     * per source; q112 bins it into curriculum phases. One text, zero
     * drift between the two oracles. */
-  private def docNllSqlPrefix: String = {
+  private[operators] def docNllSqlPrefix: String = {
     val w = EventQueries.lnSmallWeightSql(
       "COALESCE(c2, 0) + 1", "COALESCE(c1, 0) + v")
     s"""WITH tl AS (
