@@ -783,6 +783,128 @@ object CorpusQueries {
        |       floor(CAST(docs AS DOUBLE) / CAST((SELECT sum(docs) FROM agg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
        |FROM agg ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Cross-source overlap matrix: for every ordered source pair
+    * (src_a, src_b), the share of src_a's distinct word-8-grams that
+    * also occur anywhere in src_b — the redundancy read a mixture
+    * designer takes BEFORE fixing per-source sampling weights (two
+    * crawls 40% contained in each other should not both get full
+    * weight; the C4-vs-RefinedWeb-style overlap analysis). 8-grams
+    * (q55's fingerprint length), not bigrams: the synthetic vocabulary
+    * is tiny, so short shingles occur in every source and the matrix
+    * would saturate at 1.0.
+    *
+    * Scale: one corpus pass → distinct (source, gram) inverted index
+    * (one shuffle keyed on gram); the pair join fans out per gram to at
+    * most S² rows where S = |sources| (dozens, never corpus-scale), and
+    * the count map-side-combines down to the S·(S−1) matrix. Totals are
+    * S rows; zero-overlap pairs come back from the S×S domain cross —
+    * q12's zero-fill idiom. Unlike the dedup joins there is NO df cap
+    * here: a gram in all S sources is exactly the signal being measured,
+    * and its fanout is bounded by S², not by document count. */
+  private def srcGrams8(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"), explode(array_distinct(
+        expr("transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))"))).as("g"))
+      .distinct()
+
+  private val srcGrams8Sql =
+    """SELECT DISTINCT source, g FROM (
+      |  SELECT source,
+      |         unnest(list_distinct(list_transform(generate_series(0, len(t)-8),
+      |                i -> array_to_string(list_slice(t, i+1, i+8), ' ')))) AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 8)""".stripMargin
+
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val sg = srcGrams8(s, dir).persist()
+    sg.count() // domain + both join sides scan sg: settle the cache once
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = sg.select(col("source").as("src_a"), col("g"))
+      .join(sg.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val domain = tot.select(col("source").as("src_a"), col("n_grams").as("n_a"))
+      .crossJoin(tot.select(col("source").as("src_b")))
+      .filter(col("src_a") =!= col("src_b"))
+    domain.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("containment", Det.rate(col("n_shared").cast("double") / col("n_a")))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"), col("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q122Sql =
+    s"""WITH sg AS ($srcGrams8Sql),
+       |tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+       |  GROUP BY 1, 2)
+       |SELECT ta.source AS src_a, tb.source AS src_b, CAST(ta.n AS BIGINT) AS n_a,
+       |       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       |       floor(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / ta.n * 1e6 + 0.5) / 1e6
+       |         AS containment
+       |FROM tot ta JOIN tot tb ON ta.source <> tb.source
+       |LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Memorization / novelty audit — q55 transposed (the GPT-2/3
+    * appendix train-test overlap check): for each HELD-OUT doc
+    * (doc_id % 50 = 0, q55's benchmark split, standing in for model
+    * samples), the share of its distinct 8-grams that occur NOWHERE in
+    * the training split. Low novelty = the "sample" is regurgitated
+    * training text.
+    *
+    * Scale shape is the OPPOSITE of q55's, which is why both exist:
+    * there the tiny benchmark fingerprint set broadcast into the
+    * corpus-scale training side; here the training index is the 100 TB
+    * side and must never shuffle — the held-out gram set broadcasts
+    * INTO the one training scan, the surviving (doc, gram) hits are
+    * de-duplicated AFTER that join (bounded by |held grams|, not by
+    * train size), and only that small hit frame aggregates. No distinct
+    * over the training grams anywhere. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val g = grams8(s, dir).persist()
+    g.count() // held broadcast + train scan race the cold cache otherwise
+    val held = g.filter(col("doc_id") % 50 === 0)
+    val hits = g.filter(col("doc_id") % 50 =!= 0).select(col("g"))
+      .join(broadcast(held), Seq("g"))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    held.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("novelty",
+        Det.rate(lit(1.0) - col("n_hit").cast("double") / col("n_grams")))
+      .withColumn("regurgitated", col("novelty") < 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("novelty"),
+        col("regurgitated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql =
+    s"""WITH g AS ($grams8Sql),
+       |held AS (SELECT doc_id, g FROM g WHERE doc_id % 50 = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM (
+       |    SELECT DISTINCT h.doc_id, h.g
+       |    FROM held h JOIN g t ON t.g = h.g AND t.doc_id % 50 <> 0)
+       |  GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM held GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       floor((1.0 - CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams) * 1e6 + 0.5) / 1e6
+       |         AS novelty,
+       |       floor((1.0 - CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams) * 1e6 + 0.5) / 1e6
+       |         < 0.5 AS regurgitated
+       |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
@@ -794,5 +916,7 @@ object CorpusQueries {
     QuerySpec("q59_bm25_scoring", Some(q59Sql), q59),
     QuerySpec("q60_incremental_merge", Some(q60Sql), q60),
     QuerySpec("q70_curation_funnel", Some(q70Sql), q70),
+    QuerySpec("q122_source_overlap", Some(q122Sql), q122),
+    QuerySpec("q124_ngram_novelty", Some(q124Sql), q124),
   )
 }

@@ -290,8 +290,70 @@ object IvfQueries {
        |FROM (SELECT vec_b AS vec_id, vec_a, sim, cell FROM p WHERE sim >= $DedupTau)
        |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Cluster-quality audit of the IVF index (centroid silhouette): per
+    * vector, cohesion a = cosine to its OWN centroid and separation
+    * b = best cosine to any OTHER centroid. margin = a − b ≥ 0 by
+    * construction (the assignment IS the argmax), and a small margin
+    * marks a boundary vector whose cell membership is one re-train away
+    * from flipping — the per-cell boundary fraction is the read that
+    * decides whether K fits the corpus BEFORE trusting q42/q98 recall
+    * or q72's within-cell dedup to be stable.
+    *
+    * Scale: vectors × broadcast(K centroids) — one map-side pass over
+    * the corpus, no vector-vector pairs anywhere (classic silhouette's
+    * N² is exactly what this centroid form avoids); the per-cell
+    * aggregate map-side-combines to K rows. */
+  private val BoundaryMargin = 0.05
+
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = buildIndex(s, dir)
+    assigned
+      .crossJoin(broadcast(centroids.select(
+        col("cell").as("ccell"), col("cv"), col("cnrm"))))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "v", "cv") / (col("nrm") * col("cnrm"))))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("ccell") === col("cell"), col("sim"))).as("a_sim"),
+        max(when(col("ccell") =!= col("cell"), col("sim"))).as("b_sim"))
+      .withColumn("margin", Det.rate(col("a_sim") - col("b_sim")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Det.rate(avg(col("a_sim"))).as("mean_cohesion"),
+        Det.rate(avg(col("margin"))).as("mean_margin"),
+        sum(when(col("margin") < BoundaryMargin, 1L).otherwise(0L)).as("n_boundary"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("mean_cohesion"), col("mean_margin"), col("n_boundary"))
+      .orderBy(col("cell"))
+  }
+
+  private val q123Sql =
+    s"""$ivfPrefixSql,
+       |sims AS (
+       |  SELECT a.vec_id, a.cell, c.cell AS ccell,
+       |         ${sim("a.v", "a.nrm", "c.cv", "c.cnrm")} AS sim
+       |  FROM asgf a CROSS JOIN cent2 c
+       |),
+       |pm AS (
+       |  SELECT vec_id, cell,
+       |         max(CASE WHEN ccell = cell THEN sim END) AS a_sim,
+       |         max(CASE WHEN ccell <> cell THEN sim END) AS b_sim
+       |  FROM sims GROUP BY vec_id, cell
+       |),
+       |pm2 AS (
+       |  SELECT vec_id, cell, a_sim,
+       |         floor((a_sim - b_sim) * 1e6 + 0.5) / 1e6 AS margin
+       |  FROM pm
+       |)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       floor(avg(a_sim) * 1e6 + 0.5) / 1e6 AS mean_cohesion,
+       |       floor(avg(margin) * 1e6 + 0.5) / 1e6 AS mean_margin,
+       |       CAST(sum(CASE WHEN margin < $BoundaryMargin THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_boundary
+       |FROM pm2 GROUP BY cell ORDER BY cell""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
     QuerySpec("q72_semantic_dedup", Some(q72Sql), q72),
+    QuerySpec("q123_cluster_margin", Some(q123Sql), q123),
   )
 }
