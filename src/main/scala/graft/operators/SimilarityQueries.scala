@@ -365,11 +365,230 @@ object SimilarityQueries {
        |WHERE c2.c2 > 0
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  /** Retrieval-evaluation harness — nDCG@10, MRR, and Recall@10 of the
+    * exact cosine ranking against label-match relevance (the metric
+    * layer every RAG / embedding pipeline runs after q28/q42/q98
+    * produce rankings; swap the ANN candidate stage in to score IT
+    * instead). Binary relevance: a candidate is relevant iff it shares
+    * the query's label; n_rel comes from the corpus label histogram, so
+    * IDCG is the PROPER ideal (all corpus-wide relevant docs ranked
+    * first, capped at k) — not the top-k's own relevance resorted.
+    *
+    * All three metrics are EXACT integer micro-units (q118's ppm
+    * discipline): the 1/log2(i+1) discounts are pre-rounded to
+    * integer µ-gains shared verbatim by both engines, so DCG/IDCG are
+    * order-immune BIGINT sums and ndcg_ppm is one integer division —
+    * no float summation anywhere after the (rounded) sim ranking.
+    *
+    * Scale: q28's broadcast-query shape for candidate gen (|Q| is a
+    * sample; swap in the IVF/LSH stage at scale), label histogram is a
+    * |labels|-row broadcast, metric algebra runs on ≤ k·|Q| rows. */
+  private val NdcgK = 10
+
+  /** Integer µ-gain ladder: round(1e6 / log2(i+1)), i = 1..k — ONE
+    * Scala computation interpolated into both engines' texts. */
+  private val wMu: Seq[Long] =
+    (1 to NdcgK).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val wPrefix: Seq[Long] = wMu.scanLeft(0L)(_ + _).tail // index 1..k
+
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
+    val labCnt = base.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val ranked = base
+      .select(col("vec_id").as("cid"), col("label").as("nbr_label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
+        .cast("long"))
+      .filter(col("rn") <= NdcgK)
+    val gains = ranked
+      .withColumn("rel", (col("nbr_label") === col("true_label")).cast("long"))
+      .withColumn("w", element_at(
+        array(wMu.map(lit): _*), col("rn").cast("int")))
+      .groupBy(col("qid"), col("true_label"))
+      .agg(sum(col("rel")).as("hits"),
+        sum(col("rel") * col("w")).as("dcg_u"),
+        coalesce(max(when(col("rel") === 1L, expr("1000000 div rn"))), lit(0L))
+          .as("mrr_ppm"))
+    gains
+      .join(broadcast(labCnt), col("true_label") === col("label"))
+      .withColumn("n_rel", col("n_lab") - 1L)
+      .withColumn("k_eff", least(lit(NdcgK.toLong), col("n_rel")))
+      .withColumn("idcg_u", when(col("k_eff") <= 0, 0L).otherwise(
+        element_at(array(wPrefix.map(lit): _*), col("k_eff").cast("int"))))
+      .withColumn("ndcg_ppm", when(col("idcg_u") === 0, 0L)
+        .otherwise(expr("CAST(dcg_u * 1000000 div idcg_u AS BIGINT)")))
+      .withColumn("recall_ppm", when(col("k_eff") <= 0, 0L)
+        .otherwise(expr("CAST(hits * 1000000 div k_eff AS BIGINT)")))
+      .select(col("qid"), col("true_label"), col("n_rel"), col("hits"),
+        col("mrr_ppm"), col("dcg_u"), col("idcg_u"), col("ndcg_ppm"),
+        col("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  private val q125Sql = {
+    val wList = wMu.mkString("[", ", ", "]")
+    val pList = wPrefix.mkString("[", ", ", "]")
+    s"""WITH nv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), lc AS (SELECT label, count(*) AS n_lab FROM nv GROUP BY label),
+       |p AS (
+       |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
+       |         c.vec_id AS cid,
+       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT qid, true_label, nbr_label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM p
+       |), t AS (
+       |  SELECT qid, true_label, rn,
+       |         CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END AS rel,
+       |         $wList[rn] AS w
+       |  FROM r WHERE rn <= $NdcgK
+       |), g AS (
+       |  SELECT qid, true_label,
+       |         CAST(sum(rel) AS BIGINT) AS hits,
+       |         CAST(sum(rel * w) AS BIGINT) AS dcg_u,
+       |         CAST(COALESCE(max(CASE WHEN rel = 1 THEN 1000000 // rn END), 0) AS BIGINT)
+       |           AS mrr_ppm
+       |  FROM t GROUP BY qid, true_label
+       |)
+       |SELECT g.qid, g.true_label, CAST(lc.n_lab - 1 AS BIGINT) AS n_rel, g.hits,
+       |       g.mrr_ppm, g.dcg_u,
+       |       CAST(CASE WHEN least($NdcgK, lc.n_lab - 1) <= 0 THEN 0
+       |                 ELSE $pList[least($NdcgK, lc.n_lab - 1)] END AS BIGINT) AS idcg_u,
+       |       CAST(CASE WHEN least($NdcgK, lc.n_lab - 1) <= 0 THEN 0
+       |                 ELSE g.dcg_u * 1000000 // $pList[least($NdcgK, lc.n_lab - 1)] END
+       |            AS BIGINT) AS ndcg_ppm,
+       |       CAST(CASE WHEN least($NdcgK, lc.n_lab - 1) <= 0 THEN 0
+       |                 ELSE g.hits * 1000000 // least($NdcgK, lc.n_lab - 1) END
+       |            AS BIGINT) AS recall_ppm
+       |FROM g JOIN lc ON lc.label = g.true_label
+       |ORDER BY g.qid""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q126
+  /** Embedding anisotropy audit (Ethayarajh 2019 / Mu & Viswanath
+    * "All-but-the-Top"): the mean pairwise cosine between embeddings,
+    * per label and overall — a high value means the space collapses
+    * into a narrow cone, which silently degrades every cosine-based
+    * stage upstream (q28/q42/q72/q125) and is the standard argument
+    * for mean-centering before indexing. `top_dim_share` (the largest
+    * single dimension's share of the mean-vector mass) is the
+    * companion read: one dominant direction = the classic common-
+    * direction artifact that centering removes.
+    *
+    * NO pairwise anything: mean pairwise dot over i≠j collapses to the
+    * closed form (‖Σu‖² − Σ‖u‖²) / (N(N−1)) — one corpus pass. Unit
+    * vectors quantize to integer milli-codes first (q119's int-code
+    * move), so Σu per dimension and both quadratic forms are exact
+    * BIGINT sums, order-immune across engines and partitions; the two
+    * final divisions run on identical exact operands.
+    *
+    * Scale: explode factor D, ONE map-side-combined (label, dim)
+    * aggregation (the overall row folds from the per-label frame —
+    * sums are additive — not from a second corpus pass), then
+    * |labels|·D-row algebra. */
+  private val IsoQuant = 1000L
+
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", VectorMath.norm(s, "v"))
+      .filter(col("nrm") > 0)
+    val codes = base
+      .select(col("label"), posexplode(
+        expr(s"transform(v, x -> CAST(floor(x / nrm * $IsoQuant + 0.5) AS BIGINT))"))
+        .as(Seq("d", "qc")))
+    val perLD = codes.groupBy(col("label"), col("d"))
+      .agg(sum(col("qc")).as("sd"), sum(col("qc") * col("qc")).as("sq"))
+    val allD = perLD.groupBy(col("d"))
+      .agg(sum(col("sd")).as("sd"), sum(col("sq")).as("sq"))
+      .select(lit(-1L).as("label"), col("d"), col("sd"), col("sq"))
+    val agg = perLD.select(col("label"), col("d"), col("sd"), col("sq"))
+      .union(allD)
+      .groupBy(col("label"))
+      .agg(sum(col("sd") * col("sd")).as("sum_sq"),
+        sum(col("sq")).as("sum_self"),
+        max(col("sd") * col("sd")).as("max_s2"))
+    val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val cntAll = base.agg(count(lit(1)).as("n_vecs"))
+      .select(lit(-1L).as("label"), col("n_vecs"))
+    agg.join(broadcast(cnt.union(cntAll)), Seq("label"))
+      .withColumn("pair_num", col("sum_sq") - col("sum_self"))
+      .withColumn("mean_cos", when(col("n_vecs") <= 1, lit(0.0)).otherwise(
+        Det.rate(col("pair_num").cast("double") /
+          (col("n_vecs") * (col("n_vecs") - 1L)).cast("double") /
+          lit((IsoQuant * IsoQuant).toDouble))))
+      .withColumn("top_dim_share", when(col("sum_sq") === 0, lit(0.0)).otherwise(
+        Det.rate(col("max_s2").cast("double") / col("sum_sq").cast("double"))))
+      .select(col("label"), col("n_vecs"), col("pair_num"), col("mean_cos"),
+        col("top_dim_share"))
+      .orderBy(col("label"))
+  }
+
+  private val q126Sql =
+    s"""WITH nv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), codes AS (
+       |  SELECT label, d,
+       |         CAST(floor(v[d] / nrm * $IsoQuant + 0.5) AS BIGINT) AS qc
+       |  FROM nv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+       |  WHERE nrm > 0
+       |), perld AS (
+       |  SELECT label, d, CAST(sum(qc) AS BIGINT) AS sd,
+       |         CAST(sum(qc * qc) AS BIGINT) AS sq
+       |  FROM codes GROUP BY label, d
+       |), alld AS (
+       |  SELECT CAST(-1 AS BIGINT) AS label, d, CAST(sum(sd) AS BIGINT) AS sd,
+       |         CAST(sum(sq) AS BIGINT) AS sq
+       |  FROM perld GROUP BY d
+       |), u AS (SELECT * FROM perld UNION ALL SELECT * FROM alld),
+       |agg AS (
+       |  SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sq,
+       |         CAST(sum(sq) AS BIGINT) AS sum_self,
+       |         CAST(max(sd * sd) AS BIGINT) AS max_s2
+       |  FROM u GROUP BY label
+       |), cnt AS (
+       |  SELECT label, count(*) AS n_vecs FROM nv WHERE nrm > 0 GROUP BY label
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), count(*) FROM nv WHERE nrm > 0
+       |)
+       |SELECT a.label, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+       |       (a.sum_sq - a.sum_self) AS pair_num,
+       |       CASE WHEN c.n_vecs <= 1 THEN 0.0 ELSE
+       |         floor(CAST(a.sum_sq - a.sum_self AS DOUBLE)
+       |               / CAST(c.n_vecs * (c.n_vecs - 1) AS DOUBLE)
+       |               / ${(IsoQuant * IsoQuant).toDouble} * 1e6 + 0.5) / 1e6 END
+       |         AS mean_cos,
+       |       CASE WHEN a.sum_sq = 0 THEN 0.0 ELSE
+       |         floor(CAST(a.max_s2 AS DOUBLE) / CAST(a.sum_sq AS DOUBLE) * 1e6 + 0.5)
+       |           / 1e6 END AS top_dim_share
+       |FROM agg a JOIN cnt c ON c.label = a.label
+       |ORDER BY a.label""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
     QuerySpec("q79_knn_label_vote", Some(q79Sql), q79),
     QuerySpec("q108_hard_negatives", Some(q108Sql), q108),
     QuerySpec("q119_random_projection", Some(q119Sql), q119),
+    QuerySpec("q125_retrieval_ndcg", Some(q125Sql), q125),
+    QuerySpec("q126_anisotropy", Some(q126Sql), q126),
   )
 }
