@@ -302,7 +302,13 @@ object CorpusQueries {
     * fingerprints — the same reason real decontamination uses 8-13-gram
     * overlap. */
   private def grams8(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+    grams8Of(Tables.spread(Tables.documents(s, dir), col("doc_id")))
+
+  /** The ONE 8-gram kernel over any (doc_id, text) frame — shared with
+    * `streaming.NoveltyStream` so the batch q124 audit and the stream
+    * ingest gate can never disagree on segmentation. */
+  private[graft] def grams8Of(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(array_distinct(
