@@ -135,6 +135,41 @@ object CorpusQueries {
        |FROM comp c JOIN cs ON cs.component_id = c.component_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Duplicate-cluster size distribution — the dedup report's standard
+    * figure (how much of the corpus sits in 2-clusters vs heavy
+    * near-dup families, and how big the worst family is): per
+    * connected-component size, the cluster count, total docs, and
+    * their share of the corpus. The size histogram decides the dedup
+    * strategy review — a fat tail of large clusters means template
+    * spam that q110's boilerplate pass should own instead.
+    *
+    * Scale: rides q54's clustering (one row per doc, narrow columns);
+    * the histogram aggregates |clusters| rows to at most |distinct
+    * sizes| — map-side combined, then q06's broadcast share-of-total
+    * (never an unpartitioned window). */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    Share.of(
+        clustersFrom(s, Tables.documents(s, dir).select(col("doc_id").as("id")),
+            DedupQueries.jaccardPairs(s, dir))
+          .filter(col("is_canonical"))
+          .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("csize") * col("n_clusters")),
+        "n_docs", "doc_share")
+      .select(col("csize"), col("n_clusters"), col("n_docs"), col("doc_share"))
+      .orderBy(col("csize"))
+
+  private val q128Sql =
+    s"""$ccPrefix,
+       |cs AS (SELECT component_id, count(*) AS csize FROM comp GROUP BY component_id),
+       |h AS (SELECT csize, count(*) AS n_clusters FROM cs GROUP BY csize)
+       |SELECT CAST(csize AS BIGINT) AS csize, CAST(n_clusters AS BIGINT) AS n_clusters,
+       |       CAST(csize * n_clusters AS BIGINT) AS n_docs,
+       |       floor(CAST(csize * n_clusters AS DOUBLE)
+       |             / CAST((SELECT sum(csize * n_clusters) FROM h) AS DOUBLE)
+       |             * 1e6 + 0.5) / 1e6 AS doc_share
+       |FROM h ORDER BY csize""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Cluster-canonical survivor selection — the step that turns q54's
     * near-dup CLUSTERING into an actual deduplicated corpus: within
@@ -924,5 +959,6 @@ object CorpusQueries {
     QuerySpec("q70_curation_funnel", Some(q70Sql), q70),
     QuerySpec("q122_source_overlap", Some(q122Sql), q122),
     QuerySpec("q124_ngram_novelty", Some(q124Sql), q124),
+    QuerySpec("q128_cluster_sizes", Some(q128Sql), q128),
   )
 }

@@ -530,6 +530,67 @@ object ProfilingQueries {
        |FROM agg ORDER BY pair""".stripMargin
   }
 
+  // --------------------------------------------------------------- q127
+  /** l-diversity audit (Machanavajjhala et al. 2007) — q95's blind
+    * spot: a quasi-identifier group can hold ≥ k distinct users (so
+    * k-anonymity passes) while every row shares ONE sensitive value,
+    * and the homogeneity attack reads the attribute off the group
+    * without re-identifying anyone. Here QI = (hour, value band),
+    * sensitive = event_type, l = 3: per hour, how many k-anonymous
+    * groups fail diversity — exactly the groups q95 waves through.
+    *
+    * Scale: same envelope as q95 — the two distinct-aggs shuffle
+    * (QI, user) and (QI, event_type) pairs once with map-side
+    * combine; everything after is |QI| rows rolled up to 24. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val K = 5L; val L = 3L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 50).cast("long").as("vb"))
+    ev.groupBy(col("hr"), col("vb"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        countDistinct(col("event_type")).as("div"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("users") >= K, 1L).otherwise(0L)).as("k_anon_groups"),
+        sum(when(col("users") >= K && col("div") < L, 1L).otherwise(0L))
+          .as("low_div_groups"),
+        coalesce(min(when(col("users") >= K, col("div"))), lit(0L))
+          .as("min_diversity"))
+      .withColumn("blind_spot_share", when(col("k_anon_groups") === 0, lit(0.0))
+        .otherwise(Det.rate(col("low_div_groups").cast("double") / col("k_anon_groups"))))
+      .select(col("hr"), col("n_groups"), col("k_anon_groups"),
+        col("low_div_groups"), col("min_diversity"), col("blind_spot_share"))
+      .orderBy(col("hr"))
+  }
+
+  private val q127Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |         CAST(floor(value / 50) AS BIGINT) AS vb
+      |  FROM events
+      |), grp AS (
+      |  SELECT hr, vb,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |         CAST(count(DISTINCT event_type) AS BIGINT) AS div
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT hr, CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(CASE WHEN users >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS k_anon_groups,
+      |       CAST(sum(CASE WHEN users >= 5 AND div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS low_div_groups,
+      |       CAST(COALESCE(min(CASE WHEN users >= 5 THEN div END), 0) AS BIGINT)
+      |         AS min_diversity,
+      |       CASE WHEN sum(CASE WHEN users >= 5 THEN 1 ELSE 0 END) = 0 THEN 0.0
+      |            ELSE floor(CAST(sum(CASE WHEN users >= 5 AND div < 3 THEN 1 ELSE 0 END)
+      |                            AS DOUBLE)
+      |                       / sum(CASE WHEN users >= 5 THEN 1 ELSE 0 END) * 1e6 + 0.5)
+      |                 / 1e6 END AS blind_spot_share
+      |FROM grp GROUP BY hr ORDER BY hr""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -541,5 +602,6 @@ object ProfilingQueries {
     QuerySpec("q82_join_size_estimate", Some(q82Sql), q82),
     QuerySpec("q95_k_anonymity", Some(q95Sql), q95),
     QuerySpec("q121_feature_corr", Some(q121Sql), q121),
+    QuerySpec("q127_l_diversity", Some(q127Sql), q127),
   )
 }

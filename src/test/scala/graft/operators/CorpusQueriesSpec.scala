@@ -149,4 +149,21 @@ class CorpusQueriesSpec extends SparkSpec {
     // order; anything below this bound means the dequantization is wrong
     assert(recall >= 0.8, f"top-5 agreement $recall%.2f too low")
   }
+
+  test("q128 histogram is exactly q54's clustering re-binned by size") {
+    val q54 = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
+      .fn(spark, dir).collect()
+    val expected = q54.filter(_.getAs[Boolean]("is_canonical"))
+      .groupBy(_.getAs[Long]("csize"))
+      .map { case (sz, rs) => (sz, rs.length.toLong, sz * rs.length) }
+      .toSeq.sortBy(_._1)
+    val rows = CorpusQueries.specs.find(_.name == "q128_cluster_sizes").get
+      .fn(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[Long]("csize"), r.getAs[Long]("n_clusters"),
+      r.getAs[Long]("n_docs"))).toSeq === expected)
+    // every document lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === q54.length.toLong)
+    val shares = rows.map(_.getAs[Double]("doc_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, "shares cover the corpus")
+  }
 }

@@ -65,4 +65,34 @@ class ProfilingStatsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_keys") > 0)
     }
   }
+
+  test("q127 matches an exact driver-side l-diversity recomputation") {
+    val groups = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 50).cast("long").as("vb"))
+      .collect()
+      .map(r => ((r.getLong(2), r.getLong(3)), (r.getLong(0), r.getString(1))))
+      .groupBy(_._1)
+      .map { case ((hr, _), rows) =>
+        (hr, rows.map(_._2._1).distinct.length.toLong,
+          rows.map(_._2._2).distinct.length.toLong)
+      }.toSeq
+    val byHr = groups.groupBy(_._1)
+    val rows = q("q127_l_diversity").collect()
+    assert(rows.map(_.getAs[Long]("hr")).toSeq === byHr.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val gs = byHr(r.getAs[Long]("hr"))
+      val kAnon = gs.count(_._2 >= 5).toLong
+      val lowDiv = gs.count(g => g._2 >= 5 && g._3 < 3).toLong
+      assert(r.getAs[Long]("n_groups") === gs.length.toLong)
+      assert(r.getAs[Long]("k_anon_groups") === kAnon)
+      assert(r.getAs[Long]("low_div_groups") === lowDiv)
+      assert(r.getAs[Long]("min_diversity") ===
+        gs.filter(_._2 >= 5).map(_._3).minOption.getOrElse(0L))
+      val expShare = if (kAnon == 0) 0.0
+        else math.floor(lowDiv.toDouble / kAnon * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("blind_spot_share") === expShare)
+    }
+  }
 }
