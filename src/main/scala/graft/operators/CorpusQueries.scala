@@ -918,7 +918,9 @@ object CorpusQueries {
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     held.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+      // hits is bounded by |held docs| — broadcast, so the per-doc merge
+      // never shuffles (and the pin can hold the initial plan to it too)
+      .join(broadcast(hits), Seq("doc_id"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("novelty",
         Det.rate(lit(1.0) - col("n_hit").cast("double") / col("n_grams")))

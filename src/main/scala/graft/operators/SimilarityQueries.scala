@@ -513,21 +513,22 @@ object SimilarityQueries {
       .select(col("label"), posexplode(
         expr(s"transform(v, x -> CAST(floor(x / nrm * $IsoQuant + 0.5) AS BIGINT))"))
         .as(Seq("d", "qc")))
-    val perLD = codes.groupBy(col("label"), col("d"))
-      .agg(sum(col("qc")).as("sd"), sum(col("qc") * col("qc")).as("sq"))
-    val allD = perLD.groupBy(col("d"))
-      .agg(sum(col("sd")).as("sd"), sum(col("sq")).as("sq"))
-      .select(lit(-1L).as("label"), col("d"), col("sd"), col("sq"))
-    val agg = perLD.select(col("label"), col("d"), col("sd"), col("sq"))
-      .union(allD)
+    // every vector contributes exactly one row per dimension, so the
+    // per-(label, d) row count IS the label's vector count — n_vecs
+    // rides the aggregation instead of two more corpus scans; and both
+    // grouping levels come from ONE pass via GROUPING SETS (a union of
+    // two aggregates would duplicate the scan subtree — Spark plans
+    // each union branch independently)
+    codes.groupingSets(Seq(Seq(col("label"), col("d")), Seq(col("d"))),
+        col("label"), col("d"))
+      .agg(sum(col("qc")).as("sd"), sum(col("qc") * col("qc")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .withColumn("label", coalesce(col("label"), lit(-1L)))
       .groupBy(col("label"))
       .agg(sum(col("sd") * col("sd")).as("sum_sq"),
         sum(col("sq")).as("sum_self"),
-        max(col("sd") * col("sd")).as("max_s2"))
-    val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-    val cntAll = base.agg(count(lit(1)).as("n_vecs"))
-      .select(lit(-1L).as("label"), col("n_vecs"))
-    agg.join(broadcast(cnt.union(cntAll)), Seq("label"))
+        max(col("sd") * col("sd")).as("max_s2"),
+        max(col("cnt")).as("n_vecs"))
       .withColumn("pair_num", col("sum_sq") - col("sum_self"))
       .withColumn("mean_cos", when(col("n_vecs") <= 1, lit(0.0)).otherwise(
         Det.rate(col("pair_num").cast("double") /
@@ -550,37 +551,31 @@ object SimilarityQueries {
        |         CAST(floor(v[d] / nrm * $IsoQuant + 0.5) AS BIGINT) AS qc
        |  FROM nv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
        |  WHERE nrm > 0
-       |), perld AS (
-       |  SELECT label, d, CAST(sum(qc) AS BIGINT) AS sd,
-       |         CAST(sum(qc * qc) AS BIGINT) AS sq
-       |  FROM codes GROUP BY label, d
-       |), alld AS (
-       |  SELECT CAST(-1 AS BIGINT) AS label, d, CAST(sum(sd) AS BIGINT) AS sd,
-       |         CAST(sum(sq) AS BIGINT) AS sq
-       |  FROM perld GROUP BY d
-       |), u AS (SELECT * FROM perld UNION ALL SELECT * FROM alld),
+       |), u AS (
+       |  SELECT COALESCE(label, -1) AS label, d, CAST(sum(qc) AS BIGINT) AS sd,
+       |         CAST(sum(qc * qc) AS BIGINT) AS sq,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM codes GROUP BY GROUPING SETS ((label, d), (d))
+       |),
        |agg AS (
        |  SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sq,
        |         CAST(sum(sq) AS BIGINT) AS sum_self,
-       |         CAST(max(sd * sd) AS BIGINT) AS max_s2
+       |         CAST(max(sd * sd) AS BIGINT) AS max_s2,
+       |         CAST(max(cnt) AS BIGINT) AS n_vecs
        |  FROM u GROUP BY label
-       |), cnt AS (
-       |  SELECT label, count(*) AS n_vecs FROM nv WHERE nrm > 0 GROUP BY label
-       |  UNION ALL
-       |  SELECT CAST(-1 AS BIGINT), count(*) FROM nv WHERE nrm > 0
        |)
-       |SELECT a.label, CAST(c.n_vecs AS BIGINT) AS n_vecs,
-       |       (a.sum_sq - a.sum_self) AS pair_num,
-       |       CASE WHEN c.n_vecs <= 1 THEN 0.0 ELSE
-       |         floor(CAST(a.sum_sq - a.sum_self AS DOUBLE)
-       |               / CAST(c.n_vecs * (c.n_vecs - 1) AS DOUBLE)
+       |SELECT label, n_vecs,
+       |       (sum_sq - sum_self) AS pair_num,
+       |       CASE WHEN n_vecs <= 1 THEN 0.0 ELSE
+       |         floor(CAST(sum_sq - sum_self AS DOUBLE)
+       |               / CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
        |               / ${(IsoQuant * IsoQuant).toDouble} * 1e6 + 0.5) / 1e6 END
        |         AS mean_cos,
-       |       CASE WHEN a.sum_sq = 0 THEN 0.0 ELSE
-       |         floor(CAST(a.max_s2 AS DOUBLE) / CAST(a.sum_sq AS DOUBLE) * 1e6 + 0.5)
+       |       CASE WHEN sum_sq = 0 THEN 0.0 ELSE
+       |         floor(CAST(max_s2 AS DOUBLE) / CAST(sum_sq AS DOUBLE) * 1e6 + 0.5)
        |           / 1e6 END AS top_dim_share
-       |FROM agg a JOIN cnt c ON c.label = a.label
-       |ORDER BY a.label""".stripMargin
+       |FROM agg
+       |ORDER BY label""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
