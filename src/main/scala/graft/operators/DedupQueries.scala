@@ -351,9 +351,10 @@ object DedupQueries {
       .select(col("doc_id"), sigVal.cast("long").as("sig"))
   }
 
-  private def q63(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash32(s, dir).persist()
-    sig.count() // the band self-join's two scans would race the cold cache
+  /** SimHash-32 near-dup pair kernel shared by q63 and q129: banded
+    * candidate generation (4×8 bands, lossless for hamming ≤ 3), then
+    * the exact hamming filter. Caller owns the sig persist/settle. */
+  private def simhashHam(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("doc_id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bh"))): _*)).as("p"))
@@ -368,10 +369,17 @@ object DedupQueries {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val q63Sql: String = {
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash32(s, dir).persist()
+    sig.count() // the band self-join's two scans would race the cold cache
+    simhashHam(sig).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash-32 kernel CTEs (tk → bits → sig → banded → cand → ham),
+    * shared by q63Sql and q129Sql. */
+  private val simhash32CtesSql: String = {
     val inList = oddNibbles.map(n => s"'$n'").mkString(",")
     val bitSums = (0 until 32)
       .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
@@ -379,7 +387,7 @@ object DedupQueries {
     val value = (0 until 32)
       .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |bits AS (SELECT doc_id,
        |    $bitSums
        |  FROM tk GROUP BY doc_id),
@@ -392,12 +400,17 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(sig_a, sig_b)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |),
+       |ham AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |)""".stripMargin
   }
+
+  private val q63Sql: String =
+    s"""WITH $simhash32CtesSql
+       |SELECT doc_a, doc_b, hamming FROM ham ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q71
   /** Shingle CONTAINMENT (Broder 1997): |A∩B| / |A| — the asymmetric
@@ -683,6 +696,88 @@ object DedupQueries {
        |             / count(*) * 1e6 + 0.5) / 1e6 AS prec
        |FROM j GROUP BY nb ORDER BY nb""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** SimHash operating curve — the method-selection read q103/q106
+    * give the MinHash side, completed for the other hash family: for
+    * every hamming radius r ∈ 0..3 (the lossless band range), the
+    * precision/recall/F1 of "dedup at radius r" against the exact
+    * rare-shingle Jaccard ≥ 0.3 truth set. Together the three
+    * harnesses answer WHICH near-dup detector to run at 100 TB and at
+    * what knob setting, measured rather than folklore.
+    *
+    * Exactness: tp/n_pred/n_truth are integer counts; F1 folds to
+    * 2·tp/(n_pred + n_truth) so all three metrics are one division of
+    * exact BIGINTs. A pair predicted at hamming h contributes to every
+    * radius ≥ h via one sequence-explode — no per-radius rescan.
+    *
+    * Scale: the candidate side is q63's banded equi-join (never
+    * all-pairs); the truth side is q26's df-capped posting index; the
+    * label join runs on the two PAIR frames (dedup output scale, tiny
+    * relative to corpus), and the curve is a ≤4-row aggregate. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash32(s, dir).persist()
+    sig.count() // the band self-join's two scans race the cold cache
+    val truth = jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("is_dup", lit(1L))
+      .persist()
+    truth.count() // consumed by both the label join and the n_truth agg
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    simhashHam(sig)
+      .join(truth, Seq("doc_a", "doc_b"), "left")
+      .select(col("hamming"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      .select(explode(sequence(col("hamming"), lit(3L))).as("radius"), col("is_dup"))
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("is_dup")).as("tp"))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("precision", Det.rate(col("tp").cast("double") / col("n_pred")))
+      .withColumn("recall", Det.rate(col("tp").cast("double") / col("n_truth")))
+      .withColumn("f1",
+        Det.rate(lit(2.0) * col("tp").cast("double") / (col("n_pred") + col("n_truth")).cast("double")))
+      .select(col("radius"), col("n_pred"), col("tp"), col("n_truth"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("radius"))
+  }
+
+  private val q129Sql =
+    s"""WITH $simhash32CtesSql,
+       |sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |),
+       |lab AS (
+       |  SELECT h.hamming,
+       |         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM ham h LEFT JOIN truth t ON t.doc_a = h.doc_a AND t.doc_b = h.doc_b
+       |),
+       |ex AS (
+       |  SELECT CAST(r.r AS BIGINT) AS radius, is_dup
+       |  FROM lab CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+       |  WHERE r.r >= hamming
+       |),
+       |ag AS (
+       |  SELECT radius, CAST(count(*) AS BIGINT) AS n_pred,
+       |         CAST(sum(is_dup) AS BIGINT) AS tp
+       |  FROM ex GROUP BY radius
+       |),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT radius, n_pred, tp, n_truth,
+       |       floor(CAST(tp AS DOUBLE) / n_pred * 1e6 + 0.5) / 1e6 AS precision,
+       |       floor(CAST(tp AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6 AS recall,
+       |       floor(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE) * 1e6 + 0.5)
+       |         / 1e6 AS f1
+       |FROM ag CROSS JOIN nt ORDER BY radius""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -693,5 +788,6 @@ object DedupQueries {
     QuerySpec("q84_incremental_neardup", Some(q84Sql), q84),
     QuerySpec("q103_lsh_recall", Some(q103Sql), q103),
     QuerySpec("q106_lsh_precision", Some(q106Sql), q106),
+    QuerySpec("q129_simhash_curve", Some(q129Sql), q129),
   )
 }
