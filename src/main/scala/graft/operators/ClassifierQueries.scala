@@ -268,7 +268,11 @@ object ClassifierQueries {
     * 3-bit rows before a 3-row aggregate. Domain = docs scored by all
     * three gates (the LM needs ≥ 2 tokens), inner-join semantics both
     * engines share. */
-  private def q120(s: SparkSession, dir: String): DataFrame = {
+  /** The three per-doc gate verdicts joined on doc_id — the frame q120
+    * (pairwise agreement) and q130 (per-source pass rates) both read.
+    * Domain = docs scored by all three gates (the LM needs ≥ 2
+    * tokens). */
+  private def gateFrame(s: SparkSession, dir: String): DataFrame = {
     val lm = SelectionQueries.docNll(s, dir)
       .select(col("doc_id"),
         (!(col("nll") > lit(SelectionQueries.PplFlagMnat) * col("nbg")))
@@ -281,7 +285,11 @@ object ClassifierQueries {
       .select(col("doc_id"),
         (expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n") >=
           TextQueries.EntropyKeepMnats).as("keep_ent"))
-    val pairs = lm.join(nb, Seq("doc_id")).join(ent, Seq("doc_id"))
+    lm.join(nb, Seq("doc_id")).join(ent, Seq("doc_id"))
+  }
+
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val pairs = gateFrame(s, dir)
       .select(explode(array(
         struct(lit("lm~nb").as("pair"), col("keep_lm").as("ka"),
           col("keep_nb").as("kb")),
@@ -308,10 +316,11 @@ object ClassifierQueries {
       .orderBy(col("pair"))
   }
 
-  private val q120Sql = {
+  /** Oracle CTE chain through the 3-gate verdict frame `gates` —
+    * shared by q120Sql and q130Sql (the gates' existing oracle texts,
+    * zero drift). */
+  private lazy val gatesCtesSql: String = {
     val entW = EventQueries.lnSmallWeightSql("ec.c", "en.n")
-    val chance = "((both_keep + a_only) * (both_keep + b_only) + " +
-      "(both_drop + b_only) * (both_drop + a_only))"
     s"""${SelectionQueries.docNllSqlPrefix},
        |${scoreCtes.stripPrefix("WITH ")},
        |etk AS (
@@ -332,7 +341,13 @@ object ClassifierQueries {
        |  FROM sc JOIN p ON p.doc_id = sc.doc_id
        |  JOIN es ON es.doc_id = sc.doc_id
        |  JOIN en ON en.doc_id = sc.doc_id
-       |), pr2 AS (
+       |)""".stripMargin
+  }
+
+  private val q120Sql = {
+    val chance = "((both_keep + a_only) * (both_keep + b_only) + " +
+      "(both_drop + b_only) * (both_drop + a_only))"
+    s"""$gatesCtesSql, pr2 AS (
        |  SELECT 'lm~nb' AS pair, keep_lm AS ka, keep_nb AS kb FROM gates
        |  UNION ALL SELECT 'lm~entropy', keep_lm, keep_ent FROM gates
        |  UNION ALL SELECT 'nb~entropy', keep_nb, keep_ent FROM gates
@@ -352,9 +367,61 @@ object ClassifierQueries {
        |FROM agg ORDER BY pair""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+  /** Per-source quality-gate pass-rate matrix — the "which source is
+    * junk" dashboard a mixture designer reads next to q122's overlap
+    * matrix and q76/q114's allocations: for every (source, gate) cell,
+    * the share of the source's docs each gate keeps, plus the `all`
+    * composite (docs passing every gate — what actually survives a
+    * stacked filter). A source whose `all` rate craters while its
+    * individual rates look fine is being killed by gate INTERACTION —
+    * the read q120's corpus-level kappa can't localize.
+    *
+    * Scale: the gate frames are the parent queries' shapes (broadcast
+    * models, scan-side folds); the source join is doc_id-equi on
+    * narrow columns; the unpivot quadruples 3-bit rows before a
+    * |sources|·4-row map-side-combined aggregate. keep_ppm is exact
+    * integer division. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    gateFrame(s, dir)
+      .join(src, Seq("doc_id"))
+      .select(col("source"), explode(array(
+        struct(lit("lm").as("gate"), col("keep_lm").as("keep")),
+        struct(lit("nb").as("gate"), col("keep_nb").as("keep")),
+        struct(lit("entropy").as("gate"), col("keep_ent").as("keep")),
+        struct(lit("all").as("gate"),
+          (col("keep_lm") && col("keep_nb") && col("keep_ent")).as("keep")))).as("x"))
+      .select(col("source"), col("x.gate").as("gate"), col("x.keep").as("keep"))
+      .groupBy(col("source"), col("gate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_ppm", expr("(n_keep * 1000000) div n_docs"))
+      .orderBy(col("source"), col("gate"))
+  }
+
+  private val q130Sql =
+    s"""$gatesCtesSql, wsrc AS (
+       |  SELECT g.keep_lm, g.keep_nb, g.keep_ent, d.source
+       |  FROM gates g JOIN documents d ON d.doc_id = g.doc_id
+       |), unp AS (
+       |  SELECT source, 'lm' AS gate, keep_lm AS keep FROM wsrc
+       |  UNION ALL SELECT source, 'nb', keep_nb FROM wsrc
+       |  UNION ALL SELECT source, 'entropy', keep_ent FROM wsrc
+       |  UNION ALL SELECT source, 'all', keep_lm AND keep_nb AND keep_ent FROM wsrc
+       |), agg AS (
+       |  SELECT source, gate, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM unp GROUP BY source, gate
+       |)
+       |SELECT source, gate, n_docs, n_keep,
+       |       CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm
+       |FROM agg ORDER BY source, gate""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q100_nb_classifier", Some(q100Sql), q100),
     QuerySpec("q104_nb_calibration", Some(q104Sql), q104),
     QuerySpec("q120_gate_agreement", Some(q120Sql), q120),
+    QuerySpec("q130_source_gate_matrix", Some(q130Sql), q130),
   )
 }

@@ -84,4 +84,34 @@ class GateCorrSpec extends SparkSpec {
     // structural sanity: token count and char count move together
     assert(got("n_tokens~n_chars")._2 > 0.9)
   }
+
+  // -------------------------------------------------------------- q130
+  test("q130 per-source totals reconcile exactly with q120's confusion counts") {
+    val dir = "/root/testdata/sf0.001"
+    val m = q("q130_source_gate_matrix")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("gate")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"), r.getAs[Long]("keep_ppm")))
+      .toMap
+    // exact ppm identity per cell
+    m.foreach { case ((s, g), (n, k, ppm)) =>
+      assert(ppm === k * 1000000L / n, s"$s/$g")
+    }
+    // the composite can never beat any individual gate
+    m.keys.map(_._1).toSeq.distinct.foreach { s =>
+      val all = m((s, "all"))._2
+      Seq("lm", "nb", "entropy").foreach(g => assert(all <= m((s, g))._2, s"$s all≤$g"))
+    }
+    // corpus-level gate totals == q120's marginals (same gate frame)
+    val q120r = q("q120_gate_agreement")(spark, dir).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    def tot(g: String) = m.collect { case ((_, `g`), (_, k, _)) => k }.sum
+    val lmNb = q120r("lm~nb"); val lmEnt = q120r("lm~entropy")
+    assert(tot("lm") === lmNb.getAs[Long]("both_keep") + lmNb.getAs[Long]("a_only"))
+    assert(tot("nb") === lmNb.getAs[Long]("both_keep") + lmNb.getAs[Long]("b_only"))
+    assert(tot("entropy") ===
+      lmEnt.getAs[Long]("both_keep") + lmEnt.getAs[Long]("b_only"))
+    // same doc population
+    assert(m.collect { case ((_, "lm"), (n, _, _)) => n }.sum ===
+      lmNb.getAs[Long]("n_docs"))
+  }
 }
