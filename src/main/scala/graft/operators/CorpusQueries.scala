@@ -948,6 +948,83 @@ object CorpusQueries {
        |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** Corpus datasheet — the dataset-card rollup (Gebru et al.,
+    * "Datasheets for Datasets"; the summary block every released
+    * training corpus ships): one row of corpus-level facts drawn from
+    * three frames — a single stats scan (doc/token/char counts,
+    * source/lang cardinalities, exact-dup docs via n_docs −
+    * |distinct md5|), the vocabulary aggregate, and the near-dup pair
+    * count from the q26 kernel. Counts are exact BIGINTs;
+    * mean_doc_tokens is one rounded division.
+    *
+    * Scale: the stats scan is ONE corpus pass with map-side-combined
+    * aggregates (two exact distincts — md5 digests and the two
+    * low-cardinality dims); vocab is the |V|-scale token aggregate;
+    * the near-dup count rides the df-capped posting index. The three
+    * 1-row frames cross-join by broadcast. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("exact_dup_docs"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    val nd = jaccardPairsOf(s, dir).agg(count(lit(1)).as("neardup_pairs"))
+    stats.crossJoin(broadcast(vocab)).crossJoin(broadcast(nd))
+      .withColumn("mean_doc_tokens",
+        Det.rate(col("n_tokens").cast("double") / col("n_docs")))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("n_sources"),
+        col("n_langs"), col("vocab_size"), col("exact_dup_docs"),
+        col("neardup_pairs"), col("mean_doc_tokens"))
+  }
+
+  private def jaccardPairsOf(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+
+  private val q131Sql =
+    s"""WITH sh AS (${DedupQueries.shinglesSql}),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |nd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS neardup_pairs FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
+       |),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |         CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+       |  FROM documents
+       |),
+       |vb AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |)
+       |SELECT st.n_docs, st.n_tokens, st.n_chars, st.n_sources, st.n_langs,
+       |       vb.vocab_size, st.exact_dup_docs, nd.neardup_pairs,
+       |       floor(CAST(st.n_tokens AS DOUBLE) / st.n_docs * 1e6 + 0.5) / 1e6
+       |         AS mean_doc_tokens
+       |FROM st CROSS JOIN vb CROSS JOIN nd""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
@@ -962,5 +1039,6 @@ object CorpusQueries {
     QuerySpec("q122_source_overlap", Some(q122Sql), q122),
     QuerySpec("q124_ngram_novelty", Some(q124Sql), q124),
     QuerySpec("q128_cluster_sizes", Some(q128Sql), q128),
+    QuerySpec("q131_datasheet", Some(q131Sql), q131),
   )
 }

@@ -166,4 +166,26 @@ class CorpusQueriesSpec extends SparkSpec {
     val shares = rows.map(_.getAs[Double]("doc_share"))
     assert(math.abs(shares.sum - 1.0) < 1e-3, "shares cover the corpus")
   }
+
+  test("q131 datasheet facts reconcile with the corpus and the dedup queries") {
+    val r = CorpusQueries.specs.find(_.name == "q131_datasheet").get
+      .fn(spark, dir).collect().head
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("text"), col("source"), col("lang")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(r.getAs[Long]("n_tokens") ===
+      docs.map(_._1.split(" ", -1).length.toLong).sum)
+    assert(r.getAs[Long]("n_chars") === docs.map(_._1.length.toLong).sum)
+    assert(r.getAs[Long]("n_sources") === docs.map(_._2).distinct.length.toLong)
+    assert(r.getAs[Long]("n_langs") === docs.map(_._3).distinct.length.toLong)
+    assert(r.getAs[Long]("vocab_size") ===
+      docs.iterator.flatMap(_._1.split(" ", -1)).toSet.size.toLong)
+    assert(r.getAs[Long]("exact_dup_docs") ===
+      docs.length.toLong - docs.map(_._1).distinct.length.toLong)
+    // cross-query: the near-dup count IS q26's pair count
+    assert(r.getAs[Long]("neardup_pairs") ===
+      DedupQueries.specs.find(_.name == "q26_ngram_jaccard").get
+        .fn(spark, dir).count())
+  }
 }
