@@ -893,6 +893,80 @@ object CorpusQueries {
        |LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** Pairwise source-distribution JSD: Jensen-Shannon divergence between
+    * every unordered pair of sources' token UNIGRAM distributions — the
+    * distributional companion to q122's set-containment matrix. q122
+    * answers "does src_a's text literally occur in src_b" (verbatim
+    * redundancy); this answers "do they write about the same things in
+    * the same proportions" (two news crawls can share zero 8-grams yet
+    * be distributionally near-identical — double-weighting them in a
+    * mixture still hurts; conversely code vs prose shows JSD near the
+    * ln 2 ceiling). The standard corpus-similarity read behind mixture
+    * de-duplication (e.g. the Pile's per-component distributional
+    * analysis).
+    *
+    * Exactness: per-source shares quantized to ppm by integer DIV with
+    * +1 smoothing (q88/q89's smoothing convention), KL ratios taken to
+    * the pair midpoint through q89's shared 6-class milli-nat ladder
+    * ([[EventQueries.jsdWeight]] — the SAME quantization, so the two
+    * JSD forms cannot disagree), Σ p·w div 2 ≈ JSD × 10⁹, clamped at 0
+    * exactly like q89. All-integer arithmetic end to end.
+    *
+    * Scale: one corpus scan → per-(source, tok) counts (one shuffle,
+    * map-side combined); everything after lives on VOCAB-scale frames:
+    * the |V|×S smoothed domain (q12 zero-fill so absent-token mass is
+    * explicit), a tok equi-join fanning to ≤ S² rows per token, and the
+    * S·(S−1)/2-row result. At 100 TB cap the vocabulary (q99's pruning
+    * move) before the domain cross; the pair matrix itself is bounded
+    * by sources², never by data volume. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    cc.count() // tot + vocab + the left join all rescan cc: settle once
+    val tot = cc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = cc.select(col("tok")).distinct()
+    val sh = vocab.crossJoin(broadcast(tot))
+      .join(cc, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        expr("coalesce(c, 0L) * 1000000L DIV n + 1L").as("p"))
+    val pair = sh.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
+      .join(sh.select(col("source").as("src_b"), col("tok"), col("p").as("pb")),
+        Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+    val den = col("pa") + col("pb")
+    pair.groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("pb") * EventQueries.jsdWeight(col("pb") * 2, den) +
+        col("pa") * EventQueries.jsdWeight(col("pa") * 2, den)).as("raw"))
+      .select(col("src_a"), col("src_b"),
+        greatest(expr("raw div 2"), lit(0L)).as("jsd_scaled"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q132Sql = {
+    def w(num: String, den: String) = EventQueries.classWeightSql(num, den, 6, 490L)
+    s"""WITH cc AS (
+       |  SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+       |vocab AS (SELECT DISTINCT tok FROM cc),
+       |sh AS (
+       |  SELECT t.source, v.tok, COALESCE(cc.c, 0) * 1000000 // t.n + 1 AS p
+       |  FROM vocab v CROSS JOIN tot t
+       |  LEFT JOIN cc ON cc.source = t.source AND cc.tok = v.tok),
+       |s AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(sum(b.p * ${w("b.p * 2", "a.p + b.p")} +
+       |                  a.p * ${w("a.p * 2", "a.p + b.p")}) AS BIGINT) AS raw
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, greatest(raw // 2, 0) AS jsd_scaled
+       |FROM s ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q124
   /** Memorization / novelty audit — q55 transposed (the GPT-2/3
     * appendix train-test overlap check): for each HELD-OUT doc
@@ -1040,5 +1114,6 @@ object CorpusQueries {
     QuerySpec("q124_ngram_novelty", Some(q124Sql), q124),
     QuerySpec("q128_cluster_sizes", Some(q128Sql), q128),
     QuerySpec("q131_datasheet", Some(q131Sql), q131),
+    QuerySpec("q132_source_jsd", Some(q132Sql), q132),
   )
 }

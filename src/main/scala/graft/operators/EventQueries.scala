@@ -494,6 +494,13 @@ object EventQueries {
   private[graft] def psiWeight(a: Column, b: Column): Column =
     classWeight(a, b, RatioClasses.length, 2079L)
 
+  /** JSD midpoint-ratio weight (q89's 6-class ladder — ratios to the
+    * midpoint live in (0, 2], so it closes at the [4/3, 2] class,
+    * weight 490). Shared with q132's source-distribution JSD so the
+    * two JSD forms can never disagree on the quantization. */
+  private[graft] def jsdWeight(num: Column, den: Column): Column =
+    classWeight(num, den, 6, 490L)
+
   // --------------------------------------------------- small-ratio ladder
   /** Extension of the ladder to SMALL rationals num/den ∈ (0, 1] —
     * probabilities, where [[classWeight]]'s classes (built for
@@ -664,7 +671,7 @@ object EventQueries {
     * identically. ln 2 bound (693·10⁶ scaled) is spec-pinned. */
   private def q89(s: SparkSession, dir: String): DataFrame = {
     val den = col("a") + col("b")
-    def w(x: Column) = classWeight(x * 2, den, 6, 490L)
+    def w(x: Column) = jsdWeight(x * 2, den)
     smoothedShares(s, dir)
       .groupBy(col("event_type"))
       .agg(sum(col("b") * w(col("b")) + col("a") * w(col("a"))).as("raw"))
@@ -710,6 +717,83 @@ object EventQueries {
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
       |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Two-sample Kolmogorov-Smirnov drift per event_type — the BINLESS
+    * companion to q88/q89: PSI and JSD see drift through the reference
+    * window's 10 equi-width buckets, so any shape change INSIDE a
+    * bucket (a mode shifting within one decile of the range) is
+    * invisible to them; the KS statistic D = max|CDF_ref − CDF_cur| is
+    * sensitive at every observed value. Standard production monitoring
+    * pairing: PSI for the "how much mass moved" magnitude, KS for the
+    * "did the shape change anywhere" detector.
+    *
+    * Exactness: values quantize to centi-units (⌊100·v⌋ — both engines
+    * compute the identical IEEE double product and floor), the CDF gap
+    * maximizes as the INTEGER |cum_ref·N_cur − cum_cur·N_ref| (cross-
+    * multiplied, no division until the end), ks_ppm = 10⁶·D div
+    * (N_ref·N_cur). Fixed alarm threshold 50 000 ppm (D > 0.05).
+    *
+    * Scale: one scan → per-(type, centi-value) conditional counts (one
+    * map-side-combined shuffle); the cumulative window then runs over
+    * the QUANTIZED grid — bounded by the value range × 100, not by row
+    * count — partitioned per type, so no global sort. Totals broadcast.
+    * The cross-product max fits 64-bit while N_ref·N_cur·10⁶ < 2⁶³
+    * (N ≈ 3·10⁶ per window); past that, pre-scale the cums to ppm —
+    * same discipline as q88's shares. Types missing one window fall to
+    * q88's new-type alarm; KS compares shapes, so it keeps its
+    * both-windows-present contract explicit. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val cnt = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("vq"),
+        (col("ts") >= split).as("is_cur"))
+      .groupBy(col("event_type"), col("vq"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("r"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+    val tot = cnt.groupBy(col("event_type"))
+      .agg(sum(col("r")).as("nr"), sum(col("c")).as("nc"))
+    cnt
+      .withColumn("cr", sum(col("r")).over(w))
+      .withColumn("cc", sum(col("c")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("nr") > 0 && col("nc") > 0)
+      .groupBy(col("event_type"), col("nr"), col("nc"))
+      .agg(max(abs(col("cr") * col("nc") - col("cc") * col("nr"))).as("dnum"))
+      .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+        expr("(dnum * 1000000) DIV (nr * nc)").as("ks_ppm"))
+      .withColumn("drifted", col("ks_ppm") > 50000L)
+      .orderBy(col("event_type"))
+  }
+
+  private val q133Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq,
+      |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
+      |  FROM events
+      |), cnt AS (
+      |  SELECT event_type, vq,
+      |         CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS r,
+      |         CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, vq, r, c,
+      |         sum(r) OVER (PARTITION BY event_type ORDER BY vq) AS cr,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cc,
+      |         sum(r) OVER (PARTITION BY event_type) AS nr,
+      |         sum(c) OVER (PARTITION BY event_type) AS nc
+      |  FROM cnt
+      |), d AS (
+      |  SELECT event_type, nr, nc, max(abs(cr * nc - cc * nr)) AS dnum
+      |  FROM cum WHERE nr > 0 AND nc > 0
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+      |       CAST((dnum * 1000000) // (nr * nc) AS BIGINT) AS ks_ppm,
+      |       ((dnum * 1000000) // (nr * nc)) > 50000 AS drifted
+      |FROM d ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
@@ -726,5 +810,6 @@ object EventQueries {
     QuerySpec("q88_psi_drift", Some(q88Sql), q88),
     QuerySpec("q89_jsd_drift", Some(q89Sql), q89),
     QuerySpec("q107_pruned_window", Some(q107Sql), q107),
+    QuerySpec("q133_ks_drift", Some(q133Sql), q133),
   )
 }

@@ -409,6 +409,54 @@ object TextQueries {
        |FROM r JOIN ks ON r.rk = least(ks.k, r.vocab)
        |ORDER BY ks.k""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** Per-source distinct-n-gram diversity (n = 1, 2, 3) — the
+    * "distinct-n" corpus-diversity block of a dataset card (the
+    * corpus-level form of generation diversity metrics; low distinct-2/
+    * distinct-3 flags templated or machine-expanded text). Complements
+    * the existing reads without overlap: q66 is unigram TTR on the LANG
+    * axis, q78 histograms CROSS-DOC duplicated 8-grams, q118 sizes the
+    * top-K vocabulary — none measures within-source bigram/trigram
+    * repetition, which is where template spam concentrates.
+    *
+    * One corpus scan: each doc emits all three gram lengths from one
+    * cached split via a flattened array-of-structs (guarded per length
+    * — sequence(0, size-n) on a short doc would RUN BACKWARDS and
+    * fabricate grams), then ONE shuffle keyed (source, n, gram) feeds
+    * both the total and the distinct count (partial-distinct two-phase
+    * agg; vocab-scale state, corpus-scale only in the map side).
+    * distinct_ppm = 10⁶·distinct div total, exact integers. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val gramStructs = (1 to 3).map { n =>
+      s"if(size(t) >= $n, transform(sequence(0, size(t)-$n), " +
+        s"i -> struct($n as n, concat_ws(' ', slice(t, i+1, $n)) as g)), " +
+        "cast(array() as array<struct<n: int, g: string>>))"
+    }.mkString("flatten(array(", ", ", "))")
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(expr(gramStructs)).as("x"))
+      .groupBy(col("source"), col("x.n").as("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("x.g")).as("distinct_grams"))
+      .withColumn("distinct_ppm",
+        expr("distinct_grams * 1000000L DIV total_grams"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  private val q134Sql = {
+    def arm(n: Int) =
+      s"""SELECT source, $n AS n,
+         |       unnest(list_transform(generate_series(0, len(t)-$n),
+         |              i -> array_to_string(list_slice(t, i+1, i+$n), ' '))) AS g
+         |FROM t WHERE len(t) >= $n""".stripMargin
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       |g AS (${(1 to 3).map(arm).mkString("\n", "\nUNION ALL\n", "\n")})
+       |SELECT source, n, count(*) AS total_grams,
+       |       count(DISTINCT g) AS distinct_grams,
+       |       count(DISTINCT g) * 1000000 // count(*) AS distinct_ppm
+       |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -418,5 +466,6 @@ object TextQueries {
     QuerySpec("q110_boilerplate_profile", Some(q110Sql), q110),
     QuerySpec("q111_entropy_gate", Some(q111Sql), q111),
     QuerySpec("q118_vocab_coverage", Some(q118Sql), q118),
+    QuerySpec("q134_ngram_diversity", Some(q134Sql), q134),
   )
 }

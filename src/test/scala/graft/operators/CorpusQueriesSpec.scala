@@ -188,4 +188,43 @@ class CorpusQueriesSpec extends SparkSpec {
       DedupQueries.specs.find(_.name == "q26_ngram_jaccard").get
         .fn(spark, dir).count())
   }
+
+  test("q132 source JSD equals an independent exact driver recomputation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    // per-source unigram counts; split(_, -1) to keep trailing empties,
+    // matching Spark's split() and DuckDB's string_split
+    val counts: Map[String, Map[String, Long]] = docs.groupBy(_._1).map {
+      case (src, rows) =>
+        src -> rows.toSeq.flatMap(_._2.split(" ", -1))
+          .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val tot = counts.map { case (s, m) => s -> m.values.sum }
+    val vocab = counts.values.flatMap(_.keys).toSet.toSeq
+    // independently-coded 6-class milli-nat midpoint ladder (spec constants)
+    val ladder = Seq((1, 4, -2079L), (1, 2, -1040L), (3, 4, -490L),
+      (9, 10, -197L), (11, 10, 0L), (4, 3, 191L))
+    def w(num: Long, den: Long): Long =
+      ladder.collectFirst { case (n, d, wt) if num * d < den * n => wt }
+        .getOrElse(490L)
+    val srcs = counts.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+    } yield {
+      val raw = vocab.map { t =>
+        val pa = counts(a).getOrElse(t, 0L) * 1000000L / tot(a) + 1
+        val pb = counts(b).getOrElse(t, 0L) * 1000000L / tot(b) + 1
+        pb * w(pb * 2, pa + pb) + pa * w(pa * 2, pa + pb)
+      }.sum
+      (a, b) -> math.max(raw / 2, 0L)
+    }).toMap
+    val got = CorpusQueries.specs.find(_.name == "q132_source_jsd").get
+      .fn(spark, dir).as[(String, String, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === expected.keySet,
+      "every unordered source pair exactly once")
+    got.foreach { case (a, b, j) => assert(j === expected((a, b)), s"pair ($a,$b)") }
+    assert(got.forall(_._3 >= 0L))
+    assert(got.exists(_._3 > 0L), "distinct synthetic sources must diverge")
+  }
 }

@@ -179,4 +179,48 @@ class IncrementalOpsSpec extends SparkSpec {
           s"ratio $r: class weight too far from ln")
     }
   }
+
+  test("q133 KS: zero on identical windows, exact max-gap on a full shift") {
+    val same = q("q133_ks_drift")(spark, driftFixture(Seq(1.0, 2.0, 5.0, 9.0))).collect()
+    assert(same.length === 1)
+    assert(same.head.getAs[Long]("ks_ppm") === 0L)
+    assert(!same.head.getAs[Boolean]("drifted"))
+    // cur collapses onto ref's smallest value: at vq=100 the CDFs are
+    // 1/4 vs 4/4 → D = 3/4 exactly → 750000 ppm
+    val shifted = q("q133_ks_drift")(spark, driftFixture(Seq(1.0, 1.0, 1.0, 1.0))).collect()
+    assert(shifted.length === 1)
+    assert(shifted.head.getAs[Long]("ks_ppm") === 750000L)
+    assert(shifted.head.getAs[Boolean]("drifted"))
+  }
+
+  test("q133 equals an exact driver-side KS recomputation on testdata") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts"))
+      .as[(String, Double, java.sql.Timestamp)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (t, rows) =>
+      val (cur, ref) = rows.partition(r => !r._3.before(split))
+      if (cur.isEmpty || ref.isEmpty) None
+      else {
+        def quant(xs: Seq[Double]) =
+          xs.map(v => math.floor(v * 100).toLong).groupBy(identity)
+            .map { case (k, g) => k -> g.size.toLong }
+        val (rq, cq) = (quant(ref.toSeq.map(_._2)), quant(cur.toSeq.map(_._2)))
+        val grid = (rq.keySet ++ cq.keySet).toSeq.sorted
+        val (nr, nc) = (ref.size.toLong, cur.size.toLong)
+        var (cr, cc, best) = (0L, 0L, 0L)
+        grid.foreach { v =>
+          cr += rq.getOrElse(v, 0L); cc += cq.getOrElse(v, 0L)
+          best = math.max(best, math.abs(cr * nc - cc * nr))
+        }
+        Some(t -> ((nr, nc, best * 1000000L / (nr * nc))))
+      }
+    }
+    val got = q("q133_ks_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Long]("ks_ppm"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
+  }
 }

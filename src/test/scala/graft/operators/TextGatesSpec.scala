@@ -98,4 +98,40 @@ class TextGatesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("entropy_mnat") >= 2800L))
     }
   }
+
+  test("q134 distinct-n-gram diversity equals an exact driver recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val expected = (for {
+      (src, rows) <- docs.groupBy(_._1).toSeq
+      n <- 1 to 3
+    } yield {
+      val grams = rows.toSeq.flatMap { case (_, text) =>
+        val t = text.split(" ", -1).toSeq
+        if (t.size < n) Seq.empty
+        else (0 to t.size - n).map(i => t.slice(i, i + n).mkString(" "))
+      }
+      (src, n) -> ((grams.size.toLong, grams.distinct.size.toLong))
+    }).toMap
+    val got = run("q134_ngram_diversity", dir).collect()
+    assert(got.map(r => (r.getAs[String]("source"), r.getAs[Int]("n"))).toSet ===
+      expected.keySet)
+    got.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Int]("n"))
+      val (tot, dist) = expected(key)
+      assert(r.getAs[Long]("total_grams") === tot, s"$key total")
+      assert(r.getAs[Long]("distinct_grams") === dist, s"$key distinct")
+      assert(r.getAs[Long]("distinct_ppm") === dist * 1000000L / tot, s"$key ppm")
+    }
+    // a templated doc must depress distinct-2 below a diverse one
+    val fix = writeDocs(Seq(
+      (1L, Seq.fill(40)("spam ham").mkString(" "), "en", "tmpl"),
+      (2L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "fresh")))
+    val byKey = run("q134_ngram_diversity", fix).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        r.getAs[Long]("distinct_ppm")).toMap
+    assert(byKey(("tmpl", 2)) < byKey(("fresh", 2)))
+    assert(byKey(("tmpl", 3)) < byKey(("fresh", 3)))
+  }
 }
