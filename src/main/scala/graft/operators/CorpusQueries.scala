@@ -967,6 +967,80 @@ object CorpusQueries {
        |FROM s ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q135
+  /** MinHash-sketched source similarity — the 100 TB form of q122:
+    * the exact containment matrix joins a vocab-scale inverted index
+    * against itself, which a mixture designer cannot afford to re-run
+    * per crawl snapshot; the production move (dataset-level MinHash,
+    * as in source-level dedup audits) keeps ONE 64-slot signature per
+    * source — minhash_h = min over the source's distinct 8-grams of
+    * md5("h:gram") — and estimates Jaccard(A, B) as the fraction of
+    * matching slots. Unbiased, stderr ≈ 1/√64 ≈ 0.125; the sketch is
+    * mergeable (min is associative) so snapshots combine for free.
+    *
+    * Scale: the ONLY corpus-scale work is the distinct-gram pass q122
+    * already pays; the 64 digests ride one graft_md5_keyed call
+    * (single byte-conversion kernel, q25's move) and collapse via
+    * 64 parallel min-aggregates — map-side combined, ONE shuffle of
+    * 64 columns per source, S×64 rows of state afterwards. The pair
+    * compare is an (h, digest) equi-join on that S×64 frame (never
+    * vocab-scale), zero-filled from the S×S domain (q12). Estimates
+    * are exact integers: match count + 10⁶·matches div 64. */
+  private val SrcHashes = 64
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val sg = srcGrams8(s, dir)
+    val hashed =
+      if (s.catalog.functionExists("graft_md5_keyed"))
+        sg.withColumn("hx", expr(s"graft_md5_keyed(g, $SrcHashes)"))
+      else
+        sg.withColumn("hx", array((0 until SrcHashes).map(h =>
+          md5(concat(lit(h.toString), lit(":"), col("g")))): _*))
+    val wide = hashed.groupBy(col("source")).agg(
+      min(element_at(col("hx"), 1)).as("mh0"),
+      (1 until SrcHashes).map(h =>
+        min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
+    val mh = wide.select(col("source"), explode(array((0 until SrcHashes).map(h =>
+        struct(lit(h).as("h"), col(s"mh$h").as("m"))): _*)).as("p"))
+      .select(col("source"), col("p.h").as("h"), col("p.m").as("m"))
+      .persist()
+    mh.count() // domain + both join sides rescan the signature frame
+    val matches = mh.select(col("source").as("src_a"), col("h"), col("m"))
+      .join(mh.select(col("source").as("src_b"), col("h"), col("m")),
+        Seq("h", "m"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_match"))
+    val srcs = mh.select(col("source")).distinct()
+    srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+      .join(matches, Seq("src_a", "src_b"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        expr(s"n_match * 1000000L DIV $SrcHashes").as("jaccard_est_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q135Sql =
+    s"""WITH sg AS ($srcGrams8Sql),
+       |mh AS (
+       |  SELECT source, r.h, min(md5(CAST(r.h AS VARCHAR) || ':' || g)) AS m
+       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${SrcHashes - 1})) AS h) r
+       |  GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_match
+       |  FROM mh a JOIN mh b ON a.h = b.h AND a.m = b.m AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM sg)
+       |SELECT sa.source AS src_a, sb.source AS src_b,
+       |       CAST(COALESCE(mt.n_match, 0) AS BIGINT) AS n_match,
+       |       CAST(COALESCE(mt.n_match, 0) AS BIGINT) * 1000000 // $SrcHashes
+       |         AS jaccard_est_ppm
+       |FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+       |LEFT JOIN mt ON mt.src_a = sa.source AND mt.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------------- q124
   /** Memorization / novelty audit — q55 transposed (the GPT-2/3
     * appendix train-test overlap check): for each HELD-OUT doc
@@ -1115,5 +1189,6 @@ object CorpusQueries {
     QuerySpec("q128_cluster_sizes", Some(q128Sql), q128),
     QuerySpec("q131_datasheet", Some(q131Sql), q131),
     QuerySpec("q132_source_jsd", Some(q132Sql), q132),
+    QuerySpec("q135_source_minhash", Some(q135Sql), q135),
   )
 }

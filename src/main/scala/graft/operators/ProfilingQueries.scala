@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -591,6 +591,72 @@ object ProfilingQueries {
       |                 / 1e6 END AS blind_spot_share
       |FROM grp GROUP BY hr ORDER BY hr""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Count-Min-sketched heavy hitters with a built-in error audit —
+    * the mergeable-sketch answer to "which tokens dominate the corpus"
+    * when the vocabulary itself is too large to rank exactly (q74 is
+    * the same production move for distinct counts). The sketch is
+    * d=4 × w=512 integer cells; token t hashes to one bucket per row
+    * (md5("r:tok"), the engine's cross-checkable hash idiom) and its
+    * estimate is the MIN over its 4 cells — never an underestimate
+    * (cells only ever add mass), overshoot ≤ ε·N per row with
+    * ε ≈ e/w, driven to ~(e/w)⁴-tail odds by the 4-way min. Output:
+    * top-20 tokens by estimate with exact count and overcount side by
+    * side, so the report grades its own sketch.
+    *
+    * Scale: the corpus collapses to the (tok, c) vocab frame in one
+    * map-side-combined shuffle (paid by every vocab query); the 4×
+    * bucket fanout runs on DISTINCT tokens, not corpus rows, and the
+    * 2048-cell sketch broadcasts back for scoring. The cells frame is
+    * the production artifact: associative (+) across shards, epochs
+    * and streams — the state an online heavy-hitters monitor keeps,
+    * in O(d·w) regardless of data volume. Top-20 via
+    * TakeOrderedAndProject, never a global sort. */
+  private val CmsD = 4
+  private val CmsW = 512
+
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    def bucket(r: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 12), 16, 10)
+        .cast("bigint") % CmsW
+    val tc = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    tc.count() // cells and scoring both scan the vocab frame
+    val slots = tc.select(col("tok"), col("c"),
+      explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("tok")).as("bkt"))): _*)).as("x"))
+      .select(col("tok"), col("c"), col("x.r").as("r"), col("x.bkt").as("bkt"))
+    val cells = slots.groupBy(col("r"), col("bkt"))
+      .agg(sum(col("c")).as("cell"))
+    slots.join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy(col("tok"), col("c")).agg(min(col("cell")).as("est_n"))
+      .select(col("tok"), col("c").as("exact_n"), col("est_n"),
+        (col("est_n") - col("c")).as("overcount"))
+      .orderBy(col("est_n").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val q136Sql =
+    s"""WITH tc AS (
+       |  SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |slots AS (
+       |  SELECT tok, c, rr.r,
+       |         CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || tok), 1, 12)
+       |              AS BIGINT) % $CmsW AS bkt
+       |  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r) rr),
+       |cells AS (SELECT r, bkt, CAST(sum(c) AS BIGINT) AS cell FROM slots GROUP BY 1, 2),
+       |est AS (
+       |  SELECT s.tok, s.c, min(cells.cell) AS est_n
+       |  FROM slots s JOIN cells ON s.r = cells.r AND s.bkt = cells.bkt
+       |  GROUP BY 1, 2)
+       |SELECT tok, CAST(c AS BIGINT) AS exact_n, CAST(est_n AS BIGINT) AS est_n,
+       |       CAST(est_n - c AS BIGINT) AS overcount
+       |FROM est ORDER BY est_n DESC, tok LIMIT 20""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -603,5 +669,6 @@ object ProfilingQueries {
     QuerySpec("q95_k_anonymity", Some(q95Sql), q95),
     QuerySpec("q121_feature_corr", Some(q121Sql), q121),
     QuerySpec("q127_l_diversity", Some(q127Sql), q127),
+    QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136),
   )
 }

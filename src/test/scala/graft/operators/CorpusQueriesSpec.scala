@@ -227,4 +227,51 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got.forall(_._3 >= 0L))
     assert(got.exists(_._3 > 0L), "distinct synthetic sources must diverge")
   }
+
+  test("q135 source MinHash matches a driver sketch and tracks exact Jaccard") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    // independent driver-side sketch: distinct 8-grams per source,
+    // min md5("h:gram") per slot via MessageDigest directly
+    val grams: Map[String, Set[String]] = docs.groupBy(_._1).map {
+      case (src, rows) =>
+        src -> rows.toSeq.flatMap { case (_, text) =>
+          val t = text.split(" ", -1).toSeq
+          if (t.size < 8) Seq.empty
+          else (0 to t.size - 8).map(i => t.slice(i, i + 8).mkString(" "))
+        }.toSet
+    }.filter(_._2.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sig: Map[String, IndexedSeq[String]] = grams.map { case (src, gs) =>
+      src -> (0 until 64).map(h => gs.map(g => md5hex(s"$h:$g")).min)
+    }
+    val srcs = sig.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+    } yield (a, b) -> (0 until 64).count(h => sig(a)(h) == sig(b)(h)).toLong).toMap
+    val got = CorpusQueries.specs.find(_.name == "q135_source_minhash").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_match"), r.getAs[Long]("jaccard_est_ppm"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, m) =>
+      assert(got(k)._1 === m, s"pair $k slot matches")
+      assert(got(k)._2 === m * 1000000L / 64, s"pair $k ppm")
+    }
+    // estimator audit: |est − exact Jaccard| within sketch error on
+    // every pair (stderr ≈ 1/√64 = 0.125; allow 3σ) and unbiased-ish
+    // in aggregate
+    val errs = expected.toSeq.map { case ((a, b), m) =>
+      val exact = grams(a).intersect(grams(b)).size.toDouble /
+        grams(a).union(grams(b)).size
+      m / 64.0 - exact
+    }
+    assert(errs.forall(e => math.abs(e) <= 0.375), s"worst ${errs.maxBy(math.abs)}")
+    assert(math.abs(errs.sum / errs.size) <= 0.05,
+      s"mean error ${errs.sum / errs.size} suggests estimator bias")
+  }
 }

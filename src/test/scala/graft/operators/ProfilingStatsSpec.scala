@@ -95,4 +95,42 @@ class ProfilingStatsSpec extends SparkSpec {
       assert(r.getAs[Double]("blind_spot_share") === expShare)
     }
   }
+
+  test("q136 CMS heavy hitters: exact vs a driver sketch, never underestimates") {
+    val docDir = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$docDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .as[String].collect()
+    val counts = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(r: Int, tok: String): Int =
+      (java.lang.Long.parseLong(md5hex(s"$r:$tok").take(12), 16) % 512L).toInt
+    // driver-side sketch: 4×512 cells
+    val cells = Array.fill(4, 512)(0L)
+    counts.foreach { case (t, c) =>
+      (0 until 4).foreach(r => cells(r)(bucket(r, t)) += c)
+    }
+    def est(t: String): Long = (0 until 4).map(r => cells(r)(bucket(r, t))).min
+    val expected = counts.toSeq
+      .map { case (t, c) => (t, c, est(t)) }
+      .sortBy { case (t, _, e) => (-e, t) }
+      .take(20)
+    val got = ProfilingQueries.specs.find(_.name == "q136_cms_heavy_hitters").get
+      .fn(spark, docDir).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("exact_n"),
+        r.getAs[Long]("est_n"), r.getAs[Long]("overcount")))
+    assert(got.length === math.min(20, counts.size))
+    got.zip(expected).foreach { case ((tok, ex, e, over), (et, ec, ee)) =>
+      assert(tok === et); assert(ex === ec); assert(e === ee)
+      assert(over === e - ex)
+      assert(over >= 0L, "CMS must never underestimate")
+    }
+    // the true top token cannot be displaced below rank 20 (its
+    // estimate >= its exact count >= everyone's exact count... pin the
+    // weaker true invariant: it appears in the report)
+    val top = counts.maxBy { case (t, c) => (c, t) }
+    assert(got.exists(_._1 == top._1), "exact top-1 token missing from report")
+  }
 }
