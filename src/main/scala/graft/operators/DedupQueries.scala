@@ -778,6 +778,99 @@ object DedupQueries {
        |         / 1e6 AS f1
        |FROM ag CROSS JOIN nt ORDER BY radius""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** Bloom-filter dedup admission with a built-in false-positive audit
+    * — the third classic mergeable sketch beside q74's HLL (distinct
+    * counts) and q136's CMS (frequencies). Production shape: the
+    * standing corpus keeps an m-bit Bloom filter over its exact-dup
+    * fingerprints (q24's md5); each ingest batch probes the filter and
+    * only bloom-positive docs pay the exact fingerprint lookup — the
+    * admission pre-filter in front of q60/q84's incremental merge.
+    * Sketch: m = 4096 bits, k = 3 bit positions per fingerprint
+    * (md5("j:fp") 48-bit prefix mod m, the engine's cross-checkable
+    * hash idiom); a probe "hits" iff all 3 bits are set. No false
+    * negatives EVER (every true dup's bits were set by its twin);
+    * false positives at a rate the one-row report measures against
+    * ground truth (m is sized small here so the audit has mass —
+    * production sizes m = −n·ln p/(ln 2)²).
+    *
+    * Scale: zero corpus-scale shuffles — the bits frame is ≤ m = 4096
+    * rows (distinct-bit agg map-side combines; the artifact merges
+    * across shards/epochs by OR) and BROADCASTS to three per-position
+    * membership joins on the probe side; ground truth broadcasts the
+    * batch's distinct fingerprints INTO the one corpus scan (q124's
+    * direction — the 100 TB side never shuffles), and the confusion
+    * rollup is a map-side-combined scalar aggregate. */
+  private val BloomM = 4096L
+  private val BloomK = 3
+
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    def bit(j: Int, fp: Column): Column =
+      conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 12), 16, 10)
+        .cast("bigint") % BloomM
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        (col("doc_id") % 10 === 0).as("is_probe"))
+    val bits = fp.filter(!col("is_probe"))
+      .select(explode(array((0 until BloomK).map(j => bit(j, col("fp"))): _*)).as("bit"))
+      .distinct()
+    val probe = fp.filter(col("is_probe"))
+      .select(Seq(col("doc_id"), col("fp")) ++
+        (0 until BloomK).map(j => bit(j, col("fp")).as(s"b$j")): _*)
+    val withHits = (0 until BloomK).foldLeft(probe) { (df, j) =>
+      df.join(broadcast(bits.select(col("bit").as(s"b$j"), lit(1).as(s"set$j"))),
+        Seq(s"b$j"), "left")
+    }
+    // ground truth: the batch's distinct fps broadcast into the corpus scan
+    val trueDup = fp.filter(!col("is_probe")).select(col("fp"))
+      .join(broadcast(probe.select(col("fp")).distinct()), Seq("fp"))
+      .distinct().withColumn("is_dup", lit(1))
+    withHits
+      .withColumn("hit",
+        (0 until BloomK).map(j => col(s"set$j").isNotNull).reduce(_ && _))
+      .join(broadcast(trueDup), Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hit"),
+        sum(when(col("hit") && col("is_dup").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_ppm", expr(
+        "case when n_probe = n_true_dup then 0L " +
+          "else n_false_pos * 1000000L DIV (n_probe - n_true_dup) end"))
+  }
+
+  private val q137Sql = {
+    def bit(j: Int, fpExpr: String) =
+      s"CAST('0x' || substr(md5('$j:' || $fpExpr), 1, 12) AS BIGINT) % $BloomM"
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(text) AS fp, doc_id % 10 = 0 AS is_probe
+       |  FROM documents),
+       |bits AS (
+       |  SELECT DISTINCT bit FROM (
+       |    ${(0 until BloomK).map(j =>
+            s"SELECT ${bit(j, "fp")} AS bit FROM fp WHERE NOT is_probe")
+            .mkString("\n    UNION ALL\n    ")})),
+       |trueset AS (SELECT DISTINCT fp FROM fp WHERE NOT is_probe),
+       |probe AS (
+       |  SELECT doc_id, fp,
+       |         ${(0 until BloomK).map(j =>
+            s"(${bit(j, "fp")} IN (SELECT bit FROM bits))").mkString(" AND ")}
+       |           AS hit,
+       |         fp IN (SELECT fp FROM trueset) AS is_dup
+       |  FROM fp WHERE is_probe)
+       |SELECT count(*) AS n_probe,
+       |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+       |       CAST(sum(CASE WHEN hit AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_false_pos,
+       |       CAST(CASE WHEN count(*) = sum(CASE WHEN is_dup THEN 1 ELSE 0 END) THEN 0
+       |            ELSE CAST(sum(CASE WHEN hit AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |                 * 1000000
+       |                 // (count(*) - CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT))
+       |            END AS BIGINT) AS fp_ppm
+       |FROM probe""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -789,5 +882,6 @@ object DedupQueries {
     QuerySpec("q103_lsh_recall", Some(q103Sql), q103),
     QuerySpec("q106_lsh_precision", Some(q106Sql), q106),
     QuerySpec("q129_simhash_curve", Some(q129Sql), q129),
+    QuerySpec("q137_bloom_dedup_filter", Some(q137Sql), q137),
   )
 }

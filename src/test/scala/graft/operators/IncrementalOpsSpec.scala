@@ -223,4 +223,38 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
   }
+
+  test("q137 bloom admission: exact confusion counts, zero false negatives") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bit(j: Int, fp: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$j:$fp").take(12), 16) % 4096L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (probe, train) = docs.map { case (id, t) => (id, md5hex(t)) }
+      .partition(_._1 % 10 == 0)
+    val bits = train.flatMap { case (_, fp) => (0 until 3).map(bit(_, fp)) }.toSet
+    val trainFps = train.map(_._2).toSet
+    val rows = probe.map { case (_, fp) =>
+      val hit = (0 until 3).forall(j => bits.contains(bit(j, fp)))
+      val dup = trainFps.contains(fp)
+      (hit, dup)
+    }
+    // bloom structural invariant, checked on the driver model first
+    assert(rows.forall { case (hit, dup) => !dup || hit },
+      "a true duplicate must always bloom-hit")
+    val nProbe = rows.length.toLong
+    val nTrue = rows.count(_._2).toLong
+    val nHit = rows.count(_._1).toLong
+    val nFp = rows.count { case (h, d) => h && !d }.toLong
+    val r = q("q137_bloom_dedup_filter")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_probe") === nProbe)
+    assert(r.getAs[Long]("n_true_dup") === nTrue)
+    assert(r.getAs[Long]("n_bloom_hit") === nHit)
+    assert(r.getAs[Long]("n_false_pos") === nFp)
+    assert(r.getAs[Long]("fp_ppm") ===
+      (if (nProbe == nTrue) 0L else nFp * 1000000L / (nProbe - nTrue)))
+    assert(r.getAs[Long]("n_bloom_hit") >= r.getAs[Long]("n_true_dup"))
+  }
 }
