@@ -58,4 +58,46 @@ class NewOpsPlanShapeSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), "gram join must be an equi join")
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross join anywhere")
   }
+
+  test("q132 source JSD: totals broadcast into the vocab domain, pair join by equi-hash") {
+    val p = finalPlan("q132_source_jsd")
+    assert(!p.contains("CartesianProduct"),
+      "the |V|×S domain cross must ride the broadcast totals frame")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "vocab × broadcast(tot) is the intended domain cross")
+  }
+
+  test("q135 source MinHash: everything after the signature agg is signature-scale") {
+    val p = finalPlan("q135_source_minhash")
+    assert(!p.contains("CartesianProduct"), "the S×S domain must broadcast")
+    // the (h, digest) match join runs on the S×64 frame — any equi
+    // join strategy is fine, but never a nested loop over signatures.
+    // Count in the FINAL plan section only (toString repeats the
+    // pre-AQE initial plan below it).
+    val fin = p.split("== Initial Plan ==")(0)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(fin).length
+    assert(nested <= 1, s"only the S×S domain cross may nest, found $nested")
+  }
+
+  test("q136 CMS: the 2048-cell sketch broadcasts back for scoring") {
+    val p = finalPlan("q136_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "cells must broadcast to the scoring join")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("q137 bloom: bits and truth broadcast; the corpus never shuffles") {
+    val p = finalPlan("q137_bloom_dedup_filter")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "no fact-fact shuffle join anywhere")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q133 KS: cumulative window runs on the quantized grid, totals broadcast") {
+    val p = finalPlan("q133_ks_drift")
+    assert(p.contains("BroadcastHashJoin"), "per-type totals must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one Window over the (type, vq) grid
+    assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty)
+  }
 }
