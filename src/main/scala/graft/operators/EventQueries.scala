@@ -742,7 +742,12 @@ object EventQueries {
     * same discipline as q88's shares. Types missing one window fall to
     * q88's new-type alarm; KS compares shapes, so it keeps its
     * both-windows-present contract explicit. */
-  private def q133(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q133/q138 kernel: per-(type, centi-quantized value)
+    * conditional window counts with cumulative CDFs and totals —
+    * one scan, one map-side-combined shuffle, windows over the
+    * QUANTIZED grid only. Ends at (event_type, vq, r, c, cr, cc,
+    * nr, nc) filtered to types present in both windows. */
+  private def quantCdf(s: SparkSession, dir: String): DataFrame = {
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
     val cnt = Tables.events(s, dir)
       .select(col("event_type"),
@@ -759,15 +764,11 @@ object EventQueries {
       .withColumn("cc", sum(col("c")).over(w))
       .join(broadcast(tot), Seq("event_type"))
       .filter(col("nr") > 0 && col("nc") > 0)
-      .groupBy(col("event_type"), col("nr"), col("nc"))
-      .agg(max(abs(col("cr") * col("nc") - col("cc") * col("nr"))).as("dnum"))
-      .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
-        expr("(dnum * 1000000) DIV (nr * nc)").as("ks_ppm"))
-      .withColumn("drifted", col("ks_ppm") > 50000L)
-      .orderBy(col("event_type"))
   }
 
-  private val q133Sql =
+  /** The matching oracle CTE prefix (e → cnt → cum), ending at
+    * cum(event_type, vq, r, c, cr, cc, nr, nc). */
+  private val quantCdfSql =
     """WITH e AS (
       |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq,
       |         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_cur
@@ -784,7 +785,19 @@ object EventQueries {
       |         sum(r) OVER (PARTITION BY event_type) AS nr,
       |         sum(c) OVER (PARTITION BY event_type) AS nc
       |  FROM cnt
-      |), d AS (
+      |)""".stripMargin
+
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    quantCdf(s, dir)
+      .groupBy(col("event_type"), col("nr"), col("nc"))
+      .agg(max(abs(col("cr") * col("nc") - col("cc") * col("nr"))).as("dnum"))
+      .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+        expr("(dnum * 1000000) DIV (nr * nc)").as("ks_ppm"))
+      .withColumn("drifted", col("ks_ppm") > 50000L)
+      .orderBy(col("event_type"))
+
+  private val q133Sql =
+    s"""$quantCdfSql, d AS (
       |  SELECT event_type, nr, nc, max(abs(cr * nc - cc * nr)) AS dnum
       |  FROM cum WHERE nr > 0 AND nc > 0
       |  GROUP BY 1, 2, 3
@@ -793,6 +806,51 @@ object EventQueries {
       |       CAST((dnum * 1000000) // (nr * nc) AS BIGINT) AS ks_ppm,
       |       ((dnum * 1000000) // (nr * nc)) > 50000 AS drifted
       |FROM d ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  /** Quantile drift — the actionable companion to q133: KS answers
+    * "did the shape change anywhere", this answers "by how much and
+    * where it hurts" with the P50/P95/P99 shifts every production SLO
+    * and feature-drift dashboard reports. Same one-scan quantized-CDF
+    * kernel ([[quantCdf]] — q133 and q138 share it verbatim, so the
+    * two monitors can never disagree about the distribution they saw).
+    *
+    * Exactness: quantile_p = the smallest centi-value whose cumulative
+    * count reaches ⌈p·N/100⌉ (= (p·N + 99) div 100 in integers) — the
+    * discontinuous type-1 quantile, which both engines compute as a
+    * conditional MIN over the shared grid; delta is a plain BIGINT
+    * difference of centi-units. No interpolation, no doubles.
+    *
+    * Scale: rides quantCdf's bounded grid; the 3-percentile fanout
+    * multiplies GRID rows, not events, and the final aggregate is
+    * |types|·3 rows. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val pcts = Seq(50, 95, 99)
+    quantCdf(s, dir)
+      .select(col("*"), explode(array(pcts.map(lit): _*)).as("pct"))
+      .withColumn("tr", expr("(pct * nr + 99) DIV 100"))
+      .withColumn("tc", expr("(pct * nc + 99) DIV 100"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(when(col("cr") >= col("tr"), col("vq"))).as("ref_q"),
+        min(when(col("cc") >= col("tc"), col("vq"))).as("cur_q"))
+      .withColumn("delta_centi", col("cur_q") - col("ref_q"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  private val q138Sql =
+    s"""$quantCdfSql, x AS (
+       |  SELECT cum.*, p.pct,
+       |         (p.pct * nr + 99) // 100 AS tr,
+       |         (p.pct * nc + 99) // 100 AS tc
+       |  FROM cum CROSS JOIN (SELECT unnest([50, 95, 99]) AS pct) p
+       |  WHERE nr > 0 AND nc > 0
+       |)
+       |SELECT event_type, pct,
+       |       CAST(min(CASE WHEN cr >= tr THEN vq END) AS BIGINT) AS ref_q,
+       |       CAST(min(CASE WHEN cc >= tc THEN vq END) AS BIGINT) AS cur_q,
+       |       CAST(min(CASE WHEN cc >= tc THEN vq END)
+       |            - min(CASE WHEN cr >= tr THEN vq END) AS BIGINT) AS delta_centi
+       |FROM x GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
@@ -811,5 +869,6 @@ object EventQueries {
     QuerySpec("q89_jsd_drift", Some(q89Sql), q89),
     QuerySpec("q107_pruned_window", Some(q107Sql), q107),
     QuerySpec("q133_ks_drift", Some(q133Sql), q133),
+    QuerySpec("q138_quantile_drift", Some(q138Sql), q138),
   )
 }

@@ -657,6 +657,92 @@ object ProfilingQueries {
        |       CAST(est_n - c AS BIGINT) AS overcount
        |FROM est ORDER BY est_n DESC, tok LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Robust per-source length-outlier profile — exact median + MAD
+    * (median absolute deviation) of per-doc token counts, and the share
+    * of docs outside med ± 3·MAD. The robust replacement for the
+    * mean/stddev z-score every data card warns against (a single
+    * pathological 10⁶-token doc drags a mean-based gate; the median
+    * pair shrugs): the Gopher/RefinedWeb-style length screen expressed
+    * with estimators that survive the very outliers they hunt.
+    *
+    * Exactness: both medians are the discontinuous type-1 statistic
+    * (smallest grid value whose cumulative count reaches
+    * (n + 1) div 2) computed by conditional MIN over cumulative
+    * windows — no interpolation, no doubles anywhere; out_ppm is one
+    * integer division.
+    *
+    * Scale: docs collapse to a (source, n_tokens) GRID in one
+    * map-side-combined shuffle — every window after runs on grid rows
+    * (bounded by the distinct-length range per source, not doc
+    * count); the deviation grid derives from the length grid joined
+    * to the broadcast |S|-row medians, and the outlier count is one
+    * more grid aggregate. Three tiny frames, zero doc-scale sorts. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val g1 = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    g1.count() // median pass + deviation grid + outlier pass share it
+    val wx = Window.partitionBy(col("source")).orderBy(col("x"))
+    val med = g1
+      .withColumn("cum", sum(col("cnt")).over(wx))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"), col("n"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("x"))).as("med"))
+    val wd = Window.partitionBy(col("source")).orderBy(col("dev"))
+    val mad = g1.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .groupBy(col("source"), col("n"), col("med"), col("dev"))
+      .agg(sum(col("cnt")).as("dcnt"))
+      .withColumn("cum", sum(col("dcnt")).over(wd))
+      .groupBy(col("source"), col("n"), col("med"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
+    g1.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"), col("n").as("n_docs"), col("med"), col("mad"))
+      .agg(sum(when(abs(col("x") - col("med")) > col("mad") * 3, col("cnt"))
+        .otherwise(0L)).as("n_out"))
+      .withColumn("out_ppm", expr("n_out * 1000000L DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val q139Sql =
+    """WITH g1 AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |         count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), medc AS (
+      |  SELECT source, x, cnt,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY x) AS cum,
+      |         sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM g1
+      |), med AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n,
+      |         min(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS med
+      |  FROM medc GROUP BY 1, 2
+      |), devg AS (
+      |  SELECT g1.source, med.n, med.med, abs(g1.x - med.med) AS dev,
+      |         CAST(sum(g1.cnt) AS BIGINT) AS dcnt
+      |  FROM g1 JOIN med ON g1.source = med.source
+      |  GROUP BY 1, 2, 3, 4
+      |), madc AS (
+      |  SELECT source, n, med, dev, dcnt,
+      |         sum(dcnt) OVER (PARTITION BY source ORDER BY dev) AS cum
+      |  FROM devg
+      |), mad AS (
+      |  SELECT source, n, med,
+      |         min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+      |  FROM madc GROUP BY 1, 2, 3
+      |)
+      |SELECT g1.source, mad.n AS n_docs, mad.med, mad.mad,
+      |       CAST(sum(CASE WHEN abs(g1.x - mad.med) > mad.mad * 3
+      |                     THEN g1.cnt ELSE 0 END) AS BIGINT) AS n_out,
+      |       CAST(sum(CASE WHEN abs(g1.x - mad.med) > mad.mad * 3
+      |                     THEN g1.cnt ELSE 0 END) AS BIGINT)
+      |         * 1000000 // mad.n AS out_ppm
+      |FROM g1 JOIN mad ON g1.source = mad.source
+      |GROUP BY 1, 2, 3, 4 ORDER BY g1.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -670,5 +756,6 @@ object ProfilingQueries {
     QuerySpec("q121_feature_corr", Some(q121Sql), q121),
     QuerySpec("q127_l_diversity", Some(q127Sql), q127),
     QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136),
+    QuerySpec("q139_length_outliers", Some(q139Sql), q139),
   )
 }

@@ -224,6 +224,36 @@ class IncrementalOpsSpec extends SparkSpec {
     expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
   }
 
+  test("q138 quantile drift equals exact driver type-1 quantiles on testdata") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts"))
+      .as[(String, Double, java.sql.Timestamp)].collect()
+    def quantile(xs: Seq[Long], pct: Int): Long = {
+      val sorted = xs.sorted
+      val target = (pct.toLong * xs.size + 99) / 100
+      sorted((target - 1).toInt)
+    }
+    val expected = ev.groupBy(_._1).flatMap { case (t, rows) =>
+      val (cur, ref) = rows.partition(r => !r._3.before(split))
+      if (cur.isEmpty || ref.isEmpty) Seq.empty
+      else {
+        val rq = ref.toSeq.map(r => math.floor(r._2 * 100).toLong)
+        val cq = cur.toSeq.map(r => math.floor(r._2 * 100).toLong)
+        Seq(50, 95, 99).map(p =>
+          (t, p) -> ((quantile(rq, p), quantile(cq, p))))
+      }
+    }
+    val got = q("q138_quantile_drift")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("pct")) ->
+        ((r.getAs[Long]("ref_q"), r.getAs[Long]("cur_q"), r.getAs[Long]("delta_centi"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (rq, cq)) =>
+      assert(got(k) === ((rq, cq, cq - rq)), s"key $k")
+    }
+  }
+
   test("q137 bloom admission: exact confusion counts, zero false negatives") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

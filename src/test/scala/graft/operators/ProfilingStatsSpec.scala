@@ -133,4 +133,43 @@ class ProfilingStatsSpec extends SparkSpec {
     val top = counts.maxBy { case (t, c) => (c, t) }
     assert(got.exists(_._1 == top._1), "exact top-1 token missing from report")
   }
+
+  test("q139 median/MAD outlier profile equals an exact driver recomputation") {
+    val docDir = "/root/testdata/sf0.001"
+    val lens = spark.read.parquet(s"$docDir/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+      .as[(String, Long)].collect()
+    def med1(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((((xs.size + 1) / 2) - 1).toInt)
+    }
+    val expected = lens.groupBy(_._1).map { case (src, rows) =>
+      val xs = rows.toSeq.map(_._2)
+      val m = med1(xs)
+      val mad = med1(xs.map(x => math.abs(x - m)))
+      val nOut = xs.count(x => math.abs(x - m) > 3 * mad).toLong
+      src -> ((xs.size.toLong, m, mad, nOut, nOut * 1000000L / xs.size))
+    }
+    val got = ProfilingQueries.specs.find(_.name == "q139_length_outliers").get
+      .fn(spark, docDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n_out"), r.getAs[Long]("out_ppm"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (s, e) => assert(got(s) === e, s"source $s") }
+    // robustness: a planted mega-doc must not move the median gate
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("madfix").toString
+    val base = (1 to 99).map(i => (i.toLong, Seq.fill(50 + i % 3)("w").mkString(" "), "en", "s"))
+    val spiked = base :+ (999L, Seq.fill(100000)("w").mkString(" "), "en", "s")
+    spiked.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = ProfilingQueries.specs.find(_.name == "q139_length_outliers").get
+      .fn(spark, tmp).collect().head
+    assert(r.getAs[Long]("med") <= 52L, "median must ignore the spike")
+    assert(r.getAs[Long]("mad") <= 2L, "MAD must ignore the spike")
+    assert(r.getAs[Long]("n_out") === 1L, "exactly the spike is an outlier")
+  }
 }
