@@ -743,6 +743,94 @@ object ProfilingQueries {
       |FROM g1 JOIN mad ON g1.source = mad.source
       |GROUP BY 1, 2, 3, 4 ORDER BY g1.source""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** t-closeness audit (Li et al. 2007) — the third of the classic
+    * release-privacy trio and the blind spot of the other two: q95
+    * proves each QI group hides ≥ k users, q127 that the sensitive
+    * attribute has ≥ l VALUES per group, but a group can pass both
+    * while its value DISTRIBUTION (99% "purchase" where the corpus
+    * runs 20%) still leaks. A group is t-close iff the total-variation
+    * distance between its event_type distribution and the global one
+    * is ≤ t; per hour the audit reports, among exactly the groups
+    * k-anonymity admits, how many breach t = 0.2 (the paper's working
+    * example) and the worst TV seen.
+    *
+    * Exactness: both distributions quantize to ppm by integer DIV;
+    * TV = Σ|p_g − p_global| div 2 in ppm — all-integer, the same
+    * smoothless convention as q85. Absent-type mass counts: the
+    * per-group frame is the (group × global-type) DOMAIN (q12
+    * zero-fill), because a type the group never emits contributes its
+    * full global share to the distance.
+    *
+    * Scale: one scan → per-(QI, type) counts and per-QI user
+    * distinct-agg (q95's envelope, map-side combined); the 5-row
+    * global distribution broadcasts into the |QI|·|types| domain; the
+    * rollup is 24 rows. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val K = 5L; val TvT = 200000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 50).cast("long").as("vb"))
+    val glob = ev.groupBy(col("event_type")).agg(count(lit(1)).as("gc"))
+      .withColumn("gt", sum(col("gc")).over(Window.partitionBy()))
+      .select(col("event_type"), expr("gc * 1000000L DIV gt").as("pg"))
+    val grp = ev.groupBy(col("hr"), col("vb"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+    val cnt = ev.groupBy(col("hr"), col("vb"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tv = grp.crossJoin(broadcast(glob))
+      .join(cnt, Seq("hr", "vb", "event_type"), "left")
+      .withColumn("pgrp", expr("coalesce(c, 0L) * 1000000L DIV n"))
+      .groupBy(col("hr"), col("vb"), col("users"))
+      .agg(sum(abs(col("pgrp") - col("pg"))).as("sad"))
+      .withColumn("tv_ppm", expr("sad DIV 2"))
+    tv.filter(col("users") >= K)
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("k_anon_groups"),
+        sum(when(col("tv_ppm") > TvT, 1L).otherwise(0L)).as("t_breaching"),
+        max(col("tv_ppm")).as("max_tv_ppm"))
+      .withColumn("breach_share",
+        Det.rate(col("t_breaching").cast("double") / col("k_anon_groups")))
+      .orderBy(col("hr"))
+  }
+
+  private val q140Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |         CAST(floor(value / 50) AS BIGINT) AS vb
+      |  FROM events
+      |), gdist AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) * 1000000
+      |           // CAST(sum(count(*)) OVER () AS BIGINT) AS pg
+      |  FROM ev GROUP BY 1
+      |), grp AS (
+      |  SELECT hr, vb, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT hr, vb, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2, 3
+      |), tv AS (
+      |  SELECT grp.hr, grp.vb, grp.users,
+      |         CAST(sum(abs(COALESCE(cnt.c, 0) * 1000000 // grp.n - gdist.pg)) // 2
+      |              AS BIGINT) AS tv_ppm
+      |  FROM grp CROSS JOIN gdist
+      |  LEFT JOIN cnt ON cnt.hr = grp.hr AND cnt.vb = grp.vb
+      |              AND cnt.event_type = gdist.event_type
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT hr, CAST(count(*) AS BIGINT) AS k_anon_groups,
+      |       CAST(sum(CASE WHEN tv_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS t_breaching,
+      |       CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm,
+      |       floor(CAST(sum(CASE WHEN tv_ppm > 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1e6 + 0.5) / 1e6 AS breach_share
+      |FROM tv WHERE users >= 5
+      |GROUP BY 1 ORDER BY hr""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -757,5 +845,6 @@ object ProfilingQueries {
     QuerySpec("q127_l_diversity", Some(q127Sql), q127),
     QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136),
     QuerySpec("q139_length_outliers", Some(q139Sql), q139),
+    QuerySpec("q140_t_closeness", Some(q140Sql), q140),
   )
 }

@@ -172,4 +172,42 @@ class ProfilingStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("mad") <= 2L, "MAD must ignore the spike")
     assert(r.getAs[Long]("n_out") === 1L, "exactly the spike is an outlier")
   }
+
+  test("q140 t-closeness equals an exact driver TV recomputation") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 50).cast("long").as("vb"))
+      .as[(Long, String, Long, Long)].collect()
+    val total = ev.length.toLong
+    val globPpm = ev.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong * 1000000L / total
+    }
+    val byGroup = ev.groupBy(r => (r._3, r._4))
+    val expected = byGroup.toSeq.flatMap { case ((hr, _), rows) =>
+      val users = rows.map(_._1).distinct.length.toLong
+      if (users < 5) None
+      else {
+        val n = rows.length.toLong
+        val cnts = rows.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+        val sad = globPpm.map { case (t, pg) =>
+          math.abs(cnts.getOrElse(t, 0L) * 1000000L / n - pg)
+        }.sum
+        Some(hr -> (sad / 2))
+      }
+    }.groupBy(_._1).map { case (hr, tvs) =>
+      val vals = tvs.map(_._2)
+      val breach = vals.count(_ > 200000L).toLong
+      hr -> ((vals.size.toLong, breach, vals.max,
+        math.floor(breach.toDouble / vals.size * 1e6 + 0.5) / 1e6))
+    }
+    val got = ProfilingQueries.specs.find(_.name == "q140_t_closeness").get
+      .fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("hr") ->
+        ((r.getAs[Long]("k_anon_groups"), r.getAs[Long]("t_breaching"),
+          r.getAs[Long]("max_tv_ppm"), r.getAs[Double]("breach_share"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (hr, e) => assert(got(hr) === e, s"hour $hr") }
+  }
 }
