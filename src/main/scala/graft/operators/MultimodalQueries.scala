@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  private def q52(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q52/q141 media-feature frame: documents-as-media through
+    * the real decode→features machinery, ending at (vec_id,
+    * v: array<double>). Media bytes never shuffle — features extract
+    * map-side. */
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -42,8 +46,23 @@ object MultimodalQueries {
         MultimodalOps.MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt),
           bytes, 64, 64, 16000, 1000L + id)
       }
-    val feats = MultimodalOps.featureTable(s, media)
+    MultimodalOps.featureTable(s, media)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
+
+  /** The matching oracle CTE (documents → 16 stripe-mean doubles),
+    * ending at e(doc_id, emb). */
+  private val mediaFeaturesSql =
+    """e AS (
+      |  SELECT doc_id,
+      |    [CAST(list_avg([unicode(substr(text, i + 1, 1)) % 256
+      |                    FOR i IN range(length(text)) IF i % 16 = s]) AS FLOAT)
+      |     FOR s IN range(16)] AS emb
+      |  FROM documents
+      |)""".stripMargin
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val feats = mediaFeatures(s, dir)
       .withColumn("nrm", VectorMath.norm(s, "v"))
     val q = feats.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -59,13 +78,7 @@ object MultimodalQueries {
   }
 
   private val q52Sql =
-    """WITH e AS (
-      |  SELECT doc_id,
-      |    [CAST(list_avg([unicode(substr(text, i + 1, 1)) % 256
-      |                    FOR i IN range(length(text)) IF i % 16 = s]) AS FLOAT)
-      |     FOR s IN range(16)] AS emb
-      |  FROM documents
-      |), nv AS (
+    s"""WITH $mediaFeaturesSql, nv AS (
       |  SELECT doc_id AS vec_id, emb::DOUBLE[] AS v,
       |         sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])) AS nrm
       |  FROM e
@@ -80,7 +93,51 @@ object MultimodalQueries {
       |)
       |SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Perceptual media dedup via dHash — the multimodal twin of the text
+    * dedup ladder (q24 exact bytes / q27 SimHash): two re-encodes of
+    * the same image differ byte-wise (so q24-style md5 misses them) but
+    * keep their luminance GRADIENTS, which is what dHash fingerprints —
+    * bit i = (feature_i > feature_{i+1 mod 16}) over the 16 stripe
+    * means, the standard difference-hash recipe on the engine's media
+    * feature vector. Items sharing a 16-bit fingerprint form a
+    * perceptual duplicate family; output mirrors q24's (fingerprint,
+    * keep_id, dupes) report, families of ≥ 2 only.
+    *
+    * Exactness: the bits are pure COMPARISONS of the q52-proven
+    * identical doubles — no new arithmetic anywhere, so no rounding
+    * surface at all; the fingerprint packs via integer shifts.
+    *
+    * Scale: features extract map-side (media bytes never shuffle —
+    * q52's path, shared builder); per item ONE 16-bit fingerprint
+    * shuffles to a map-side-combined groupBy — q24's exact-dedup
+    * envelope, 2 bytes of key per item instead of a digest. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 16).map { i =>
+      expr(s"IF(element_at(v, ${i + 1}) > element_at(v, ${(i + 1) % 16 + 1}), " +
+        s"${1L << i}L, 0L)")
+    }.reduce(_ + _)
+    mediaFeatures(s, dir)
+      .select(col("vec_id"), bits.as("dhash"))
+      .groupBy(col("dhash"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("dupes"))
+      .filter(col("dupes") >= 2)
+      .orderBy(col("keep_id"))
+  }
+
+  private val q141Sql = {
+    val bits = (0 until 16).map(i =>
+      s"(CASE WHEN emb[${i + 1}]::DOUBLE > emb[${(i + 1) % 16 + 1}]::DOUBLE " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH $mediaFeaturesSql, h AS (
+       |  SELECT doc_id, $bits AS dhash FROM e
+       |)
+       |SELECT dhash, min(doc_id) AS keep_id, count(*) AS dupes
+       |FROM h GROUP BY dhash HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q52_multimodal_ann", Some(q52Sql), q52),
+    QuerySpec("q141_media_dhash_dedup", Some(q141Sql), q141),
   )
 }

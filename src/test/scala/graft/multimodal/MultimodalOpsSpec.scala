@@ -63,4 +63,31 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(q.count() === 29)
     assert(q.filter(col("dot").isNull).count() === 0)
   }
+
+  test("q141 dHash dedup equals a driver recomputation and respects family accounting") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // driver twin of the media → stripe-mean → dHash chain
+    def feats(text: String): IndexedSeq[Double] =
+      (0 until 16).map { s =>
+        val xs = text.indices.filter(_ % 16 == s).map(i => (text.charAt(i).toInt & 0xff).toDouble)
+        (xs.sum / xs.size).toFloat.toDouble
+      }
+    def dhash(v: IndexedSeq[Double]): Long =
+      (0 until 16).map(i => if (v(i) > v((i + 1) % 16)) 1L << i else 0L).sum
+    val expected = docs.map { case (id, t) => (id, dhash(feats(t))) }
+      .groupBy(_._2).collect { case (h, xs) if xs.length >= 2 =>
+        h -> ((xs.map(_._1).min, xs.length.toLong))
+      }
+    val got = graft.operators.MultimodalQueries.specs
+      .find(_.name == "q141_media_dhash_dedup").get.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("dhash") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("dupes")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (h, e) => assert(got(h) === e, s"dhash $h") }
+    // perceptual property: identical payloads collide regardless of id
+    assert(dhash(feats("abcdef" * 40)) === dhash(feats("abcdef" * 40)))
+  }
 }
