@@ -170,6 +170,52 @@ object CorpusQueries {
        |             * 1e6 + 0.5) / 1e6 AS doc_share
        |FROM h ORDER BY csize""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Soft-dedup sampling weights — the REWEIGHT alternative to q97's
+    * hard survivor selection: instead of dropping non-canonical family
+    * members, every doc in a near-dup family of size n samples at
+    * weight 1/n, so each family contributes exactly one doc's worth of
+    * probability mass and no single variant is anointed (the
+    * "duplication-aware downweighting" option pipelines take when
+    * near-dups carry complementary edits). Output per source: raw
+    * docs, EFFECTIVE docs (Σ 1/n in ppm), and the dedup discount —
+    * the per-source multiplier a mixture designer applies to q105/q76
+    * budgets so duplicated crawls stop buying weight with copies.
+    *
+    * Exactness: weights are 10⁶ div n integers; a family of size n
+    * contributes n·(10⁶ div n) ≤ 10⁶ ppm (exact when n | 10⁶) — the
+    * spec pins per-source sums and the corpus-level ≤ #families·10⁶
+    * bound. Rides q54's clustering verbatim (shared clustersFrom /
+    * ccPrefix), so weights and clusters cannot disagree.
+    *
+    * Scale: q54's envelope (banded pair generation + O(log n) CC
+    * rounds) plus one doc_id-equi join against the narrow
+    * (doc_id, source) projection and an |S|-row rollup. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    clustersFrom(s, docs.select(col("doc_id").as("id")),
+        DedupQueries.jaccardPairs(s, dir))
+      .select(col("doc_id"), expr("1000000L DIV csize").as("wppm"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wppm")).as("eff_docs_ppm"))
+      .withColumn("discount_ppm", expr("eff_docs_ppm DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val q142Sql =
+    s"""$ccPrefix,
+       |cs AS (SELECT component_id, count(*) AS csize FROM comp GROUP BY 1),
+       |w AS (
+       |  SELECT d.source, 1000000 // cs.csize AS wppm
+       |  FROM documents d
+       |  JOIN comp ON comp.doc_id = d.doc_id
+       |  JOIN cs ON cs.component_id = comp.component_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(wppm) AS BIGINT) AS eff_docs_ppm,
+       |       CAST(sum(wppm) AS BIGINT) // count(*) AS discount_ppm
+       |FROM w GROUP BY 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Cluster-canonical survivor selection — the step that turns q54's
     * near-dup CLUSTERING into an actual deduplicated corpus: within
@@ -1190,5 +1236,6 @@ object CorpusQueries {
     QuerySpec("q131_datasheet", Some(q131Sql), q131),
     QuerySpec("q132_source_jsd", Some(q132Sql), q132),
     QuerySpec("q135_source_minhash", Some(q135Sql), q135),
+    QuerySpec("q142_softdedup_weights", Some(q142Sql), q142),
   )
 }

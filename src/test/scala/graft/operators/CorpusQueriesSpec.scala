@@ -274,4 +274,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(math.abs(errs.sum / errs.size) <= 0.05,
       s"mean error ${errs.sum / errs.size} suggests estimator bias")
   }
+
+  test("q142 soft-dedup weights tie out against q54's clustering exactly") {
+    val comp = CorpusQueries.specs.find(_.name == "q54_cc_dedup_clusters").get
+      .fn(spark, dir)
+      .select(col("doc_id"), col("component_id"))
+      .as[(Long, Long)].collect()
+    val csize = comp.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+    val wppm = comp.map { case (d, c) => d -> 1000000L / csize(c) }.toMap
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val expected = wppm.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .map { case (src, xs) =>
+        val eff = xs.map(_._2).sum
+        src -> ((xs.size.toLong, eff, eff / xs.size))
+      }
+    val got = CorpusQueries.specs.find(_.name == "q142_softdedup_weights").get
+      .fn(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("eff_docs_ppm"),
+          r.getAs[Long]("discount_ppm")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (s0, e) => assert(got(s0) === e, s"source $s0") }
+    // each family contributes at most one doc's worth of mass
+    val totalEff = got.values.map(_._2).sum
+    assert(totalEff <= csize.size.toLong * 1000000L,
+      "effective mass must not exceed one doc per family")
+    assert(totalEff > 0L)
+  }
 }
