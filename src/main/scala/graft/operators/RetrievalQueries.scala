@@ -147,7 +147,60 @@ object RetrievalQueries {
        |FROM lex_top l FULL JOIN dense_top r USING (doc_id)
        |ORDER BY rrf_score DESC, doc_id LIMIT $OutK""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  /** Context-window assembly under a token budget — the step that turns
+    * q94's fused ranking into the prompt a RAG serving path actually
+    * ships: walk the RRF list in rank order accumulating token costs
+    * and mark the PREFIX that fits the budget (stop at first overflow —
+    * the deterministic window-packing rule; greedy-skip variants trade
+    * a head doc for two tail docs and wreck rank faithfulness). Output
+    * keeps every candidate with its running total, so the report shows
+    * both what shipped and what the budget cut.
+    *
+    * Exactness: rides q94's integer RRF scores verbatim (same
+    * function, not a copy); token costs and the running total are
+    * BIGINT; the packed flag is one comparison against B = 512.
+    *
+    * Scale: the fused list is ≤ 20 rows by construction — the
+    * single-partition rank window is free; token counts come from one
+    * narrow projection of the corpus joined BY the broadcast 20-row
+    * list (the corpus never shuffles). */
+  private val CtxBudget = 512L
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("rrf_score").desc, col("doc_id"))
+    toks.join(broadcast(q94(s, dir)), Seq("doc_id"))
+      .withColumn("ctx_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("ctx_rank"), col("doc_id"), col("rrf_score"),
+        col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= CtxBudget).as("packed"))
+      .orderBy(col("ctx_rank"))
+  }
+
+  private val q143Sql = {
+    // q94Sql is a complete WITH…SELECT — nest it as the fused list
+    s"""WITH fused AS (
+       |$q94Sql
+       |), wt AS (
+       |  SELECT f.doc_id, f.rrf_score,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM fused f JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, rrf_score, n_tokens,
+       |         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS ctx_rank,
+       |         sum(n_tokens) OVER (ORDER BY rrf_score DESC, doc_id) AS cum_tokens
+       |  FROM wt)
+       |SELECT CAST(ctx_rank AS BIGINT) AS ctx_rank, doc_id, rrf_score, n_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       cum_tokens <= $CtxBudget AS packed
+       |FROM c ORDER BY ctx_rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q94_hybrid_rrf", Some(q94Sql), q94),
+    QuerySpec("q143_context_pack", Some(q143Sql), q143),
   )
 }
