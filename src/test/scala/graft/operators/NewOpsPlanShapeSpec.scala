@@ -100,4 +100,39 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     // exactly one Window over the (type, vq) grid
     assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty)
   }
+
+  test("q138 quantile drift inherits q133's kernel shape") {
+    val p = finalPlan("q138_quantile_drift")
+    assert(p.contains("BroadcastHashJoin"), "per-type totals must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q139 MAD profile: grid windows, broadcast medians, no doc-scale merge join") {
+    val p = finalPlan("q139_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), "the |S|-row med/mad frames must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q140 t-closeness: the global distribution broadcasts into the domain") {
+    val p = finalPlan("q140_t_closeness").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "the |QI|x|types| domain cross must ride the broadcast global frame")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q141 media dHash: one media pass, no join anywhere") {
+    val df = graft.QueryCatalog.all.find(_.name == "q141_media_dhash_dedup").get
+      .fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), "fingerprint dedup is scan -> groupBy, never a join")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one media pass claimed, $scans scans found")
+  }
+
+  test("q143 context pack: the 20-row fused list broadcasts into the token projection") {
+    val p = finalPlan("q143_context_pack")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
