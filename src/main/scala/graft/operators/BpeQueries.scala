@@ -440,10 +440,124 @@ object BpeQueries {
        |       floor(f / ef * 1e6 + 0.5) / 1e6 AS premium_vs_en
        |FROM wf ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  /** WordPiece-style greedy longest-match tokenization (Song et al.
+    * 2021, "Fast WordPiece Tokenization" — the MaxMatch family) with
+    * the BPE-LEARNED piece inventory, reported against q92's
+    * merge-order segmentation: when a trained BPE vocab is exported
+    * to a maximum-munch runtime matcher (the standard serving-side
+    * move — HuggingFace's WordPiece, BERT's tokenizer), the two
+    * algorithms can disagree on token boundaries even with the
+    * IDENTICAL piece set, and this query measures exactly that drift
+    * — per source, BPE vs greedy token volume, words that segment
+    * differently, and characters that fall through to UNK (a char
+    * that always merged during training never appears as a standalone
+    * piece, so max-munch can strand it).
+    *
+    * The matcher is a scan-side `aggregate` fold over the word's
+    * positions: at each unconsumed position take the LONGEST piece
+    * matching there (one nested fold over the ≤ |pieces| literal
+    * inventory), else consume one char as UNK. O(len·|P|) per word
+    * on the |V|-row distinct-word frame — production replaces the
+    * literal scan with a trie (LinMaxMatch is O(len)), but the
+    * SEMANTICS pinned here are the trie's exactly. The oracle replays
+    * the same walk as a DuckDB recursive CTE over a precomputed
+    * (word, pos) → longest-match table, so both engines take
+    * identical steps.
+    *
+    * Scale: pieces are a ≤ |V_pieces|-row driver list (the trained
+    * artifact — same boundedness as q99's LM closure); the walk runs
+    * once per DISTINCT word, collects to a |V|-row LocalRelation, and
+    * broadcast-joins the corpus explode (q92's envelope). The corpus
+    * never sees the fold. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    var dict: DataFrame = null
+    trainCore(vocab(s, dir), MergeSteps) { finalSeg =>
+      val pieces = finalSeg.select(explode(col("syms")).as("p")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val pArr = pieces
+        .map(p => "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
+        .mkString("array(", ",", ")")
+      // longest piece matching at position st.pos (0 = no match)
+      val m = s"aggregate(filter($pArr, p -> substring(w, st.pos, length(p)) = p), " +
+        "0, (mx, p) -> greatest(mx, length(p)))"
+      val walked = finalSeg
+        .select(col("w"), size(col("syms")).cast("long").as("bpe_tok"))
+        .withColumn("wp", expr(
+          s"""aggregate(
+             |  sequence(1, length(w)),
+             |  struct(CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS n,
+             |         CAST(0 AS BIGINT) AS unk),
+             |  (st, i) -> IF(st.pos > length(w), st,
+             |    struct(CAST(st.pos + greatest($m, 1) AS INT) AS pos,
+             |           st.n + 1 AS n,
+             |           st.unk + IF($m = 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+             |             AS unk)),
+             |  st -> st)""".stripMargin))
+        .select(col("w"), col("bpe_tok"),
+          col("wp.n").as("wp_tok"), col("wp.unk").as("wp_unk"))
+      dict = s.createDataFrame(
+        java.util.Arrays.asList(walked.collect(): _*), walked.schema)
+    }
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("bpe_tok")).as("n_bpe_tokens"),
+        sum(col("wp_tok")).as("n_wp_tokens"),
+        sum(col("wp_unk")).as("n_unk"),
+        sum(when(col("wp_tok") =!= col("bpe_tok"), 1L).otherwise(0L))
+          .as("diff_words"))
+      .withColumn("diff_ppm", expr("(diff_words * 1000000) DIV n_words"))
+      .orderBy(col("source"))
+  }
+
+  private val q148Sql =
+    s"""${ctePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pieces AS (
+       |  SELECT DISTINCT sym AS p FROM seg$MergeSteps
+       |), cand AS (
+       |  SELECT t.w, t.pos, CAST(max(length(pc.p)) AS INT) AS m
+       |  FROM (SELECT w.w, u.i AS pos
+       |        FROM w, unnest(generate_series(1, len(w.w))) AS u(i)) t
+       |  JOIN pieces pc ON substr(t.w, t.pos, length(pc.p)) = pc.p
+       |  GROUP BY t.w, t.pos
+       |), walk AS (
+       |  SELECT w AS w, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS n,
+       |         CAST(0 AS BIGINT) AS unk
+       |  FROM w
+       |  UNION ALL
+       |  SELECT k.w, CAST(k.pos + COALESCE(c.m, 1) AS INT), k.n + 1,
+       |         k.unk + CASE WHEN c.m IS NULL THEN 1 ELSE 0 END
+       |  FROM walk k LEFT JOIN cand c ON c.w = k.w AND c.pos = k.pos
+       |  WHERE k.pos <= len(k.w)
+       |), wp AS (
+       |  SELECT w, n AS wp_tok, unk AS wp_unk FROM walk WHERE pos > len(w)
+       |), bpe AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS bpe_tok
+       |  FROM seg$MergeSteps GROUP BY w
+       |), sw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(b.bpe_tok) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(p.wp_tok) AS BIGINT) AS n_wp_tokens,
+       |       CAST(sum(p.wp_unk) AS BIGINT) AS n_unk,
+       |       CAST(sum(CASE WHEN p.wp_tok <> b.bpe_tok THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS diff_words,
+       |       (CAST(sum(CASE WHEN p.wp_tok <> b.bpe_tok THEN 1 ELSE 0 END)
+       |             AS BIGINT) * 1000000) // count(*) AS diff_ppm
+       |FROM sw JOIN wp p USING (w) JOIN bpe b USING (w)
+       |WHERE len(sw.w) > 0
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
     QuerySpec("q102_bpe_packing", Some(q102Sql), q102),
     QuerySpec("q115_bpe_fertility", Some(q115Sql), q115),
+    QuerySpec("q148_wordpiece_drift", Some(q148Sql), q148),
   )
 }

@@ -871,6 +871,135 @@ object DedupQueries {
        |FROM probe""".stripMargin
   }
 
+  // --------------------------------------------------------------- q146
+  /** Paragraph-level duplicate-document removal (MassiveText / Gopher
+    * §A.1.2, Rae et al. 2021): a doc whose content is mostly
+    * paragraphs that also occur in OTHER documents — anywhere in the
+    * corpus, any source — is itself a duplicate-assembly and gets
+    * removed, even when no single whole-doc twin exists (the case
+    * q24's exact hash and q25's MinHash both miss: a doc stitched
+    * from pieces of many donors). "Paragraphs" are q110's stride-W
+    * non-overlapping W-token chunks ([[TextQueries.chunkHashesExpr]]
+    * — the SAME kernel text, so the boilerplate profile and this
+    * verdict can never disagree on segmentation); the verdict differs
+    * from q110 on every axis that matters: corpus-wide (not
+    * same-source), doc-level removal (not segment stripping), and a
+    * duplicated chunk needs ≥ 2 distinct DOCS (within-doc repeats are
+    * repetition — q56's axis — not duplication).
+    *
+    * A doc is removed when > [[ParaDupPpm]] ppm of its chunk
+    * instances are cross-doc duplicated. MassiveText's knob is 30%
+    * of duplicate LINES; the synthetic corpus's closed ~31-token
+    * vocabulary makes chance W=3 chunk collisions far denser than
+    * natural text, so the knob sits at 50% to target the same tail
+    * (sf0.01: removes ~16%, with decile mass on both sides). Docs
+    * shorter than W have no full chunk and are structurally exempt
+    * (n_chunks = 0 — never assessed, never removed).
+    *
+    * Output per source: docs, assessed docs, removed docs + their
+    * token volume, removal ppm of the source's token volume, and the
+    * mean dup share among assessed docs.
+    *
+    * Scale: two digest-keyed shuffles — (doc, h) collapse, then the
+    * per-h docs_with window — both on 16-byte hashes, never text
+    * (q110's envelope); everything after the per-doc verdict is a
+    * map-side-combined |S|-row rollup. The doc-axis join back to
+    * token counts rides the persisted scan-side frame. */
+  private[graft] val ParaDupPpm = 500000L
+
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = TextQueries.BoilerW
+    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_toks"),
+        expr(
+          s"""CASE WHEN size(t) >= $w THEN ${TextQueries.chunkHashesExpr(w)}
+             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("hs"))
+      .persist()
+    try {
+      val perDocChunk = docs
+        .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+        .groupBy(col("doc_id"), col("source"), col("h"))
+        .agg(count(lit(1)).as("occ"))
+      val verdict = perDocChunk
+        .withColumn("dw", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("occ")).as("n_chunks"),
+          sum(when(col("dw") >= 2, col("occ")).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_chunks"))
+        .withColumn("removed", col("dup_ppm") > ParaDupPpm)
+        .join(docs.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+      val perSrc = verdict.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_assessed"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("removed"), col("n_toks")).otherwise(0L))
+            .as("removed_tokens"),
+          sum(col("dup_ppm")).as("sum_dup_ppm"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      val outPlan = tot.join(perSrc, Seq("source"))
+        .withColumn("removed_ppm",
+          expr("(removed_tokens * 1000000) DIV total_tokens"))
+        .withColumn("mean_dup_ppm", expr("sum_dup_ppm DIV n_assessed"))
+        .select(col("source"), col("n_docs"), col("n_assessed"),
+          col("n_removed"), col("removed_tokens"), col("removed_ppm"),
+          col("mean_dup_ppm"))
+        .orderBy(col("source"))
+      s.createDataFrame(java.util.Arrays.asList(outPlan.collect(): _*), outPlan.schema)
+    } finally docs.unpersist()
+  }
+
+  private val q146Sql = {
+    val w = TextQueries.BoilerW
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         generate_subscripts(string_split(text, ' '), 1) AS ord,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), doc_tok AS (
+       |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks
+       |  FROM toks GROUP BY source, doc_id
+       |), segs AS (
+       |  SELECT doc_id, source, CAST(floor((ord - 1) / $w) AS BIGINT) AS seg,
+       |         md5(string_agg(tok, ' ' ORDER BY ord)) AS h, count(*) AS cw
+       |  FROM toks GROUP BY doc_id, source, seg
+       |), pc AS (
+       |  SELECT doc_id, source, h, CAST(count(*) AS BIGINT) AS occ
+       |  FROM segs WHERE cw = $w GROUP BY 1, 2, 3
+       |), dwf AS (
+       |  SELECT *, count(*) OVER (PARTITION BY h) AS dw FROM pc
+       |), pd AS (
+       |  SELECT source, doc_id, CAST(sum(occ) AS BIGINT) AS n_chunks,
+       |         CAST(sum(CASE WHEN dw >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM dwf GROUP BY 1, 2
+       |), vd AS (
+       |  SELECT pd.source, pd.doc_id,
+       |         (n_dup * 1000000) // n_chunks AS dup_ppm,
+       |         (n_dup * 1000000) // n_chunks > $ParaDupPpm AS removed,
+       |         dt.n_toks
+       |  FROM pd JOIN doc_tok dt USING (source, doc_id)
+       |), per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_assessed,
+       |         CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_removed,
+       |         CAST(sum(CASE WHEN removed THEN n_toks ELSE 0 END) AS BIGINT)
+       |           AS removed_tokens,
+       |         CAST(sum(dup_ppm) AS BIGINT) AS sum_dup_ppm
+       |  FROM vd GROUP BY source
+       |), tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+       |  FROM doc_tok GROUP BY source
+       |)
+       |SELECT t.source, t.n_docs, p.n_assessed, p.n_removed, p.removed_tokens,
+       |       (p.removed_tokens * 1000000) // t.total_tokens AS removed_ppm,
+       |       p.sum_dup_ppm // p.n_assessed AS mean_dup_ppm
+       |FROM tot t JOIN per p USING (source)
+       |ORDER BY t.source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q24_exact_dedup", Some(q24Sql), q24),
     QuerySpec("q25_minhash_lsh", Some(q25Sql), q25),
@@ -883,5 +1012,6 @@ object DedupQueries {
     QuerySpec("q106_lsh_precision", Some(q106Sql), q106),
     QuerySpec("q129_simhash_curve", Some(q129Sql), q129),
     QuerySpec("q137_bloom_dedup_filter", Some(q137Sql), q137),
+    QuerySpec("q146_paragraph_dedup", Some(q146Sql), q146),
   )
 }

@@ -315,14 +315,25 @@ object IvfQueries {
       .groupBy(col("vec_id"), col("cell"))
       .agg(max(when(col("ccell") === col("cell"), col("sim"))).as("a_sim"),
         max(when(col("ccell") =!= col("cell"), col("sim"))).as("b_sim"))
-      .withColumn("margin", Det.rate(col("a_sim") - col("b_sim")))
+      // per-row µ-unit BIGINTs from the already-µ-rounded doubles: the
+      // float value sits within ~1e-13 of its k/1e6 target, so the
+      // +0.5 floor re-reads k exactly in both engines — and the cell
+      // means become order-immune integer sums. A double avg() here
+      // was the repo's one remaining float-summation mean; it landed
+      // on a half-ulp boundary in an r7 selfcheck (1-µ diff on one
+      // cell) — the same reason every other mean in the repo is
+      // sum-DIV-count on integers.
+      .withColumn("a_u", expr("CAST(floor(a_sim * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("margin_u",
+        expr("CAST(floor((a_sim - b_sim) * 1e6 + 0.5) AS BIGINT)"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
-        Det.rate(avg(col("a_sim"))).as("mean_cohesion"),
-        Det.rate(avg(col("margin"))).as("mean_margin"),
-        sum(when(col("margin") < BoundaryMargin, 1L).otherwise(0L)).as("n_boundary"))
+        sum(col("a_u")).as("sum_a"), sum(col("margin_u")).as("sum_m"),
+        sum(when(col("margin_u") < (BoundaryMargin * 1e6).toLong, 1L)
+          .otherwise(0L)).as("n_boundary"))
       .select(col("cell").cast("long").as("cell"), col("n_vecs"),
-        col("mean_cohesion"), col("mean_margin"), col("n_boundary"))
+        expr("sum_a DIV n_vecs").as("mean_cohesion_uu"),
+        expr("sum_m DIV n_vecs").as("mean_margin_uu"), col("n_boundary"))
       .orderBy(col("cell"))
   }
 
@@ -340,15 +351,16 @@ object IvfQueries {
        |  FROM sims GROUP BY vec_id, cell
        |),
        |pm2 AS (
-       |  SELECT vec_id, cell, a_sim,
-       |         floor((a_sim - b_sim) * 1e6 + 0.5) / 1e6 AS margin
+       |  SELECT vec_id, cell,
+       |         CAST(floor(a_sim * 1e6 + 0.5) AS BIGINT) AS a_u,
+       |         CAST(floor((a_sim - b_sim) * 1e6 + 0.5) AS BIGINT) AS margin_u
        |  FROM pm
        |)
        |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
-       |       floor(avg(a_sim) * 1e6 + 0.5) / 1e6 AS mean_cohesion,
-       |       floor(avg(margin) * 1e6 + 0.5) / 1e6 AS mean_margin,
-       |       CAST(sum(CASE WHEN margin < $BoundaryMargin THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS n_boundary
+       |       CAST(sum(a_u) AS BIGINT) // count(*) AS mean_cohesion_uu,
+       |       CAST(sum(margin_u) AS BIGINT) // count(*) AS mean_margin_uu,
+       |       CAST(sum(CASE WHEN margin_u < ${(BoundaryMargin * 1e6).toLong}
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
        |FROM pm2 GROUP BY cell ORDER BY cell""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(

@@ -580,11 +580,203 @@ object SelectionQueries {
        |       capped = 1 AS capped
        |FROM fin ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q144
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * score every DOMAIN (source) by its excess loss — how much worse
+    * the reference model does on that domain than on the corpus as a
+    * whole — and shift the sampling mixture toward high-excess
+    * domains with one multiplicative-weights (Hedge) step. The
+    * reference model is q99's pruned bigram LM ([[docNll]] — reused
+    * verbatim, so the two operators cannot disagree about a doc's
+    * loss); DoReMi proper trains a small proxy transformer, but the
+    * OPERATOR — per-domain excess loss → exponentiated-gradient
+    * reweight → renormalize — is the same.
+    *
+    * Exactness: per-domain and corpus average NLL are truncated
+    * integer divisions in µnat/bigram; excess clamps at 0 (Hedge
+    * never downweights below the baseline by construction here). The
+    * Hedge factor e^(η·excess) is linearized to (1 + η·excess) —
+    * libm exp is not bit-portable across engines, and for one step at
+    * small η the linear update is the same ordering with exact BIGINT
+    * arithmetic (documented engine semantics, like q89's ladder).
+    * Final weights renormalize to EXACTLY 10⁶ ppm by q105's
+    * largest-remainder method.
+    *
+    * Scale: everything past [[docNll]]'s per-doc rollup runs on the
+    * |domains|-row frame, where the whole-frame windows are free. The
+    * raw weight divides by 10⁶ before the ppm renormalization so no
+    * intermediate product exceeds ~10¹⁵ even at the ladder's clamp. */
+  private val DoremiEta = 10L
+
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val byRem = Window.partitionBy().orderBy(col("rem").desc, col("source"))
+    docNll(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll")).as("sum_nll"), sum(col("nbg")).as("n_bigrams"))
+      .withColumn("tot_nll", sum(col("sum_nll")).over(whole))
+      .withColumn("tot_bg", sum(col("n_bigrams")).over(whole))
+      .withColumn("avg_nll_unat", expr("(sum_nll * 1000) DIV n_bigrams"))
+      .withColumn("excess_unat",
+        greatest(lit(0L), col("avg_nll_unat") - expr("(tot_nll * 1000) DIV tot_bg")))
+      .withColumn("base_ppm", expr("(n_bigrams * 1000000) DIV tot_bg"))
+      .withColumn("raw",
+        expr(s"(base_ppm * (1000000 + $DoremiEta * excess_unat)) DIV 1000000"))
+      .withColumn("traw", sum(col("raw")).over(whole))
+      .withColumn("b", expr("(raw * 1000000) DIV traw"))
+      .withColumn("rem", expr("(raw * 1000000) % traw"))
+      .withColumn("short", lit(1000000L) - sum(col("b")).over(whole))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("avg_nll_unat"), col("excess_unat"), col("base_ppm"),
+        (col("b") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("doremi_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q144Sql =
+    s"""$docNllSqlPrefix
+       |, ps AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(nll) AS BIGINT) AS sum_nll,
+       |         CAST(sum(nbg) AS BIGINT) AS n_bigrams
+       |  FROM sc GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(sum(sum_nll) AS BIGINT) AS tot_nll,
+       |         CAST(sum(n_bigrams) AS BIGINT) AS tot_bg FROM ps
+       |), ex AS (
+       |  SELECT source, n_docs, n_bigrams,
+       |         (sum_nll * 1000) // n_bigrams AS avg_nll_unat,
+       |         greatest(0, (sum_nll * 1000) // n_bigrams
+       |                     - (tot_nll * 1000) // tot_bg) AS excess_unat,
+       |         (n_bigrams * 1000000) // tot_bg AS base_ppm
+       |  FROM ps, g
+       |), rw AS (
+       |  SELECT *, (base_ppm * (1000000 + $DoremiEta * excess_unat)) // 1000000
+       |              AS raw
+       |  FROM ex
+       |), tt AS (SELECT CAST(sum(raw) AS BIGINT) AS traw FROM rw),
+       |al AS (
+       |  SELECT *, (raw * 1000000) // traw AS b, (raw * 1000000) % traw AS rem
+       |  FROM rw, tt
+       |), tp AS (
+       |  SELECT *, 1000000 - sum(b) OVER () AS short,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM al
+       |)
+       |SELECT source, n_docs, n_bigrams,
+       |       CAST(avg_nll_unat AS BIGINT) AS avg_nll_unat,
+       |       CAST(excess_unat AS BIGINT) AS excess_unat,
+       |       CAST(base_ppm AS BIGINT) AS base_ppm,
+       |       CAST(b + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |         AS doremi_ppm
+       |FROM tp ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q145
+  /** Per-source token-budget cap (the RefinedWeb / C4 corpus
+    * rebalancing move): no source may contribute more than 90% of the
+    * uniform token share — cap = (9·T) DIV (10·S) — so over-represented
+    * crawls get trimmed while small sources keep everything. Within a
+    * capped source, docs are admitted in the deterministic
+    * md5(doc_id) priority order (q19/q57's engine-portable uniform
+    * permutation) while the RUNNING token total stays within the cap
+    * (greedy prefix, q143's budget-walk semantics: a doc is kept iff
+    * its inclusive running total ≤ cap — the first overflowing doc and
+    * everything after it drop).
+    *
+    * Output per source: docs/tokens before, the cap, kept/dropped
+    * docs, kept tokens, and the corpus token share before and after
+    * in exact ppm — the flattening read (post-cap shares compress
+    * toward uniform) a mixture designer applies before q105/q114
+    * allocate budgets.
+    *
+    * Scale: the cap and both share denominators live on |S|-row
+    * whole-frame windows (free); the admission walk is a per-source
+    * cumulative-sum window over (source, 16-byte priority, n_tok)
+    * rows — the text itself never shuffles, and the sort is
+    * partition-local per source. A pathologically hot source is the
+    * q45 salt-and-merge case; RefinedWeb runs exactly this shape per
+    * CommonCrawl snapshot. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val walk = Window.partitionBy(col("source"))
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("pri"))
+    val caps = docs.groupBy(col("source")).agg(sum(col("n")).as("src_tok"))
+      .withColumn("cap",
+        expr("(9 * sum(src_tok) OVER ()) DIV (10 * count(*) OVER ())"))
+    docs.join(broadcast(caps), Seq("source"))
+      .withColumn("cum", sum(col("n")).over(walk))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("src_tok")).as("n_tok"), max(col("cap")).as("cap"),
+        sum(when(col("cum") <= col("cap"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("cum") <= col("cap"), col("n")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("dropped_docs", col("n_docs") - col("kept_docs"))
+      .withColumn("share_before_ppm",
+        expr("(n_tok * 1000000) DIV sum(n_tok) OVER ()"))
+      .withColumn("share_after_ppm",
+        expr("(kept_tokens * 1000000) DIV sum(kept_tokens) OVER ()"))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("cap"),
+        col("kept_docs"), col("dropped_docs"), col("kept_tokens"),
+        col("share_before_ppm"), col("share_after_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q145Sql =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |         md5(CAST(doc_id AS VARCHAR)) AS pri
+      |  FROM documents
+      |), srcs AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS src_tok FROM d GROUP BY source
+      |), caps AS (
+      |  SELECT source, src_tok,
+      |         (9 * CAST(sum(src_tok) OVER () AS BIGINT))
+      |           // (10 * CAST(count(*) OVER () AS BIGINT)) AS cap
+      |  FROM srcs
+      |), w AS (
+      |  SELECT d.source, d.n, caps.src_tok, caps.cap,
+      |         CAST(sum(d.n) OVER (PARTITION BY d.source
+      |           ORDER BY d.pri, d.doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum
+      |  FROM d JOIN caps USING (source)
+      |), per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(max(src_tok) AS BIGINT) AS n_tok,
+      |         CAST(max(cap) AS BIGINT) AS cap,
+      |         CAST(sum(CASE WHEN cum <= cap THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS kept_docs,
+      |         CAST(sum(CASE WHEN cum <= cap THEN n ELSE 0 END) AS BIGINT)
+      |           AS kept_tokens
+      |  FROM w GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tok, cap, kept_docs,
+      |       n_docs - kept_docs AS dropped_docs, kept_tokens,
+      |       (n_tok * 1000000) // CAST(sum(n_tok) OVER () AS BIGINT)
+      |         AS share_before_ppm,
+      |       (kept_tokens * 1000000) // CAST(sum(kept_tokens) OVER () AS BIGINT)
+      |         AS share_after_ppm
+      |FROM per ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
     QuerySpec("q105_token_budget", Some(q105Sql), q105),
     QuerySpec("q112_curriculum_phases", Some(q112Sql), q112),
     QuerySpec("q114_unimax_mix", Some(q114Sql), q114),
+    QuerySpec("q144_doremi_reweight", Some(q144Sql), q144),
+    QuerySpec("q145_token_cap", Some(q145Sql), q145),
   )
 }

@@ -457,6 +457,95 @@ object TextQueries {
        |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin
   }
 
+  // --------------------------------------------------------------- q147
+  /** Gopher-rule rejection matrix (Rae et al. 2021 §A.1.1, the
+    * heuristic quality filter FineWeb/RefinedWeb inherit): the cheap
+    * structural rules applied BEFORE any model-based gate, reported
+    * rule-by-rule so the filter is auditable — per source, how many
+    * docs each rule hits, how many any rule rejects, and how many
+    * fall to ≥ 2 rules at once (rules that only ever co-fire are
+    * redundant; q120 answers the same question for the MODEL gates).
+    *
+    * The four rules, thresholds calibrated so each genuinely fires on
+    * the synthetic corpus (Gopher's own knobs assume natural prose —
+    * e.g. its 50-word minimum would reject 40% of this corpus):
+    * word count < 20 (too_short) or > 90 (too_long — Gopher bounds
+    * both ends), mean word length outside [3.8, 5.2] chars (exact
+    * milli: (chars·1000) DIV words with chars = len(text)−(words−1)),
+    * and < 2 stopword occurrences over {the, a} (the closed vocab's
+    * only function words; Gopher's list has 8).
+    *
+    * Scale: pure scan-side arithmetic on each row + one
+    * map-side-combined |S|-row aggregate — the cheapest possible
+    * query shape, which is the POINT of heuristic rules: they run
+    * first because they cost one pass, and the matrix says what the
+    * expensive model gates still have to catch. */
+  private val GopherMinWords = 20L
+  private val GopherMaxWords = 90L
+  private val GopherMwlLo = 3800L
+  private val GopherMwlHi = 5200L
+  private val GopherMinStops = 2L
+
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val hits = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("t"), col("text"))
+      .select(col("source"),
+        size(col("t")).cast("long").as("n"),
+        (length(col("text")) - (size(col("t")) - 1)).cast("long").as("chars"),
+        size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("long").as("stops"))
+      .select(col("source"),
+        when(col("n") < GopherMinWords, 1L).otherwise(0L).as("r_short"),
+        when(col("n") > GopherMaxWords, 1L).otherwise(0L).as("r_long"),
+        when(expr("(chars * 1000) DIV n") < GopherMwlLo ||
+          expr("(chars * 1000) DIV n") > GopherMwlHi, 1L).otherwise(0L).as("r_mwl"),
+        when(col("stops") < GopherMinStops, 1L).otherwise(0L).as("r_stop"))
+      .withColumn("n_rules", col("r_short") + col("r_long") + col("r_mwl") + col("r_stop"))
+    hits.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_short")).as("short_hits"),
+        sum(col("r_long")).as("long_hits"),
+        sum(col("r_mwl")).as("mwl_hits"),
+        sum(col("r_stop")).as("stop_hits"),
+        sum(when(col("n_rules") >= 1, 1L).otherwise(0L)).as("reject_any"),
+        sum(when(col("n_rules") >= 2, 1L).otherwise(0L)).as("reject_multi"))
+      .withColumn("reject_ppm", expr("(reject_any * 1000000) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val q147Sql =
+    s"""WITH h AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+       |           AS chars,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> x = 'the' OR x = 'a')) AS BIGINT) AS stops
+       |  FROM documents
+       |), r AS (
+       |  SELECT source,
+       |         CASE WHEN n < $GopherMinWords THEN 1 ELSE 0 END AS r_short,
+       |         CASE WHEN n > $GopherMaxWords THEN 1 ELSE 0 END AS r_long,
+       |         CASE WHEN (chars * 1000) // n < $GopherMwlLo
+       |                OR (chars * 1000) // n > $GopherMwlHi
+       |              THEN 1 ELSE 0 END AS r_mwl,
+       |         CASE WHEN stops < $GopherMinStops THEN 1 ELSE 0 END AS r_stop
+       |  FROM h
+       |), m AS (
+       |  SELECT *, r_short + r_long + r_mwl + r_stop AS n_rules FROM r
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(r_short) AS BIGINT) AS short_hits,
+       |       CAST(sum(r_long) AS BIGINT) AS long_hits,
+       |       CAST(sum(r_mwl) AS BIGINT) AS mwl_hits,
+       |       CAST(sum(r_stop) AS BIGINT) AS stop_hits,
+       |       CAST(sum(CASE WHEN n_rules >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS reject_any,
+       |       CAST(sum(CASE WHEN n_rules >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS reject_multi,
+       |       (CAST(sum(CASE WHEN n_rules >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |        * 1000000) // count(*) AS reject_ppm
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -467,5 +556,6 @@ object TextQueries {
     QuerySpec("q111_entropy_gate", Some(q111Sql), q111),
     QuerySpec("q118_vocab_coverage", Some(q118Sql), q118),
     QuerySpec("q134_ngram_diversity", Some(q134Sql), q134),
+    QuerySpec("q147_gopher_rules", Some(q147Sql), q147),
   )
 }

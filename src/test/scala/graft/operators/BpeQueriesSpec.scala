@@ -76,4 +76,54 @@ class BpeQueriesSpec extends SparkSpec {
       assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
     }
   }
+
+  test("q148: greedy max-munch drift matches a plain-Scala matcher exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the trained artifacts independently through the PUBLIC
+    // trainer surface: corpus vocab -> merges -> final segmentation
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val merges = BpeQueries.trainMerges(words, 8)
+    val seg = BpeQueries.segmented(words, merges)
+      .collect().map(r => (r.getString(0), r.getAs[String]("sym")))
+    val bpeTok = seg.groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+    val pieces = seg.map(_._2).distinct.toSet
+    val maxLen = pieces.map(_.length).max
+    // reference greedy longest-match walker
+    def munch(w: String): (Long, Long) = {
+      var pos = 0; var n = 0L; var unk = 0L
+      while (pos < w.length) {
+        val m = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(l => pieces.contains(w.substring(pos, pos + l)))
+        m match {
+          case Some(l) => pos += l; n += 1
+          case None => pos += 1; n += 1; unk += 1
+        }
+      }
+      (n, unk)
+    }
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = corpus
+      .flatMap { case (src, t) => t.split(" ", -1).filter(_.nonEmpty).map(src -> _) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, ws) =>
+        val walked = ws.map { case (_, w) => (w, bpeTok(w), munch(w)) }
+        (src, ws.length.toLong,
+          walked.map(_._2).sum, walked.map(_._3._1).sum, walked.map(_._3._2).sum,
+          walked.count(x => x._3._1 != x._2).toLong)
+      }
+    val got = graft.QueryCatalog.all.find(_.name == "q148_wordpiece_drift").get
+      .fn(spark, dir).collect().map(r =>
+        (r.getString(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("n_wp_tokens"), r.getAs[Long]("n_unk"),
+          r.getAs[Long]("diff_words")))
+    assert(got.toSeq === want)
+    // the walk must consume every character: wp tokens never exceed chars
+    assert(got.map(_._4).sum <= corpus.map(_._2.replace(" ", "").length.toLong).sum)
+  }
 }

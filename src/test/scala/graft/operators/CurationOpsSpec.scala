@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-7 curation additions: q144 DoReMi
+  * reweighting, q145 per-source token cap, q146 paragraph-dedup doc
+  * removal, q147 Gopher rule matrix. Every pin recomputes the operator
+  * independently (driver-side Scala over collected inputs) and demands
+  * EXACT equality — same discipline as the rest of the suite. */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.QueryCatalog.all.find(_.name == name).get.fn(spark, dir)
+
+  // ------------------------------------------------------------- q144
+  test("q144: doremi weights renormalize to exactly 1e6 ppm") {
+    val rows = run("q144_doremi_reweight").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("doremi_ppm")).sum === 1000000L)
+  }
+
+  test("q144: the worst domain gains share, baseline domains are diluted") {
+    val rows = run("q144_doremi_reweight").collect()
+    // reweighting is RELATIVE: every domain's weight multiplies by
+    // (1 + eta*excess) and renormalizes, so only the extremes are
+    // order-guaranteed — the max-excess domain's factor beats the
+    // mixture average (it gains), a zero-excess domain's factor is
+    // the minimum (it can only be diluted). +-2 ppm absorbs the
+    // base-share truncation + largest-remainder wiggle.
+    val excess = rows.filter(_.getAs[Long]("excess_unat") > 0)
+    val base = rows.filter(_.getAs[Long]("excess_unat") == 0)
+    assert(excess.nonEmpty && base.nonEmpty,
+      "corpus must split into excess and at-baseline domains for the test to bind")
+    val worst = excess.maxBy(_.getAs[Long]("excess_unat"))
+    assert(worst.getAs[Long]("doremi_ppm") >= worst.getAs[Long]("base_ppm") - 2)
+    assert(base.forall(r => r.getAs[Long]("doremi_ppm") <= r.getAs[Long]("base_ppm") + 2))
+  }
+
+  test("q144: exact recomputation from the per-doc NLL frame") {
+    val nll = SelectionQueries.docNll(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("nll")).as("sn"), sum(col("nbg")).as("sb"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val totNll = nll.map(_._3).sum
+    val totBg = nll.map(_._4).sum
+    val g = totNll * 1000 / totBg
+    case class W(src: String, raw: Long, avg: Long, ex: Long, basePpm: Long)
+    val ws = nll.map { case (src, _, sn, sb) =>
+      val avg = sn * 1000 / sb
+      val ex = math.max(0L, avg - g)
+      val basePpm = sb * 1000000L / totBg
+      W(src, basePpm * (1000000L + 10L * ex) / 1000000L, avg, ex, basePpm)
+    }
+    val traw = ws.map(_.raw).sum
+    val bases = ws.map(w => (w.src, w.raw * 1000000L / traw, w.raw * 1000000L % traw))
+    val short = 1000000L - bases.map(_._2).sum
+    val topped = bases.sortBy(b => (-b._3, b._1)).zipWithIndex
+      .map { case ((src, b, _), i) => src -> (b + (if (i < short) 1L else 0L)) }.toMap
+    val got = run("q144_doremi_reweight").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("avg_nll_unat"), r.getAs[Long]("excess_unat"),
+        r.getAs[Long]("base_ppm"), r.getAs[Long]("doremi_ppm")))
+    val want = ws.map(w => (w.src, w.avg, w.ex, w.basePpm, topped(w.src)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  // ------------------------------------------------------------- q145
+  test("q145: kept set is exactly the greedy md5-priority prefix under the cap") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val bySrc = docs.groupBy(_._1)
+    val totTok = docs.map(_._3).sum
+    val cap = 9L * totTok / (10L * bySrc.size)
+    val want = bySrc.toSeq.sortBy(_._1).map { case (src, ds) =>
+      var cum = 0L; var kept = 0L; var keptTok = 0L
+      ds.sortBy(d => (d._4, d._2)).foreach { d =>
+        cum += d._3
+        if (cum <= cap) { kept += 1; keptTok += d._3 }
+      }
+      (src, ds.length.toLong, ds.map(_._3).sum, cap, kept, ds.length - kept, keptTok)
+    }
+    val got = run("q145_token_cap").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("cap"), r.getAs[Long]("kept_docs"),
+        r.getAs[Long]("dropped_docs"), r.getAs[Long]("kept_tokens")))
+    assert(got.toSeq === want)
+  }
+
+  test("q145: the cap binds somewhere and post-cap shares flatten toward uniform") {
+    val rows = run("q145_token_cap").collect()
+    assert(rows.exists(_.getAs[Long]("dropped_docs") > 0), "cap must bind")
+    assert(rows.forall(r => r.getAs[Long]("kept_tokens") <= r.getAs[Long]("cap")))
+    val before = rows.map(_.getAs[Long]("share_before_ppm"))
+    val after = rows.map(_.getAs[Long]("share_after_ppm"))
+    assert(after.max <= before.max,
+      "trimming the over-represented head cannot RAISE the max share")
+  }
+
+  // ------------------------------------------------------------- q146
+  test("q146: per-source removal accounting matches an exact driver recomputation") {
+    val w = TextQueries.BoilerW
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    def chunks(t: Seq[String]): Seq[String] =
+      t.grouped(w).filter(_.length == w).map(_.mkString(" ")).toSeq
+    val perDoc = docs.map { case (id, src, t) => (id, src, t.length.toLong, chunks(t)) }
+    // docs_with per chunk TEXT (md5 is injective enough for the pin)
+    val dw = perDoc.flatMap(d => d._4.distinct.map(c => (c, d._1)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val verdicts = perDoc.filter(_._4.nonEmpty).map { case (id, src, nTok, cs) =>
+      val nDup = cs.count(c => dw(c) >= 2).toLong
+      val dupPpm = nDup * 1000000L / cs.length
+      (src, id, nTok, dupPpm, dupPpm > DedupQueries.ParaDupPpm)
+    }
+    val want = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val vs = verdicts.filter(_._1 == src)
+      (src, ds.length.toLong, vs.length.toLong,
+        vs.count(_._5).toLong,
+        vs.filter(_._5).map(_._3).sum,
+        vs.filter(_._5).map(_._3).sum * 1000000L / ds.map(_._3.length.toLong).sum,
+        vs.map(_._4).sum / vs.length)
+    }
+    val got = run("q146_paragraph_dedup").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_assessed"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("removed_tokens"),
+        r.getAs[Long]("removed_ppm"), r.getAs[Long]("mean_dup_ppm")))
+    assert(got.toSeq === want)
+  }
+
+  test("q146: verdict is non-trivial and short docs are exempt") {
+    val rows = run("q146_paragraph_dedup").collect()
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    val assessed = rows.map(_.getAs[Long]("n_assessed")).sum
+    assert(removed > 0 && removed < assessed, "threshold must split the corpus")
+    // every doc under W tokens is structurally exempt
+    val nShort = graft.Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) < TextQueries.BoilerW).count()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(assessed === nDocs - nShort)
+  }
+
+  // ------------------------------------------------------------- q147
+  test("q147: matrix matches an exact driver recomputation and every rule fires") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rules = docs.map { case (src, text) =>
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val chars = text.length.toLong - (n - 1)
+      val mwl = chars * 1000 / n
+      val stops = t.count(x => x == "the" || x == "a").toLong
+      (src,
+        if (n < 20) 1L else 0L,
+        if (n > 90) 1L else 0L,
+        if (mwl < 3800 || mwl > 5200) 1L else 0L,
+        if (stops < 2) 1L else 0L)
+    }
+    val want = rules.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val any = rs.count(r => r._2 + r._3 + r._4 + r._5 >= 1).toLong
+      (src, rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(_._4).sum, rs.map(_._5).sum, any,
+        rs.count(r => r._2 + r._3 + r._4 + r._5 >= 2).toLong,
+        any * 1000000L / rs.length)
+    }
+    val got = run("q147_gopher_rules").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("short_hits"),
+        r.getAs[Long]("long_hits"), r.getAs[Long]("mwl_hits"),
+        r.getAs[Long]("stop_hits"), r.getAs[Long]("reject_any"),
+        r.getAs[Long]("reject_multi"), r.getAs[Long]("reject_ppm")))
+    assert(got.toSeq === want)
+    // corpus-level: each rule fires somewhere, none rejects everything
+    val tot = got.map(g => (g._3 + g._4 + g._5 + g._6, g._2, g._7))
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0 && got.map(_._6).sum > 0,
+      "short/long/stop rules must each fire on testdata")
+    assert(got.map(_._7).sum < got.map(_._2).sum, "must not reject the whole corpus")
+  }
+}

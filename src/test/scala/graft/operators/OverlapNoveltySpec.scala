@@ -81,10 +81,11 @@ class OverlapNoveltySpec extends SparkSpec {
       val cell = r.getAs[Long]("cell")
       assert(cell >= 0 && cell < 16, s"cell $cell in centroid domain")
       // assignment is the argmax over centroids, so the margin to the
-      // runner-up can never be negative
-      assert(r.getAs[Double]("mean_margin") >= 0.0, s"margin(cell=$cell)")
-      assert(r.getAs[Double]("mean_cohesion") >= -1.0 - 1e-9 &&
-        r.getAs[Double]("mean_cohesion") <= 1.0 + 1e-9, s"cohesion(cell=$cell)")
+      // runner-up can never be negative (exact integer µ-units since
+      // the avg() float-boundary fix)
+      assert(r.getAs[Long]("mean_margin_uu") >= 0L, s"margin(cell=$cell)")
+      assert(r.getAs[Long]("mean_cohesion_uu") >= -1000000L &&
+        r.getAs[Long]("mean_cohesion_uu") <= 1000000L, s"cohesion(cell=$cell)")
       assert(r.getAs[Long]("n_boundary") <= r.getAs[Long]("n_vecs"), s"boundary(cell=$cell)")
     }
   }
