@@ -250,6 +250,104 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q150
+  /** Quality-aware survivor selection — q97 with the survivor chosen
+    * by MODEL QUALITY instead of length: within each near-dup family
+    * keep the member with the lowest perplexity under q99's pruned
+    * bigram LM (the D4 / SemDeDup-style "keep the best exemplar"
+    * policy), and report how often that disagrees with q97's
+    * longest-wins proxy and what the disagreement costs — per source
+    * of the quality survivor: families, swapped picks, and the mean
+    * survivor difficulty under each policy in exact µnat/bigram
+    * (q_mean ≤ len_mean ALWAYS, by construction — the gap is the
+    * quality left on the table by picking survivors by length).
+    *
+    * Rides q54's clustering and q99's [[SelectionQueries.docNll]]
+    * verbatim (shared kernels — survivor choice can never disagree
+    * with either upstream). Families are components with ≥ 2 members;
+    * every family member has ≥ 8 tokens (the shingle floor), hence a
+    * defined LM score — the COALESCE worst-case is a structural
+    * guard, not a live path.
+    *
+    * Scale: q54's envelope + docNll's broadcast-model scoring; the
+    * two rank windows partition by component (bounded family size)
+    * over five narrow columns, and the rollup is |S| rows. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val clusters = clustersFrom(s, docs.select(col("doc_id").as("id")),
+      DedupQueries.jaccardPairs(s, dir))
+    val q = SelectionQueries.docNll(s, dir)
+      .select(col("doc_id"), expr("(nll * 1000) DIV nbg").as("q_unat"))
+    clusters.filter(col("csize") >= 2)
+      .select(col("doc_id"), col("component_id"))
+      .join(docs, Seq("doc_id"))
+      .join(q, Seq("doc_id"), "left")
+      .withColumn("qv", coalesce(col("q_unat"), lit(1000000000L)))
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col("component_id")).orderBy(col("qv"), col("doc_id"))))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("component_id"))
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .groupBy(col("component_id"))
+      .agg(
+        max(when(col("qrn") === 1, col("source"))).as("source"),
+        max(when(col("qrn") === 1, col("doc_id"))).as("q_doc"),
+        max(when(col("qrn") === 1, col("qv"))).as("q_q"),
+        max(when(col("lrn") === 1, col("doc_id"))).as("l_doc"),
+        max(when(col("lrn") === 1, col("qv"))).as("l_q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(when(col("q_doc") =!= col("l_doc"), 1L).otherwise(0L)).as("n_swapped"),
+        sum(col("q_q")).as("sq"), sum(col("l_q")).as("sl"))
+      .select(col("source"), col("n_families"), col("n_swapped"),
+        expr("sq DIV n_families").as("q_survivor_mean_unat"),
+        expr("sl DIV n_families").as("len_survivor_mean_unat"))
+      .orderBy(col("source"))
+  }
+
+  private val q150Sql =
+    s"""$ccPrefix,
+       |${SelectionQueries.docNllSqlPrefix.replaceFirst("WITH ", "")},
+       |qs AS (SELECT doc_id, (nll * 1000) // nbg AS q_unat FROM sc),
+       |cs2 AS (SELECT component_id, count(*) AS csize FROM comp GROUP BY 1),
+       |st2 AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |),
+       |fam AS (
+       |  SELECT c.component_id, c.doc_id, st2.source, st2.n_tok,
+       |         COALESCE(qs.q_unat, 1000000000) AS qv
+       |  FROM comp c
+       |  JOIN cs2 ON cs2.component_id = c.component_id AND cs2.csize >= 2
+       |  JOIN st2 ON st2.doc_id = c.doc_id
+       |  LEFT JOIN qs ON qs.doc_id = c.doc_id
+       |),
+       |rk AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY component_id
+       |                            ORDER BY qv, doc_id) AS qrn,
+       |         row_number() OVER (PARTITION BY component_id
+       |                            ORDER BY n_tok DESC, doc_id) AS lrn
+       |  FROM fam
+       |),
+       |perfam AS (
+       |  SELECT component_id,
+       |         max(CASE WHEN qrn = 1 THEN source END) AS source,
+       |         max(CASE WHEN qrn = 1 THEN doc_id END) AS q_doc,
+       |         max(CASE WHEN qrn = 1 THEN qv END) AS q_q,
+       |         max(CASE WHEN lrn = 1 THEN doc_id END) AS l_doc,
+       |         max(CASE WHEN lrn = 1 THEN qv END) AS l_q
+       |  FROM rk GROUP BY 1
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_families,
+       |       CAST(sum(CASE WHEN q_doc <> l_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_swapped,
+       |       CAST(sum(q_q) AS BIGINT) // count(*) AS q_survivor_mean_unat,
+       |       CAST(sum(l_q) AS BIGINT) // count(*) AS len_survivor_mean_unat
+       |FROM perfam GROUP BY source ORDER BY source""".stripMargin
+
   private val q97Sql =
     s"""$ccPrefix,
        |stats AS (
@@ -1222,6 +1320,7 @@ object CorpusQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
+    QuerySpec("q150_quality_survivor", Some(q150Sql), q150),
     QuerySpec("q109_leakage_safe_splits", Some(q109Sql), q109),
     QuerySpec("q55_decontamination", Some(q55Sql), q55),
     QuerySpec("q56_repetition_quality", Some(q56Sql), q56),

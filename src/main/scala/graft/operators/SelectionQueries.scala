@@ -770,6 +770,75 @@ object SelectionQueries {
       |         AS share_after_ppm
       |FROM per ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020
+    * §4.3): WITHIN each source, cut the corpus into three equal-token
+    * buckets by LM difficulty — CCNet's signature move, publishing
+    * each language's crawl as head/middle/tail perplexity slices so
+    * consumers pick their quality/volume tradeoff. The cut point is
+    * per-SOURCE (unlike q112's single global curriculum cut): a
+    * "hard" doc in a clean source and an average doc in a noisy
+    * source land in different buckets, which is exactly why CCNet
+    * buckets per language rather than globally.
+    *
+    * Same bounded-bin kernel as q112: per-doc difficulty (µnat/bigram
+    * under q99's pruned LM, [[docNll]] reused verbatim) quantizes to
+    * 0.01-nat bins; the running-total window that places the two cut
+    * points runs per source over the bin grid (never a doc sort); a
+    * boundary-straddling bin lands wholly in the earlier bucket.
+    * Output: (source, bucket, n_docs, n_tokens) — bucket 0 = head
+    * (lowest perplexity), 2 = tail.
+    *
+    * Scale: the bin frame is |S|·|bins| rows (both bounded constants);
+    * the per-source windows partition by source so there is no global
+    * serialization point, and docs broadcast-join their (source, bin)
+    * bucket. One corpus scan beyond the LM fit. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docNll(s, dir).select(col("source"),
+      (col("nbg") + 1L).as("n_tokens"),
+      expr("((nll * 1000) DIV nbg) DIV 10000").as("bin"))
+    val bins = d.groupBy(col("source"), col("bin")).agg(sum(col("n_tokens")).as("bt"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(col("source"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val ph = bins
+      .withColumn("cum_excl", coalesce(sum(col("bt")).over(cumW), lit(0L)))
+      .withColumn("tot", sum(col("bt")).over(totW))
+      .select(col("source"), col("bin"),
+        least(lit(2L), expr("(3 * cum_excl) DIV tot")).as("bucket"))
+    d.join(broadcast(ph), Seq("source", "bin"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private val q149Sql =
+    s"""$docNllSqlPrefix
+       |, d AS (
+       |  SELECT doc_id, source, CAST(nbg + 1 AS BIGINT) AS n_tokens,
+       |         CAST(((nll * 1000) // nbg) // 10000 AS BIGINT) AS bin
+       |  FROM sc
+       |), b AS (
+       |  SELECT source, bin, CAST(sum(n_tokens) AS BIGINT) AS bt
+       |  FROM d GROUP BY source, bin
+       |), w2 AS (
+       |  SELECT source, bin,
+       |         CAST(COALESCE(sum(bt) OVER (PARTITION BY source ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_excl,
+       |         CAST(sum(bt) OVER (PARTITION BY source) AS BIGINT) AS tot
+       |  FROM b
+       |), ph AS (
+       |  SELECT source, bin, least(2, (3 * cum_excl) // tot) AS bucket FROM w2
+       |)
+       |SELECT d.source, CAST(ph.bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+       |FROM d JOIN ph USING (source, bin)
+       |GROUP BY d.source, ph.bucket ORDER BY d.source, ph.bucket""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
@@ -778,5 +847,6 @@ object SelectionQueries {
     QuerySpec("q114_unimax_mix", Some(q114Sql), q114),
     QuerySpec("q144_doremi_reweight", Some(q144Sql), q144),
     QuerySpec("q145_token_cap", Some(q145Sql), q145),
+    QuerySpec("q149_ccnet_buckets", Some(q149Sql), q149),
   )
 }

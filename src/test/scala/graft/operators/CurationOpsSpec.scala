@@ -147,6 +147,78 @@ class CurationOpsSpec extends SparkSpec {
     assert(assessed === nDocs - nShort)
   }
 
+  // ------------------------------------------------------------- q149
+  test("q149: per-source terciles match an exact driver recomputation") {
+    val d = SelectionQueries.docNll(spark, dir)
+      .select(col("source"), (col("nbg") + 1L).as("nt"),
+        expr("((nll * 1000) DIV nbg) DIV 10000").as("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = d.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, ds) =>
+      val bins = ds.groupBy(_._3).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val tot = bins.map(_._2).sum
+      val cum = bins.scanLeft(0L)(_ + _._2).dropRight(1)
+      val bucketOf = bins.zip(cum)
+        .map { case ((bin, _), c) => bin -> math.min(2L, 3 * c / tot) }.toMap
+      ds.groupBy(x => bucketOf(x._3)).toSeq.sortBy(_._1).map { case (bk, xs) =>
+        (src, bk, xs.length.toLong, xs.map(_._2).sum)
+      }
+    }
+    val got = run("q149_ccnet_buckets").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    assert(got.toSeq === want)
+  }
+
+  test("q149: the cut is non-trivial and accounts for every scored doc") {
+    val rows = run("q149_ccnet_buckets").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    // buckets stay in the tercile domain and at least one source
+    // genuinely splits (a degenerate all-in-one-bucket cut would
+    // mean the difficulty grid collapsed)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 2))
+    assert(rows.groupBy(_._1).values.exists(_.length >= 2), "some source must split")
+    // doc/token accounting ties out against the scoring frame exactly
+    val nll = SelectionQueries.docNll(spark, dir)
+      .agg(count(lit(1)), sum(col("nbg") + 1L)).collect()(0)
+    assert(rows.map(_._3).sum === nll.getLong(0))
+    assert(rows.map(_._4).sum === nll.getLong(1))
+  }
+
+  // ------------------------------------------------------------- q150
+  test("q150: survivor choice matches an exact recomputation from q54 + docNll") {
+    val clusters = run("q54_cc_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"),
+        r.getAs[Long]("csize")))
+    val q = SelectionQueries.docNll(spark, dir)
+      .select(col("doc_id"), expr("(nll * 1000) DIV nbg").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fams = clusters.filter(_._3 >= 2).groupBy(_._2)
+    val perFam = fams.toSeq.map { case (_, ms) =>
+      val rows = ms.map { case (id, _, _) =>
+        (id, docs(id)._1, docs(id)._2, q.getOrElse(id, 1000000000L))
+      }
+      val qw = rows.minBy(r => (r._4, r._1))
+      val lw = rows.minBy(r => (-r._3, r._1))
+      (qw._2, qw._1 != lw._1, qw._4, lw._4)
+    }
+    val want = perFam.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, fs) =>
+      (src, fs.length.toLong, fs.count(_._2).toLong,
+        fs.map(_._3).sum / fs.length, fs.map(_._4).sum / fs.length)
+    }
+    val got = run("q150_quality_survivor").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_families"), r.getAs[Long]("n_swapped"),
+        r.getAs[Long]("q_survivor_mean_unat"), r.getAs[Long]("len_survivor_mean_unat")))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty, "testdata must contain near-dup families")
+    // the quality pick minimizes qv per family, so its mean can never
+    // exceed the length pick's
+    got.foreach { g => assert(g._4 <= g._5, s"${g._1}: quality mean must win") }
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)

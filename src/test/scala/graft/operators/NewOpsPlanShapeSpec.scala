@@ -135,4 +135,39 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q144 doremi: the LM model frames broadcast; no cartesian anywhere") {
+    val p = finalPlan("q144_doremi_reweight")
+    assert(p.contains("BroadcastHashJoin"), "c2/c1 model tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q145 token cap: the |S|-row caps frame broadcasts into the doc walk") {
+    val p = finalPlan("q145_token_cap")
+    assert(p.contains("BroadcastHashJoin"), "caps must broadcast")
+    assert(!p.contains("SortMergeJoin"), "docs join caps without shuffling to a merge")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q147 gopher rules: one corpus scan, no join at all") {
+    val df = graft.QueryCatalog.all.find(_.name == "q147_gopher_rules").get
+      .fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"heuristic rules cost one pass, $scans scans found")
+    assert(!p.contains("Join"), "pure scan-side arithmetic — no join")
+  }
+
+  test("q148 wordpiece drift: the walked dictionary broadcasts into the corpus explode") {
+    val p = finalPlan("q148_wordpiece_drift")
+    assert(p.contains("BroadcastHashJoin"), "|V|-row dictionary must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q149 ccnet buckets: the (source, bin) bucket map broadcasts to docs") {
+    val p = finalPlan("q149_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
