@@ -28,6 +28,10 @@ object Bench {
       // per-stage re-optimization latency), so the default stands
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
+    // dev A/B knob: SPARK_GRAFT_CONF="k=v;k=v" applies arbitrary session
+    // confs before the warmup (runtime-settable SQL confs only)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/shuffle/parquet machinery once so the first
     // timed query doesn't absorb session startup.

@@ -216,7 +216,7 @@ object BpeQueries {
   /** SQL twin of [[tokenDict]] (tok) + the per-`key` word explode (sw)
     * both q92Sql and q102Sql build on. */
   private def tokSwCtes(key: String): String =
-    s"""tok AS (
+    s"""tok AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
        |  FROM seg$MergeSteps GROUP BY w
        |), sw AS (
@@ -246,15 +246,15 @@ object BpeQueries {
     * stop. */
   private def stepCtes(n: Int): String = {
     val prev = if (n == 1) "seg0" else s"seg${n - 1}"
-    s"""lag$n AS (
+    s"""lag$n AS MATERIALIZED (
        |  SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
        |         row_number() OVER (PARTITION BY w ORDER BY pos) AS idx
        |  FROM $prev
-       |), best$n AS (
+       |), best$n AS MATERIALIZED (
        |  SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
        |  FROM lag$n WHERE nxt IS NOT NULL GROUP BY sym, nxt
        |  ORDER BY cnt DESC, l, r LIMIT 1
-       |), run$n AS (
+       |), run$n AS MATERIALIZED (
        |  SELECT *, CASE WHEN hit = 1 THEN row_number() OVER
        |           (PARTITION BY w, hit, grp ORDER BY idx) END AS runpos
        |  FROM (
@@ -263,10 +263,10 @@ object BpeQueries {
        |    FROM (SELECT g.*, CASE WHEN g.sym = b.l AND g.nxt = b.r
        |                           THEN 1 ELSE 0 END AS hit
        |          FROM lag$n g LEFT JOIN best$n b ON TRUE))
-       |), app$n AS (
+       |), app$n AS MATERIALIZED (
        |  SELECT *, CASE WHEN hit = 1 AND runpos % 2 = 1 THEN 1 ELSE 0 END AS applied
        |  FROM run$n
-       |), seg$n AS (
+       |), seg$n AS MATERIALIZED (
        |  SELECT w, freq, pos,
        |         CASE WHEN applied = 1 THEN sym || nxt ELSE sym END AS sym
        |  FROM (SELECT *, lag(applied, 1, 0) OVER (PARTITION BY w ORDER BY pos)
@@ -279,12 +279,12 @@ object BpeQueries {
     * unrolled training steps (seg$K is the final segmentation). */
   private val ctePrefix: String = {
     val steps = (1 to MergeSteps).map(stepCtes).mkString(",\n")
-    s"""WITH w AS (
+    s"""WITH w AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0
        |  GROUP BY w
-       |), seg0 AS (
+       |), seg0 AS MATERIALIZED (
        |  SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
        |  FROM w, unnest(generate_series(1, len(w))) AS u(i)
        |),
@@ -516,9 +516,9 @@ object BpeQueries {
 
   private val q148Sql =
     s"""${ctePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |pieces AS (
+       |pieces AS MATERIALIZED (
        |  SELECT DISTINCT sym AS p FROM seg$MergeSteps
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT t.w, t.pos, CAST(max(length(pc.p)) AS INT) AS m
        |  FROM (SELECT w.w, u.i AS pos
        |        FROM w, unnest(generate_series(1, len(w.w))) AS u(i)) t
@@ -553,11 +553,169 @@ object BpeQueries {
        |WHERE len(sw.w) > 0
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Unigram-LM (SentencePiece-style) Viterbi tokenization — Kudo
+    * 2018, "Subword Regularization", the third tokenizer family after
+    * merge-order BPE (q91/q92) and greedy WordPiece (q148): score
+    * every candidate piece by its corpus frequency, then segment each
+    * word on the MINIMUM-COST path under additive −log piece costs
+    * (the unigram model's Viterbi decode; one hard-EM E-step of the
+    * full trainer). Candidates are all substrings up to
+    * [[UniPieceLen]] chars, pruned to the top-[[UniPieceCap]]
+    * multi-char pieces by weighted count (q99's vocabulary-cap
+    * discipline — the artifact stays bounded at any corpus size) plus
+    * ALL single chars, which keeps the DP total (SentencePiece seeds
+    * from a capped suffix-array candidate set the same way).
+    *
+    * Exactness: piece costs are exact milli-nat integers off the
+    * graft_ln_small ladder; the DP minimizes the PAIR (cost,
+    * n_pieces) lexicographically — encoded as cost·32 + n (word
+    * length is capped at [[UniWordLen]] < 32) so integer min IS the
+    * lexicographic min and ties cannot produce engine-dependent token
+    * counts. The oracle replays the identical DP as position-unrolled
+    * CTEs (one per prefix length, the q91 unrolling move).
+    *
+    * Output per source: words, chars, unigram tokens, total path cost
+    * (milli-nats), chars/token — q92's report under the third
+    * tokenizer, directly comparable.
+    *
+    * Scale: candidate counting is one |V|-row substring explode (≤
+    * len·L pieces per word); the ≤ (cap + alphabet)-row cost table is
+    * a driver list baked into the scan-side DP literal (the trained
+    * artifact, q148's move); the DP folds once per DISTINCT word and
+    * the corpus joins the |V|-row result by broadcast. */
+  private val UniPieceLen = 4
+  private val UniPieceCap = 64
+  private val UniWordLen = 16
+
+  /** Piece cost table (piece → milli-nat cost), driver-side. */
+  private def uniPieces(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val words = vocab(s, dir).filter(length(col("w")) <= UniWordLen)
+    val pc = words
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($UniPieceLen, length(w) - i + 1)),
+           |                 l -> substring(w, i, l))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+    val kept = pc.filter(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p")).limit(UniPieceCap)
+      .unionByName(pc.filter(length(col("p")) === 1))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    kept
+      .withColumn("t", sum(col("c")).over(whole))
+      .select(col("p"), (-EventQueries.lnSmallWeight(col("c"), col("t"))).as("cost"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val pieces = uniPieces(s, dir)
+    val mapLit = pieces
+      .map { case (p, c) =>
+        "'" + p.replace("\\", "\\\\").replace("'", "\\'") + s"', CAST($c AS BIGINT)"
+      }
+      .mkString("map(", ", ", ")")
+    // candidate arm for a piece of length l ending at position i
+    def cand(l: Int): String =
+      s"""IF(i >= $l AND element_at($mapLit, substring(w, i - $l + 1, $l)) IS NOT NULL,
+         |  (element_at(dp, i - $l + 1) DIV 32
+         |   + element_at($mapLit, substring(w, i - $l + 1, $l))) * 32
+         |  + (element_at(dp, i - $l + 1) % 32 + 1),
+         |  CAST(NULL AS BIGINT))""".stripMargin
+    val arms = (1 to UniPieceLen).map(cand).mkString("least(", ",\n", ")")
+    val dict = vocab(s, dir).filter(length(col("w")) <= UniWordLen)
+      .withColumn("enc", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  array(CAST(0 AS BIGINT)),
+           |  (dp, i) -> concat(dp, array($arms)),
+           |  dp -> element_at(dp, size(dp)))""".stripMargin))
+      .select(col("w"), expr("enc % 32").as("n_uni"), expr("enc DIV 32").as("cost"))
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_uni")).as("n_uni_tokens"),
+        sum(col("cost")).as("corpus_cost_mnat"))
+      .withColumn("chars_per_token",
+        Det.rate(col("n_chars").cast("double") / col("n_uni_tokens")))
+      .orderBy(col("source"))
+  }
+
+  private val q151Sql = {
+    val ladder = EventQueries.lnSmallWeightSql("c", "t")
+    val dpSteps = (1 to UniWordLen).map { i =>
+      val arms = (1 to math.min(UniPieceLen, i)).map { l =>
+        s"""  SELECT d.w, ((d.enc // 32) + c.cost) * 32 + (d.enc % 32 + 1) AS enc
+           |  FROM dp${i - l} d JOIN pcost c
+           |    ON len(c.p) = $l AND c.p = substr(d.w, ${i - l + 1}, $l)
+           |  WHERE len(d.w) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      // MATERIALIZED: dp_i is referenced by up to UniPieceLen later
+      // steps — without the hint DuckDB 1.0 INLINES each reference,
+      // expanding the chain exponentially (observed: fd exhaustion
+      // from thousands of duplicated base scans)
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT w, CAST(min(enc) AS BIGINT) AS enc FROM (
+         |$arms
+         |  ) GROUP BY w
+         |)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to UniWordLen)
+      .map(i => s"SELECT w, enc FROM dp$i WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w
+       |), wv AS MATERIALIZED (
+       |  SELECT * FROM w0 WHERE len(w) <= $UniWordLen
+       |), subs AS (
+       |  SELECT substr(w, i, l) AS p, freq
+       |  FROM wv,
+       |       unnest(generate_series(1, len(w))) AS u(i),
+       |       unnest(generate_series(1, $UniPieceLen)) AS v(l)
+       |  WHERE i + l - 1 <= len(w)
+       |), pc AS (
+       |  SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM subs GROUP BY p
+       |), kept AS (
+       |  SELECT * FROM (SELECT * FROM pc WHERE len(p) > 1
+       |                 ORDER BY c DESC, p LIMIT $UniPieceCap)
+       |  UNION ALL
+       |  SELECT * FROM pc WHERE len(p) = 1
+       |), tt AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS t FROM kept
+       |), pcost AS MATERIALIZED (
+       |  SELECT p, CAST(-$ladder AS BIGINT) AS cost FROM kept, tt
+       |), dp0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS BIGINT) AS enc FROM wv
+       |),
+       |$dpSteps,
+       |fin AS (
+       |  $fin
+       |), dict AS (
+       |  SELECT w, enc % 32 AS n_uni, enc // 32 AS cost FROM fin
+       |), sw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_uni) AS BIGINT) AS n_uni_tokens,
+       |       CAST(sum(cost) AS BIGINT) AS corpus_cost_mnat,
+       |       floor(CAST(sum(len(w)) AS DOUBLE) / sum(n_uni) * 1e6 + 0.5) / 1e6
+       |         AS chars_per_token
+       |FROM sw JOIN dict USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
     QuerySpec("q102_bpe_packing", Some(q102Sql), q102),
     QuerySpec("q115_bpe_fertility", Some(q115Sql), q115),
     QuerySpec("q148_wordpiece_drift", Some(q148Sql), q148),
+    QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151),
   )
 }

@@ -103,29 +103,29 @@ object CorpusQueries {
     * min-label reachability → per-doc component (used by q54 and
     * q97). */
   private val ccPrefix =
-    s"""WITH RECURSIVE sh AS (${DedupQueries.shinglesSql}),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
-       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
-       |inter AS (
+    s"""WITH RECURSIVE sh AS MATERIALIZED (${DedupQueries.shinglesSql}),
+       |rare AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
        |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes za ON za.doc_id = doc_a
        |  JOIN sizes zb ON zb.doc_id = doc_b
        |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
        |),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(doc_id, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
        |),
-       |comp AS (SELECT doc_id, min(lbl) AS component_id FROM reach GROUP BY doc_id)""".stripMargin
+       |comp AS MATERIALIZED (SELECT doc_id, min(lbl) AS component_id FROM reach GROUP BY doc_id)""".stripMargin
 
   private val q54Sql =
     s"""$ccPrefix,
@@ -918,10 +918,10 @@ object CorpusQueries {
 
   private val q70Sql =
     s"""WITH sh AS (${DedupQueries.shinglesSql}),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
-       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
-       |inter AS (
+       |rare AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
        |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
@@ -1284,10 +1284,10 @@ object CorpusQueries {
 
   private val q131Sql =
     s"""WITH sh AS (${DedupQueries.shinglesSql}),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
-       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
-       |inter AS (
+       |rare AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
        |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id

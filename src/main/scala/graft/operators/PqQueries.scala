@@ -267,7 +267,22 @@ object PqQueries {
       (1 to iters).map(roundCtes(_, p, src)) :+
       encodeCte(p, src, iters, out)).mkString(",\n")
 
-  private val q96Sql =
+  /** Oracle evaluation hint, applied per CONSUMER: DuckDB 1.0 inlines
+    * every CTE reference, so the K-means round chain (each round
+    * referenced by the next across ad/asg/sums/cent) expands
+    * exponentially in q96/q98's oracles (q98 measured 12 s -> 1.2 s
+    * with single evaluation pinned). q101's recall harness is the
+    * opposite case — its sampled-query shape relies on
+    * inlining-driven pushdown and the same hint regresses it ~100× —
+    * so the hint rewrites the composed TEXT of exactly the queries it
+    * helps instead of being baked into the shared builders. Values
+    * are identical either way (oracle-compare-checked). */
+  private def matHint(sql: String): String =
+    sql.replaceAll("\\b((?:ad|asg|sums|cent|adenc|codes|cellenc|codesf)\\w*) AS \\(",
+      "$1 AS MATERIALIZED (")
+
+
+  private val q96Sql = matHint(
     s"""WITH qv AS (
        |  SELECT vec_id, CAST((i - 1) // $SubDim AS INT) AS m,
        |         CAST((i - 1) % $SubDim AS INT) AS j,
@@ -284,7 +299,7 @@ object PqQueries {
        |SELECT k.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
        |FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
        |WHERE k.vec_id <> 0
-       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT $TopK""".stripMargin
+       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT $TopK""".stripMargin)
 
   // ---------------------------------------------------------------- q98
   /** IVF-PQ — the composition the whole ANN family exists for (the
@@ -388,7 +403,7 @@ object PqQueries {
     ivfpqTopK(Tables.spread(quantized(s, dir)), Cells, NProbe,
       M, SubDim, K, Iters, TopK, queryId = 0L)
 
-  private val q98Sql =
+  private val q98Sql = matHint(
     s"""WITH qv64 AS (
        |  SELECT vec_id, CAST(0 AS INT) AS m, CAST(i - 1 AS INT) AS j,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS val
@@ -427,7 +442,7 @@ object PqQueries {
        |JOIN cellenc a ON a.vec_id = k.vec_id
        |JOIN lutp l ON l.cell = a.cid AND l.m = k.m AND l.cid = k.cid
        |WHERE k.vec_id <> 0
-       |GROUP BY k.vec_id ORDER BY adc_dist, k.vec_id LIMIT $TopK""".stripMargin
+       |GROUP BY k.vec_id ORDER BY adc_dist, k.vec_id LIMIT $TopK""".stripMargin)
 
   // --------------------------------------------------------------- q101
   /** ANN recall evaluation — the harness every production ANN rollout

@@ -126,4 +126,55 @@ class BpeQueriesSpec extends SparkSpec {
     // the walk must consume every character: wp tokens never exceed chars
     assert(got.map(_._4).sum <= corpus.map(_._2.replace(" ", "").length.toLong).sum)
   }
+
+  test("q151: Viterbi decode matches a plain-Scala DP exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allWords = corpus.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+    val freq = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wv = freq.keys.filter(_.length <= 16).toSeq
+    // candidate pieces: substrings <= 4 chars, weighted counts, capped
+    val pc = wv.flatMap { w =>
+      for (i <- 0 until w.length; l <- 1 to math.min(4, w.length - i))
+        yield (w.substring(i, i + l), freq(w))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val kept = pc.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(64) ++ pc.filter(_._1.length == 1)
+    val tot = kept.map(_._2).sum
+    val cost = kept.map { case (p, c) =>
+      p -> -graft.functions.LnSmallKernel.mnat(c, tot)
+    }.toMap
+    // reference DP: lexicographic (cost, pieces) via the same encoding
+    def viterbi(w: String): (Long, Long) = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        val p = w.substring(i - l, i)
+        if (cost.contains(p) && dp(i - l) != Long.MaxValue) {
+          val cand = (dp(i - l) / 32 + cost(p)) * 32 + (dp(i - l) % 32 + 1)
+          if (cand < dp(i)) dp(i) = cand
+        }
+      }
+      (dp(w.length) % 32, dp(w.length) / 32)
+    }
+    val want = corpus
+      .flatMap { case (src, t) =>
+        t.split(" ", -1).filter(w => w.nonEmpty && w.length <= 16).map(src -> _)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ws) =>
+        val vs = ws.map { case (_, w) => (w.length.toLong, viterbi(w)) }
+        (src, ws.length.toLong, vs.map(_._1).sum,
+          vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+      }
+    val got = graft.QueryCatalog.all.find(_.name == "q151_unigram_viterbi").get
+      .fn(spark, dir).collect().map(r =>
+        (r.getString(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_uni_tokens"), r.getAs[Long]("corpus_cost_mnat")))
+    assert(got.toSeq === want)
+    // unigram segmentation can never use more pieces than characters
+    got.foreach(g => assert(g._4 <= g._3 && g._4 >= 1))
+  }
 }
