@@ -332,7 +332,10 @@ object BpeQueries {
   private val PackBudget = 4096
   private val PackBuckets = 8
 
-  private def q102(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc pack assignment (doc_id, source, tok, bucket, pack) —
+    * q102's batching rule factored out so the contamination audit
+    * (q152) grades EXACTLY the packs q102 ships. */
+  private def packAssignment(s: SparkSession, dir: String): DataFrame = {
     val tokPerWord = tokenDict(s, dir)
     val docs = Tables.documents(s, dir)
     val perDoc = docs
@@ -351,13 +354,16 @@ object BpeQueries {
       .withColumn("cum", sum(col("tok")).over(seq))
       .withColumn("pack",
         floor((col("cum") - col("tok")).cast("double") / PackBudget).cast("long"))
+  }
+
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    packAssignment(s, dir)
       .groupBy(col("bucket"), col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .withColumn("fill_rate",
         Det.rate(col("pack_tokens").cast("double") / PackBudget))
       .orderBy(col("bucket"), col("pack"))
-  }
 
   private val q102Sql =
     s"""$ctePrefix,
@@ -710,6 +716,109 @@ object BpeQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q152
+  /** In-batch near-dup contamination audit for contrastive training:
+    * when q102's packs double as contrastive batches (in-batch
+    * negatives — SimCLR/DPR's standard trick), a near-duplicate pair
+    * landing in the SAME pack becomes a FALSE negative: the loss
+    * pushes apart two texts that are the same content, which is a
+    * known silent quality killer in embedding training. This audit
+    * joins q26's exact-Jaccard near-dup pairs against the pack
+    * assignment q102 ships ([[packAssignment]] — the identical rule,
+    * factored, so the audit can never grade different packs than the
+    * builder built) and reports the one-row risk summary: near-dup
+    * pairs, same-bucket pairs, co-packed pairs, contaminated packs
+    * and their ppm of all packs. A non-zero co-packed count is the
+    * actionable signal to switch the packer to cluster-aware
+    * assignment (hash q54's component id instead of doc_id — q109's
+    * move applied to batching).
+    *
+    * Scale: the pair list is already candidate-pruned by the q26
+    * kernel; it joins the narrow (doc_id, bucket, pack) frame twice
+    * by id — digest-width rows, no text. The pack-count denominator
+    * is a distinct-agg over the |docs|-row assignment. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val pk = packAssignment(s, dir).select(col("doc_id"), col("bucket"), col("pack"))
+    val joined = DedupQueries.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(pk.select(col("doc_id").as("doc_a"),
+        col("bucket").as("ba"), col("pack").as("pa")), Seq("doc_a"))
+      .join(pk.select(col("doc_id").as("doc_b"),
+        col("bucket").as("bb"), col("pack").as("pb")), Seq("doc_b"))
+      .withColumn("co_packed", col("ba") === col("bb") && col("pa") === col("pb"))
+    joined.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("same_bucket_pairs"),
+        sum(when(col("co_packed"), 1L).otherwise(0L)).as("co_packed_pairs"),
+        countDistinct(when(col("co_packed"),
+          concat_ws(":", col("ba"), col("pa")))).as("contaminated_packs"))
+      .crossJoin(broadcast(
+        pk.agg(countDistinct(concat_ws(":", col("bucket"), col("pack")))
+          .as("total_packs"))))
+      .withColumn("contaminated_ppm",
+        expr("(contaminated_packs * 1000000) DIV total_packs"))
+  }
+
+  private val q152Sql =
+    s"""$ctePrefix,
+       |${tokSwCtes("doc_id")}, dtok AS (
+       |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS tok
+       |  FROM sw JOIN tok USING (w) GROUP BY doc_id
+       |), assigned AS (
+       |  SELECT d.doc_id, COALESCE(dtok.tok, 0) AS tok,
+       |         d.doc_id % $PackBuckets AS bucket
+       |  FROM documents d LEFT JOIN dtok USING (doc_id)
+       |), pkk AS MATERIALIZED (
+       |  SELECT doc_id, bucket,
+       |         CAST(floor(CAST(cum - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS pack
+       |  FROM (SELECT bucket, doc_id, tok,
+       |               CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM assigned)
+       |), sh2 AS MATERIALIZED (${DedupQueries.shinglesSql}),
+       |rare2 AS MATERIALIZED (SELECT s FROM sh2 GROUP BY s HAVING count(*) <= 25),
+       |rs2 AS MATERIALIZED (
+       |  SELECT sh2.doc_id, sh2.s FROM sh2 JOIN rare2 ON sh2.s = rare2.s
+       |), sz2 AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM rs2 GROUP BY doc_id
+       |), int2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs2 a JOIN rs2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), prs AS (
+       |  SELECT doc_a, doc_b FROM int2
+       |  JOIN sz2 za ON za.doc_id = doc_a
+       |  JOIN sz2 zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5)
+       |          / 1e6 >= 0.3
+       |), ann AS (
+       |  SELECT p.doc_a, p.doc_b, a.bucket AS ba, a.pack AS pa,
+       |         b.bucket AS bb, b.pack AS pb
+       |  FROM prs p
+       |  JOIN pkk a ON a.doc_id = p.doc_a
+       |  JOIN pkk b ON b.doc_id = p.doc_b
+       |), tp AS (
+       |  SELECT CAST(count(DISTINCT CAST(bucket AS VARCHAR) || ':'
+       |                             || CAST(pack AS VARCHAR)) AS BIGINT)
+       |           AS total_packs
+       |  FROM pkk
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS same_bucket_pairs,
+       |       CAST(sum(CASE WHEN ba = bb AND pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS co_packed_pairs,
+       |       CAST(count(DISTINCT CASE WHEN ba = bb AND pa = pb
+       |                                THEN CAST(ba AS VARCHAR) || ':'
+       |                                     || CAST(pa AS VARCHAR) END) AS BIGINT)
+       |         AS contaminated_packs,
+       |       tp.total_packs,
+       |       (CAST(count(DISTINCT CASE WHEN ba = bb AND pa = pb
+       |                                 THEN CAST(ba AS VARCHAR) || ':'
+       |                                      || CAST(pa AS VARCHAR) END) AS BIGINT)
+       |        * 1000000) // tp.total_packs AS contaminated_ppm
+       |FROM ann, tp
+       |GROUP BY tp.total_packs""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
@@ -717,5 +826,6 @@ object BpeQueries {
     QuerySpec("q115_bpe_fertility", Some(q115Sql), q115),
     QuerySpec("q148_wordpiece_drift", Some(q148Sql), q148),
     QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151),
+    QuerySpec("q152_pack_contamination", Some(q152Sql), q152),
   )
 }

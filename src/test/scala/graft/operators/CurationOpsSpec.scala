@@ -219,6 +219,50 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach { g => assert(g._4 <= g._5, s"${g._1}: quality mean must win") }
   }
 
+  // ------------------------------------------------------------- q152
+  test("q152: contamination audit matches a recomputation from q26 pairs") {
+    // pack assignment recomputed from q102's own published rule:
+    // doc_id % 8 buckets, doc_id-ordered running token total, floor
+    // cut at 4096 — using the q92-style token dictionary implied by
+    // the packs q102 reports (we reconstruct tok per doc from the
+    // corpus + learned merges via the public trainer surface)
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val merges = BpeQueries.trainMerges(words, 8)
+    val nTok = BpeQueries.segmented(words, merges).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).map(nTok).sum
+    }.toMap
+    val assign: Map[Long, (Long, Long)] =
+      docs.map(_._1).sorted.groupBy(_ % 8).toSeq.flatMap { case (b, ids) =>
+        var cum = 0L
+        ids.sorted.toSeq.map { id =>
+          val before = cum; cum += toks(id)
+          id -> (b, before / 4096L)
+        }
+      }.toMap
+    val pairs = graft.QueryCatalog.all.find(_.name == "q26_ngram_jaccard").get
+      .fn(spark, dir).select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameBucket = pairs.filter { case (a, b) => assign(a)._1 == assign(b)._1 }
+    val coPacked = sameBucket.filter { case (a, b) => assign(a) == assign(b) }
+    val contaminated = coPacked.map(p => assign(p._1)).distinct
+    val r = run("q152_pack_contamination").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(r.getAs[Long]("same_bucket_pairs") === sameBucket.length.toLong)
+    assert(r.getAs[Long]("co_packed_pairs") === coPacked.length.toLong)
+    assert(r.getAs[Long]("contaminated_packs") === contaminated.length.toLong)
+    assert(r.getAs[Long]("total_packs") === assign.values.toSeq.distinct.length.toLong)
+    assert(r.getAs[Long]("contaminated_ppm") ===
+      contaminated.length.toLong * 1000000L / assign.values.toSeq.distinct.length)
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
