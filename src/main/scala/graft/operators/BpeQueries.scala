@@ -334,10 +334,14 @@ object BpeQueries {
 
   /** Per-doc pack assignment (doc_id, source, tok, bucket, pack) —
     * q102's batching rule factored out so the contamination audit
-    * (q152) grades EXACTLY the packs q102 ships. */
-  private def packAssignment(s: SparkSession, dir: String): DataFrame = {
+    * (q152) grades EXACTLY the packs q102 ships, and the deduped
+    * packer (q153) packs a RESTRICTED doc population with the same
+    * rule (pack numbering runs over the kept docs only). */
+  private def packAssignment(
+      s: SparkSession, dir: String, keep: Option[DataFrame] = None): DataFrame = {
     val tokPerWord = tokenDict(s, dir)
-    val docs = Tables.documents(s, dir)
+    val docs0 = Tables.documents(s, dir)
+    val docs = keep.fold(docs0)(k => docs0.join(k.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val perDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(tokPerWord), Seq("w"))
@@ -729,9 +733,10 @@ object BpeQueries {
     * builder built) and reports the one-row risk summary: near-dup
     * pairs, same-bucket pairs, co-packed pairs, contaminated packs
     * and their ppm of all packs. A non-zero co-packed count is the
-    * actionable signal to switch the packer to cluster-aware
-    * assignment (hash q54's component id instead of doc_id — q109's
-    * move applied to batching).
+    * actionable signal to dedup BEFORE batching — feed the packer
+    * q97/q150's canonical survivors so a family contributes at most
+    * one member per batch (q153 is exactly that composition, and its
+    * audit must read zero).
     *
     * Scale: the pair list is already candidate-pruned by the q26
     * kernel; it joins the narrow (doc_id, bucket, pack) frame twice
@@ -819,6 +824,88 @@ object BpeQueries {
        |FROM ann, tp
        |GROUP BY tp.total_packs""".stripMargin
 
+
+  // --------------------------------------------------------------- q153
+  /** Dedup-then-pack — the mitigation q152's audit calls for, shipped
+    * as a pipeline composition: q97's canonical survivors (longest
+    * member per q54 near-dup family, lowest doc_id on ties) feed
+    * q102's packer ([[packAssignment]] with the survivor restriction
+    * — same rule object, pack numbering over the kept docs only), so
+    * a near-dup family contributes AT MOST one member to any pack and
+    * the in-batch false-negative channel is closed STRUCTURALLY:
+    * every q26 pair has both endpoints inside one component, exactly
+    * one of which survives — co-packed pairs are zero by construction,
+    * not by luck (CurationOpsSpec re-runs the q152 audit arithmetic
+    * over these packs and pins the zero; the oracle pins the
+    * manifest). The tokenizer stays the FULL-corpus dictionary —
+    * dedup changes what you train on, not how you tokenize, and
+    * keeping the dictionary fixed is what makes the q102 manifest
+    * comparison read as a pure dedup effect.
+    *
+    * Output: q102's manifest grain over the deduped corpus — per
+    * (bucket, pack): docs, tokens, distinct sources, fill rate.
+    *
+    * Scale: q54's clustering envelope + one window for the survivor
+    * pick + q102's packing envelope — each documented at its source;
+    * the composition adds only the survivor semi-join on doc_id. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val survivors = CorpusQueries.clustersFrom(s,
+        st.select(col("doc_id").as("id")), DedupQueries.jaccardPairs(s, dir))
+      .select(col("doc_id"), col("component_id"))
+      .join(st, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component_id"))
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    packAssignment(s, dir, Some(survivors))
+      .groupBy(col("bucket"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("fill_rate",
+        Det.rate(col("pack_tokens").cast("double") / PackBudget))
+      .orderBy(col("bucket"), col("pack"))
+  }
+
+  private val q153Sql =
+    s"""${CorpusQueries.ccPrefix},
+       |${ctePrefix.replaceFirst("WITH ", "")},
+       |${tokSwCtes("doc_id")}, dtok AS (
+       |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS tok
+       |  FROM sw JOIN tok USING (w) GROUP BY doc_id
+       |), st3 AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), surv AS MATERIALIZED (
+       |  SELECT doc_id, source FROM (
+       |    SELECT c.doc_id, st3.source,
+       |           row_number() OVER (PARTITION BY c.component_id
+       |                              ORDER BY st3.n_tok DESC, c.doc_id) AS rn
+       |    FROM comp c JOIN st3 ON st3.doc_id = c.doc_id)
+       |  WHERE rn = 1
+       |), assigned3 AS (
+       |  SELECT sv.doc_id, sv.source, COALESCE(dtok.tok, 0) AS tok,
+       |         sv.doc_id % $PackBuckets AS bucket
+       |  FROM surv sv LEFT JOIN dtok USING (doc_id)
+       |), c3 AS (
+       |  SELECT bucket, doc_id, source, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM assigned3
+       |)
+       |SELECT bucket,
+       |       CAST(floor(CAST(cum - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS pack,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |       floor(CAST(sum(tok) AS DOUBLE) / $PackBudget * 1e6 + 0.5) / 1e6
+       |         AS fill_rate
+       |FROM c3 GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
@@ -827,5 +914,6 @@ object BpeQueries {
     QuerySpec("q148_wordpiece_drift", Some(q148Sql), q148),
     QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151),
     QuerySpec("q152_pack_contamination", Some(q152Sql), q152),
+    QuerySpec("q153_dedup_packing", Some(q153Sql), q153),
   )
 }

@@ -102,7 +102,7 @@ object CorpusQueries {
   /** Shared recursive-CTE prefix: jaccard pairs → undirected edges →
     * min-label reachability → per-doc component (used by q54 and
     * q97). */
-  private val ccPrefix =
+  private[operators] val ccPrefix =
     s"""WITH RECURSIVE sh AS MATERIALIZED (${DedupQueries.shinglesSql}),
        |rare AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
        |rs AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),

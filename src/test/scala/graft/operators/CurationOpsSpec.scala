@@ -263,6 +263,34 @@ class CurationOpsSpec extends SparkSpec {
       contaminated.length.toLong * 1000000L / assign.values.toSeq.distinct.length)
   }
 
+  // ------------------------------------------------------------- q153
+  test("q153: deduped packs are structurally contamination-free") {
+    // survivors from q54's clustering + q97's longest-wins rule
+    val clusters = run("q54_cc_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id")))
+    val nTok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = clusters.groupBy(_._2).values
+      .map(ms => ms.map(_._1).minBy(id => (-nTok(id), id))).toSet
+    // every near-dup pair loses at least one endpoint
+    val pairs = graft.QueryCatalog.all.find(_.name == "q26_ngram_jaccard").get
+      .fn(spark, dir).select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)),
+        s"pair ($a,$b) fully survived — dedup broken")
+    }
+    // manifest covers exactly the survivors, and shrinks vs q102
+    val dedupDocs = run("q153_dedup_packing").collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    val fullDocs = run("q102_bpe_packing").collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(dedupDocs === survivors.size.toLong)
+    assert(dedupDocs < fullDocs, "dedup must actually remove docs on testdata")
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
