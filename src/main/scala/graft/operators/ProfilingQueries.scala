@@ -831,6 +831,90 @@ object ProfilingQueries {
       |FROM tv WHERE users >= 5
       |GROUP BY 1 ORDER BY hr""".stripMargin
 
+  // --------------------------------------------------------------- q154
+  /** ε-differentially-private histogram release (Dwork et al. 2006 —
+    * the Laplace mechanism): the MECHANISM that completes the privacy
+    * family — q95/q127/q140 AUDIT a release for k-anonymity /
+    * l-diversity / t-closeness risk; this produces the actually-safe
+    * artifact: per (hour, event_type) counts with Laplace(1/ε) noise,
+    * over the ZERO-FILLED full domain (absence is protected too — an
+    * attacker cannot distinguish "no events" from "few events") and
+    * clamped at 0 (post-processing, DP-preserved). Counting queries
+    * have sensitivity 1, so b = 1/ε; ε = 0.5.
+    *
+    * Exactness discipline: the noise is the exact inverse-CDF
+    * transform of a SEEDED md5 uniform (u = 48-bit prefix of
+    * md5("dp:hr:type") in [1, 999999]) — u < ½ → b·ln(2u), else
+    * −b·ln(2(1−u)) — with the ln taken by the graft_ln_small
+    * milli-nat ladder, so the released values are exact BIGINTs and
+    * bit-identical in both engines. Determinism is TEST-GRADE
+    * publishing hygiene, not a DP weakness of the mechanism shape:
+    * production swaps the hash for a CSPRNG draw per release (a
+    * PUBLIC fixed seed would void the guarantee); everything else —
+    * domain, sensitivity, clamp, the ladder transform — ships as-is.
+    *
+    * Scale: one map-side-combined count over events + a
+    * |hours|·|types| zero-fill domain (both bounded); the noise is
+    * scan-side arithmetic on the domain frame. The release composes:
+    * per-shard counts merge by + BEFORE noising (noise once, at the
+    * end — noising shards separately would add k noises). */
+  private val DpEpsMilli = 500L
+  private val DpScaleB = 2L
+
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+    val counts = ev.groupBy(col("hr"), col("event_type")).agg(count(lit(1)).as("c"))
+    val domain = ev.select(col("hr")).distinct()
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    domain.join(counts, Seq("hr", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("u",
+        (conv(substring(md5(concat_ws(":", lit("dp"), col("hr"), col("event_type"))),
+          1, 12), 16, 10).cast("bigint") % 999999L) + 1L)
+      .withColumn("noise_milli",
+        when(col("u") < 500000L,
+          lit(DpScaleB) * EventQueries.lnSmallWeight(col("u"), lit(500000L)))
+          .otherwise(-lit(DpScaleB) *
+            EventQueries.lnSmallWeight(lit(1000000L) - col("u"), lit(500000L))))
+      .select(col("hr"), col("event_type"),
+        greatest(lit(0L), expr("c * 1000") + col("noise_milli"))
+          .as("released_milli"),
+        lit(DpEpsMilli).as("eps_milli"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  private val q154Sql = {
+    val lnNeg = EventQueries.lnSmallWeightSql("u", "500000")
+    val lnPos = EventQueries.lnSmallWeightSql("1000000 - u", "500000")
+    s"""WITH ev AS (
+       |  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr, event_type
+       |  FROM events
+       |), cnt AS (
+       |  SELECT hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM ev GROUP BY 1, 2
+       |), dom AS (
+       |  SELECT h.hr, t.event_type
+       |  FROM (SELECT DISTINCT hr FROM ev) h,
+       |       (SELECT DISTINCT event_type FROM ev) t
+       |), base AS (
+       |  SELECT dom.hr, dom.event_type, COALESCE(cnt.c, 0) AS c,
+       |         (CAST('0x' || substr(md5('dp:' || CAST(dom.hr AS VARCHAR) || ':'
+       |                                  || dom.event_type), 1, 12) AS BIGINT)
+       |          % 999999) + 1 AS u
+       |  FROM dom LEFT JOIN cnt USING (hr, event_type)
+       |), noise AS (
+       |  SELECT *, CASE WHEN u < 500000 THEN $DpScaleB * $lnNeg
+       |                 ELSE -$DpScaleB * $lnPos END AS noise_milli
+       |  FROM base
+       |)
+       |SELECT hr, event_type,
+       |       CAST(greatest(0, c * 1000 + noise_milli) AS BIGINT)
+       |         AS released_milli,
+       |       CAST($DpEpsMilli AS BIGINT) AS eps_milli
+       |FROM noise ORDER BY hr, event_type""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
@@ -846,5 +930,6 @@ object ProfilingQueries {
     QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136),
     QuerySpec("q139_length_outliers", Some(q139Sql), q139),
     QuerySpec("q140_t_closeness", Some(q140Sql), q140),
+    QuerySpec("q154_dp_release", Some(q154Sql), q154),
   )
 }

@@ -210,4 +210,35 @@ class ProfilingStatsSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (hr, e) => assert(got(hr) === e, s"hour $hr") }
   }
+
+  test("q154: DP release matches an exact driver Laplace-inverse-CDF recomputation") {
+    val ev = Tables.events(spark, dir)
+      .select(hour(col("ts")).cast("long"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hours = ev.map(_._1).distinct.sorted
+    val types = ev.map(_._2).distinct.sorted
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = (for (h <- hours; t <- types) yield {
+      val c = counts.getOrElse((h, t), 0L)
+      val u = java.lang.Long.parseLong(md5hex(s"dp:$h:$t").take(12), 16) % 999999L + 1L
+      val noise =
+        if (u < 500000L) 2L * graft.functions.LnSmallKernel.mnat(u, 500000L)
+        else -2L * graft.functions.LnSmallKernel.mnat(1000000L - u, 500000L)
+      (h, t, math.max(0L, c * 1000L + noise))
+    }).toSeq
+    val got = q("q154_dp_release").collect()
+      .map(r => (r.getAs[Long]("hr"), r.getString(1), r.getAs[Long]("released_milli")))
+    assert(got.toSeq === want)
+    // full zero-filled domain released; both noise signs exercised
+    assert(got.length === hours.length * types.length)
+    val deltas = got.map { case (h, t, rel) =>
+      rel - counts.getOrElse((h, t), 0L) * 1000L
+    }
+    assert(deltas.exists(_ > 0) && deltas.exists(_ < 0),
+      "both Laplace branches must fire across the domain")
+  }
 }
