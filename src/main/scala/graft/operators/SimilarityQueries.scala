@@ -577,6 +577,116 @@ object SimilarityQueries {
        |FROM agg
        |ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  /** Greedy k-center coreset selection (Sener & Savarese 2018, "Active
+    * Learning for Convolutional Neural Networks: A Core-Set Approach";
+    * the greedy farthest-point rule is Gonzalez 1985's classic
+    * 2-approximation): pick K exemplars so every vector is close to
+    * some exemplar — the DIVERSITY-driven data-selection family member
+    * beside q93's distribution matching (DSIR) and q87/q57's
+    * volume-driven samplers. Each round adds the vector FARTHEST from
+    * the chosen set (max of the running min-distance), and the
+    * recorded radius trajectory is the diminishing-returns read a
+    * selection run uses to choose K.
+    *
+    * Exactness: embeddings quantize to milli-integer codes (q119's
+    * move) so every squared distance is an exact BIGINT and the
+    * argmax (dist DESC, vec_id ASC) is a total order — both engines
+    * pick identical centers. Seed = lowest vec_id (deterministic; the
+    * 2-approximation holds for any seed). The oracle replays the same
+    * K rounds as unrolled MATERIALIZED CTEs.
+    *
+    * Output: (step, vec_id, radius_sq) — radius_sq is the chosen
+    * vector's min squared distance to the prior centers, i.e. the
+    * k-center objective after step−1 centers.
+    *
+    * Scale: each round broadcasts ONE center vector into a scan of
+    * the persisted code frame and collects one argmax row (the q80 /
+    * trainCore fixed-point pattern) — K rounds, zero vector-vector
+    * joins. At 100 TB the standard accelerations (batch several
+    * centers per pass; prune with q42's cells) drop in without
+    * changing the greedy semantics. */
+  private val KCenters = 8
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("q"))
+      .persist()
+    try {
+      base.count()
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var centerId = base.agg(min(col("vec_id"))).head().getLong(0)
+      picked += ((1L, centerId, 0L))
+      var cur = base.withColumn("mind", lit(Long.MaxValue))
+      for (step <- 2 to KCenters) {
+        val cvec = base.filter(col("vec_id") === centerId).select(col("q").as("cq"))
+        cur = cur.crossJoin(broadcast(cvec))
+          .withColumn("mind", least(col("mind"), expr(
+            """aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),
+              |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)))
+          .drop("cq")
+        val nxt = cur.orderBy(col("mind").desc, col("vec_id"))
+          .select(col("vec_id"), col("mind")).head()
+        centerId = nxt.getLong(0)
+        picked += ((step.toLong, centerId, nxt.getLong(1)))
+      }
+      picked.toSeq.toDF("step", "vec_id", "radius_sq").orderBy(col("step"))
+    } finally base.unpersist()
+  }
+
+  private val q155Sql = {
+    def distSum(prev: String, n: Int) =
+      s"""  SELECT a.vec_id,
+         |         least(p.mind, CAST(sum((a.val - b.val) * (a.val - b.val))
+         |                            AS BIGINT)) AS mind
+         |  FROM kcodes a
+         |  JOIN kcodes b ON a.i = b.i AND b.vec_id = (SELECT cid FROM kc$n)
+         |  JOIN $prev p ON p.vec_id = a.vec_id
+         |  GROUP BY a.vec_id, p.mind""".stripMargin
+    val steps = (2 to KCenters).map { n =>
+      val d =
+        if (n == 2)
+          s"""kd2 AS MATERIALIZED (
+             |  SELECT a.vec_id, CAST(sum((a.val - b.val) * (a.val - b.val))
+             |                        AS BIGINT) AS mind
+             |  FROM kcodes a
+             |  JOIN kcodes b ON a.i = b.i AND b.vec_id = (SELECT cid FROM kc1)
+             |  GROUP BY a.vec_id
+             |)""".stripMargin
+        else
+          s"""kd$n AS MATERIALIZED (
+             |${distSum(s"kd${n - 1}", n - 1)}
+             |)""".stripMargin
+      val c =
+        s"""kc$n AS (
+           |  SELECT vec_id AS cid, mind FROM kd$n
+           |  ORDER BY mind DESC, vec_id LIMIT 1
+           |)""".stripMargin
+      s"$d,\n$c"
+    }.mkString(",\n")
+    val out = (2 to KCenters)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS step, cid AS vec_id, mind AS radius_sq FROM kc$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH kcodes AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       |           AS val
+       |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+       |), kc1 AS (
+       |  SELECT min(vec_id) AS cid FROM embeddings
+       |),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS step, cid AS vec_id, CAST(0 AS BIGINT)
+       |         AS radius_sq
+       |FROM kc1
+       |UNION ALL
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
@@ -585,5 +695,6 @@ object SimilarityQueries {
     QuerySpec("q119_random_projection", Some(q119Sql), q119),
     QuerySpec("q125_retrieval_ndcg", Some(q125Sql), q125),
     QuerySpec("q126_anisotropy", Some(q126Sql), q126),
+    QuerySpec("q155_kcenter_coreset", Some(q155Sql), q155),
   )
 }

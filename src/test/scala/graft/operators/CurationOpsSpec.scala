@@ -291,6 +291,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(dedupDocs < fullDocs, "dedup must actually remove docs on testdata")
   }
 
+  // ------------------------------------------------------------- q155
+  test("q155: greedy k-center selection matches a plain-Scala recomputation") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = vecs.toMap
+    var centers = List(vecs.head._1)
+    val mind = scala.collection.mutable.Map(vecs.map(v => v._1 -> Long.MaxValue): _*)
+    val want = scala.collection.mutable.ArrayBuffer((1L, centers.head, 0L))
+    for (step <- 2 to 8) {
+      val c = byId(centers.head)
+      vecs.foreach { case (id, v) => mind(id) = math.min(mind(id), d2(v, c)) }
+      val (nid, nd) = vecs.map { case (id, _) => (id, mind(id)) }
+        .maxBy { case (id, d) => (d, -id) }
+      centers = nid :: centers
+      want += ((step.toLong, nid, nd))
+    }
+    val got = run("q155_kcenter_coreset").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("radius_sq")))
+    assert(got.toSeq === want.toSeq)
+    // objective is monotone non-increasing and centers are distinct
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
