@@ -687,6 +687,148 @@ object SimilarityQueries {
        |ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q156
+  /** All-but-the-Top whitening audit (Mu & Viswanath 2018): q126
+    * MEASURES the cone collapse (anisotropy, top_dim_share along raw
+    * axes); this computes the actual dominant PRINCIPAL direction —
+    * mean-center, 12-step power iteration on the exact integer Gram
+    * matrix — and reports per label how much variance that single
+    * direction holds (explained_ppm). A high share is the go signal
+    * for the ABTT fix (subtract the projection before any cosine
+    * stage); var_total − var_top is the post-removal variance the
+    * whitened pipeline would see.
+    *
+    * Exactness end-to-end: codes are milli-integers (q155), the mean
+    * uses symmetric truncated division (sign·(|Σ| DIV n) — Spark DIV
+    * truncates toward zero where DuckDB // floors, so negative sums
+    * need the explicit form), the 64×64 Gram is exact BIGINT sums,
+    * and the power iterate renormalizes each step by max-abs with the
+    * same symmetric division. The audit's direction is DEFINED as the
+    * 12-step iterate from the all-ones seed — a deterministic
+    * quantity both engines compute bit-identically; near-isotropic
+    * data (a small eigengap) affects its convergence, never its
+    * cross-engine equality.
+    *
+    * Scale: the Gram matrix is one map-side-combined d²-cell
+    * aggregate (N·d² multiply-adds scan-side; d² = 4096 cells
+    * regardless of N) — a bounded artifact like q99's LM, so the
+    * driver-side 12-step iteration is O(d²) on 4096 longs, and the
+    * direction broadcasts back as a d-row frame for the projection
+    * pass. Two corpus scans total (Gram, then project). */
+  private val AbttIters = 12
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("i", "val")))
+      .persist()
+    try {
+      ex.count()
+      val n = ex.agg(countDistinct(col("vec_id"))).head().getLong(0)
+      // per-dim mean, symmetric truncated division
+      val meanRows = ex.groupBy(col("i")).agg(sum(col("val")).as("sv"))
+        .select(col("i"),
+          (signum(col("sv")).cast("long") * expr(s"abs(sv) DIV $n")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val mLit = (0 until 64).map(meanRows.getOrElse(_, 0L))
+      val mArr = mLit.mkString("array(", "L,", "L)")
+      val cv = ex.select(col("vec_id"), col("label"), col("i"),
+        (col("val") - expr(s"element_at($mArr, i + 1)")).as("cv"))
+      // exact integer Gram — d^2 bounded cells
+      val gram = cv.select(col("vec_id"), col("i").as("j"), col("cv").as("a"))
+        .join(cv.select(col("vec_id"), col("i").as("k"), col("cv").as("b")),
+          Seq("vec_id"))
+        .groupBy(col("j"), col("k")).agg(sum(col("a") * col("b")).as("g"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // driver power iteration, max-abs renormalized each step
+      var v = Array.fill(64)(1000L)
+      for (_ <- 1 to AbttIters) {
+        val raw = Array.tabulate(64)(k =>
+          (0 until 64).map(j => gram.getOrElse((j, k), 0L) * v(j)).sum)
+        val mx = raw.map(math.abs).max max 1L
+        v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
+      }
+      val vArr = v.mkString("array(", "L,", "L)")
+      val vnorm = v.map(x => x * x).sum
+      // per-vec projection energy divides by ||v||^2 BEFORE the label
+      // sum: dot^2 alone fits 64-bit per row, but a label-summed dot^2
+      // would overflow at a few hundred vectors
+      val perVec = cv
+        .withColumn("vv", expr(s"element_at($vArr, i + 1)"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("cv") * col("vv")).as("dot"),
+          sum(col("cv") * col("cv")).as("nsq"))
+        .withColumn("dot2n", expr(s"(dot * dot) DIV $vnorm"))
+      perVec.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("nsq")).as("var_total"),
+          sum(col("dot2n")).as("var_top"))
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          col("var_total"), col("var_top"))
+        .withColumn("explained_ppm", expr("(var_top * 1000000) DIV var_total"))
+        .orderBy(col("label"))
+    } finally ex.unpersist()
+  }
+
+  private val q156Sql = {
+    val iters = (1 to AbttIters).map { t =>
+      s"""pr$t AS MATERIALIZED (
+         |  SELECT g.k AS i, CAST(sum(g.g * p.val) AS BIGINT) AS raw
+         |  FROM gr g JOIN pv${t - 1} p ON p.i = g.j GROUP BY g.k
+         |), mx$t AS (
+         |  SELECT CAST(greatest(max(abs(raw)), 1) AS BIGINT) AS mx FROM pr$t
+         |), pv$t AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN raw < 0 THEN -((-raw) * 1000 // mx)
+         |                      ELSE (raw * 1000) // mx END AS BIGINT) AS val
+         |  FROM pr$t, mx$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH exq AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(i - 1 AS INT) AS i,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       |           AS val
+       |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+       |), nn AS (
+       |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM exq
+       |), mn AS (
+       |  SELECT i, CAST(CASE WHEN sv < 0 THEN -((-sv) // n)
+       |                      ELSE sv // n END AS BIGINT) AS m
+       |  FROM (SELECT i, CAST(sum(val) AS BIGINT) AS sv FROM exq GROUP BY i), nn
+       |), cvt AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.i, e.val - mn.m AS cv
+       |  FROM exq e JOIN mn ON mn.i = e.i
+       |), gr AS MATERIALIZED (
+       |  SELECT a.i AS j, b.i AS k, CAST(sum(a.cv * b.cv) AS BIGINT) AS g
+       |  FROM cvt a JOIN cvt b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       |), pv0 AS (
+       |  SELECT i, CAST(1000 AS BIGINT) AS val
+       |  FROM (SELECT DISTINCT i FROM exq)
+       |),
+       |$iters,
+       |vn AS (
+       |  SELECT CAST(sum(val * val) AS BIGINT) AS vnorm FROM pv$AbttIters
+       |), pvec AS (
+       |  SELECT c.label, c.vec_id,
+       |         CAST(sum(c.cv * p.val) AS BIGINT) AS dot,
+       |         CAST(sum(c.cv * c.cv) AS BIGINT) AS nsq
+       |  FROM cvt c JOIN pv$AbttIters p ON p.i = c.i
+       |  GROUP BY 1, 2
+       |), pvec2 AS (
+       |  SELECT label, vec_id, nsq,
+       |         (dot * dot) // (SELECT vnorm FROM vn) AS dot2n
+       |  FROM pvec
+       |)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(nsq) AS BIGINT) AS var_total,
+       |       CAST(sum(dot2n) AS BIGINT) AS var_top,
+       |       (CAST(sum(dot2n) AS BIGINT) * 1000000) // CAST(sum(nsq) AS BIGINT)
+       |         AS explained_ppm
+       |FROM pvec2 GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q28_cosine_topk", Some(q28Sql), q28),
     QuerySpec("q29_cosine_lsh", Some(q29Sql), q29),
@@ -696,5 +838,6 @@ object SimilarityQueries {
     QuerySpec("q125_retrieval_ndcg", Some(q125Sql), q125),
     QuerySpec("q126_anisotropy", Some(q126Sql), q126),
     QuerySpec("q155_kcenter_coreset", Some(q155Sql), q155),
+    QuerySpec("q156_abtt_whitening", Some(q156Sql), q156),
   )
 }

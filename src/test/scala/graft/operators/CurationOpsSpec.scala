@@ -322,6 +322,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  // ------------------------------------------------------------- q156
+  test("q156: ABTT audit matches a plain-Scala Gram + power-iteration recomputation") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+    val n = vecs.length.toLong
+    val d = 64
+    val mean = Array.tabulate(d) { i =>
+      val sv = vecs.map(_._3(i)).sum
+      math.signum(sv) * (math.abs(sv) / n)
+    }
+    val cv = vecs.map { case (id, lb, q) =>
+      (id, lb, Array.tabulate(d)(i => q(i) - mean(i)))
+    }
+    val gram = Array.tabulate(d, d)((j, k) => cv.map(v => v._3(j) * v._3(k)).sum)
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to 12) {
+      val raw = Array.tabulate(d)(k => (0 until d).map(j => gram(j)(k) * v(j)).sum)
+      val mx = math.max(raw.map(math.abs).max, 1L)
+      v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
+    }
+    val vnorm = v.map(x => x * x).sum
+    val want = cv.groupBy(_._2).toSeq.sortBy(_._1).map { case (lb, vs) =>
+      val dots = vs.map { case (_, _, c) =>
+        val dot = (0 until d).map(i => c(i) * v(i)).sum
+        val nsq = c.map(x => x * x).sum
+        (dot * dot / vnorm, nsq)
+      }
+      val varTop = dots.map(_._1).sum
+      val varTotal = dots.map(_._2).sum
+      (lb, vs.length.toLong, varTotal, varTop, varTop * 1000000L / varTotal)
+    }
+    val got = run("q156_abtt_whitening").collect().map(r =>
+      (r.getAs[Long]("label"), r.getAs[Long]("n_vecs"), r.getAs[Long]("var_total"),
+        r.getAs[Long]("var_top"), r.getAs[Long]("explained_ppm")))
+    assert(got.toSeq === want)
+    // projection energy can never exceed total variance
+    got.foreach(g => assert(g._4 <= g._3 && g._4 >= 0))
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
