@@ -170,4 +170,30 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q146 paragraph dedup: digest-keyed joins only, no cartesian") {
+    val p = finalPlan("q146_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q150 quality survivors: model frames broadcast, no cartesian") {
+    val p = finalPlan("q150_quality_survivor")
+    assert(p.contains("BroadcastHashJoin"), "LM model tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q152/q153: pair-to-pack joins are id-equi joins, no cartesian") {
+    Seq("q152_pack_contamination", "q153_dedup_packing").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q156 ABTT: the Gram build joins codes by vec_id, never all-pairs") {
+    val p = finalPlan("q156_abtt_whitening")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the d^2 fanout must come from the vec_id equi join, not a cross")
+  }
 }
