@@ -13,10 +13,16 @@ class CatalogSmokeSpec extends SparkSpec {
 
   QueryCatalog.all.foreach { spec =>
     test(s"${spec.name} runs and is deterministic at sf0.001") {
-      val r1 = spec.fn(spark, dir).collect().map(_.toSeq.map {
+      val df1 = spec.fn(spark, dir)
+      val r1 = df1.collect().map(_.toSeq.map {
         case a: Array[_] => a.toSeq
         case x => x
       })
+      // global anti-pattern sweep on the executed plan: an unbroadcast
+      // CartesianProduct anywhere in the catalog is a scale bug (the
+      // legitimate small-frame crosses all ride BroadcastNestedLoop)
+      assert(!df1.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"${spec.name} plans a CartesianProduct")
       val r2 = spec.fn(spark, dir).collect().map(_.toSeq.map {
         case a: Array[_] => a.toSeq
         case x => x
