@@ -363,9 +363,110 @@ object IvfQueries {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
        |FROM pm2 GROUP BY cell ORDER BY cell""".stripMargin
 
+  // --------------------------------------------------------------- q157
+  /** Label-noise audit via cell-local kNN voting (Northcutt et al.
+    * 2021, "Confident Learning" — the data-centric step that finds
+    * MISLABELED examples before they poison a classifier): every
+    * vector's label is cross-examined against the majority label of
+    * its k nearest neighbors, and the zero-filled label×voted
+    * confusion matrix localizes the noise (off-diagonal mass = which
+    * classes bleed into which — cleanlab's joint estimate in its
+    * simplest kNN form). q79 votes a sampled query panel against the
+    * WHOLE corpus (the brute-force validation shape); this audits
+    * EVERY vector by restricting neighbors to the vector's own q42
+    * k-means cell — SemDeDup's within-cell bound (q72) applied to
+    * label QA, which is what makes full coverage affordable.
+    *
+    * Vote: top-[[NoiseVoteK]] same-cell neighbors by rounded cosine
+    * (sim DESC, vec_id tiebreak), majority with (votes DESC, label)
+    * tiebreak — total orders everywhere, both engines pick identical
+    * winners. Singleton-cell vectors have no neighbors and drop from
+    * the vote (the spec ties out voted ≤ total).
+    *
+    * Scale: the pair generation is the within-cell equi-join (N²/K
+    * per cell, never all-pairs); votes aggregate per vector; the
+    * confusion rollup is |labels|² rows with q12's zero-fill. */
+  private val NoiseVoteK = 10
+
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = buildIndex(s, dir)
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val av = assigned.join(lab, Seq("vec_id"))
+    val a = av.select(col("vec_id").as("aid"), col("cell"),
+      col("label").as("a_label"), col("v").as("avv"), col("nrm").as("an"))
+    val b = av.select(col("vec_id").as("bid"), col("cell"),
+      col("label").as("b_label"), col("v").as("bv"), col("nrm").as("bn"))
+    val winners = a.join(b, Seq("cell")).filter(col("aid") =!= col("bid"))
+      .withColumn("sim",
+        Det.rate(VectorMath.dot(s, "avv", "bv") / (col("an") * col("bn"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("sim").desc, col("bid"))))
+      .filter(col("rn") <= NoiseVoteK)
+      .groupBy(col("aid"), col("a_label"), col("b_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("votes").desc, col("b_label"))))
+      .filter(col("vr") === 1)
+      .select(col("a_label").as("label"), col("b_label").as("voted"))
+    val labels = lab.select(col("label")).distinct()
+    val domain = labels
+      .crossJoin(broadcast(labels.select(col("label").as("voted"))))
+    val conf = winners.groupBy(col("label"), col("voted")).agg(count(lit(1)).as("n"))
+    domain.join(conf, Seq("label", "voted"), "left").na.fill(0L, Seq("n"))
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("label"))))
+      .withColumn("share_ppm", when(col("row_total") === 0, 0L)
+        .otherwise(expr("(n * 1000000) DIV row_total")))
+      .select(col("label"), col("voted"), col("n"), col("share_ppm"))
+      .orderBy(col("label"), col("voted"))
+  }
+
+  private val q157Sql =
+    s"""$ivfPrefixSql,
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |prs AS (
+       |  SELECT a.vec_id AS aid, la.label AS a_label, lb2.label AS b_label,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ${sim("a.v", "a.nrm", "b.v", "b.nrm")} DESC, b.vec_id)
+       |           AS rn
+       |  FROM asgf a
+       |  JOIN asgf b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN lb la ON la.vec_id = a.vec_id
+       |  JOIN lb lb2 ON lb2.vec_id = b.vec_id
+       |),
+       |vt AS (
+       |  SELECT aid, a_label, b_label, count(*) AS votes
+       |  FROM prs WHERE rn <= $NoiseVoteK GROUP BY 1, 2, 3
+       |),
+       |wn AS (
+       |  SELECT a_label AS label, b_label AS voted,
+       |         row_number() OVER (PARTITION BY aid
+       |                            ORDER BY votes DESC, b_label) AS vr
+       |  FROM vt
+       |),
+       |doms AS (SELECT DISTINCT label FROM lb),
+       |dom AS (SELECT a.label, b.label AS voted FROM doms a, doms b),
+       |cf AS (
+       |  SELECT label, voted, CAST(count(*) AS BIGINT) AS n
+       |  FROM wn WHERE vr = 1 GROUP BY 1, 2
+       |),
+       |fz AS (
+       |  SELECT dom.label, dom.voted, COALESCE(cf.n, 0) AS n
+       |  FROM dom LEFT JOIN cf USING (label, voted)
+       |),
+       |rt AS (
+       |  SELECT *, CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS row_total
+       |  FROM fz
+       |)
+       |SELECT label, voted, CAST(n AS BIGINT) AS n,
+       |       CASE WHEN row_total = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE (CAST(n AS BIGINT) * 1000000) // row_total END AS share_ppm
+       |FROM rt ORDER BY label, voted""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
     QuerySpec("q72_semantic_dedup", Some(q72Sql), q72),
     QuerySpec("q123_cluster_margin", Some(q123Sql), q123),
+    QuerySpec("q157_label_noise", Some(q157Sql), q157),
   )
 }

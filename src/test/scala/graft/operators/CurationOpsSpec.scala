@@ -363,6 +363,51 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach(g => assert(g._4 <= g._3 && g._4 >= 0))
   }
 
+  // ------------------------------------------------------------- q157
+  test("q157: cell-local kNN label-noise matrix matches a driver recomputation") {
+    val (assigned, _) = IvfQueries.buildIndex(spark, dir)
+    val cells = assigned.select(col("vec_id"), col("cell"),
+      col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val labels = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rate(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val votes = cells.groupBy(_._2).values.flatMap { members =>
+      members.flatMap { case (aid, _, av, an) =>
+        val nbrs = members.filter(_._1 != aid)
+          .map { case (bid, _, bv, bn) =>
+            val dot = av.zip(bv).map { case (x, y) => x * y }.sum
+            (bid, rate(dot / (an * bn)))
+          }
+          .sortBy { case (bid, s) => (-s, bid) }.take(10)
+        if (nbrs.isEmpty) None
+        else {
+          val winner = nbrs.groupBy(n => labels(n._1)).toSeq
+            .map { case (l, xs) => (l, xs.length) }
+            .minBy { case (l, v) => (-v, l) }._1
+          Some((labels(aid), winner))
+        }
+      }
+    }.toSeq
+    val labelDomain = labels.values.toSeq.distinct.sorted
+    val want = (for (l <- labelDomain; v <- labelDomain) yield {
+      val n = votes.count(x => x._1 == l && x._2 == v).toLong
+      (l, v, n)
+    }).map { case (l, v, n) =>
+      val rt = votes.count(_._1 == l).toLong
+      (l, v, n, if (rt == 0) 0L else n * 1000000L / rt)
+    }
+    val got = run("q157_label_noise").collect().map(r =>
+      (r.getAs[Long]("label"), r.getAs[Long]("voted"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_ppm")))
+    assert(got.toSeq === want)
+    // coverage: every voted vector appears once; voted <= corpus size
+    val total = got.map(_._3).sum
+    assert(total === votes.length.toLong && total <= labels.size.toLong)
+    assert(total > 0)
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
