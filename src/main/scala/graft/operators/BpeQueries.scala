@@ -906,6 +906,95 @@ object BpeQueries {
        |         AS fill_rate
        |FROM c3 GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** Pack-budget operating curve — the knob-choice read for q102's
+    * batch builder (q129's "measure the knob" discipline applied to
+    * packing): for budgets B ∈ {1024, 2048, 4096, 8192}, the packs
+    * q102's rule would build, graded by under-fill (padding a trainer
+    * would burn) and straddle-overflow (tokens past the budget that a
+    * truncating loader would cut) — small B wastes little but cuts
+    * more, large B pads the final partial pack of each bucket. The
+    * running token total per bucket is BUDGET-INDEPENDENT, so ONE
+    * cumulative window serves all four budgets: the per-doc (cum,
+    * tok) frame explodes across the budget literals and only the
+    * |budgets|·|packs| rollup differs.
+    *
+    * Exactness: pack = (cum − tok) DIV B on exact token counts;
+    * under-fill and overflow are integer max(0, ·) sums; ppm by DIV
+    * against the bucket-total token volume.
+    *
+    * Scale: q102's envelope + a 4× explode of the NARROW (bucket,
+    * pack keys, two longs) frame — the corpus is scanned once and the
+    * tokenizer dictionary broadcast once, regardless of how many
+    * budgets the sweep grades. */
+  private val CurveBudgets = Seq(1024L, 2048L, 4096L, 8192L)
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokPerWord = tokenDict(s, dir)
+    val docs = Tables.documents(s, dir)
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tokPerWord), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_tok")).as("tok"))
+    val seq0 = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("tok"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .withColumn("cum", sum(col("tok")).over(seq0))
+    val budgets = CurveBudgets.map(b => s"${b}L").mkString("array(", ",", ")")
+    val packs = assigned
+      .select(col("bucket"), col("tok"), col("cum"),
+        explode(expr(budgets)).as("budget"))
+      .withColumn("pack", expr("(cum - tok) DIV budget"))
+      .groupBy(col("budget"), col("bucket"), col("pack"))
+      .agg(sum(col("tok")).as("pt"))
+    packs.groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("pt")).as("total_tokens"),
+        sum(greatest(lit(0L), col("budget") - col("pt"))).as("pad_tokens"),
+        sum(greatest(lit(0L), col("pt") - col("budget"))).as("overflow_tokens"))
+      .withColumn("pad_ppm", expr("(pad_tokens * 1000000) DIV total_tokens"))
+      .withColumn("overflow_ppm",
+        expr("(overflow_tokens * 1000000) DIV total_tokens"))
+      .orderBy(col("budget"))
+  }
+
+  private val q158Sql = {
+    val budgets = CurveBudgets.mkString("[", ", ", "]")
+    s"""$ctePrefix,
+       |${tokSwCtes("doc_id")}, dtok AS (
+       |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS tok
+       |  FROM sw JOIN tok USING (w) GROUP BY doc_id
+       |), asg8 AS (
+       |  SELECT d.doc_id, COALESCE(dtok.tok, 0) AS tok,
+       |         d.doc_id % $PackBuckets AS bucket
+       |  FROM documents d LEFT JOIN dtok USING (doc_id)
+       |), cm AS (
+       |  SELECT bucket, doc_id, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM asg8
+       |), ex8 AS (
+       |  SELECT bucket, tok, cum, CAST(b AS BIGINT) AS budget
+       |  FROM cm, unnest($budgets::BIGINT[]) AS u(b)
+       |), pk8 AS (
+       |  SELECT budget, bucket, (cum - tok) // budget AS pack,
+       |         CAST(sum(tok) AS BIGINT) AS pt
+       |  FROM ex8 GROUP BY 1, 2, 3
+       |)
+       |SELECT budget, CAST(count(*) AS BIGINT) AS n_packs,
+       |       CAST(sum(pt) AS BIGINT) AS total_tokens,
+       |       CAST(sum(greatest(0, budget - pt)) AS BIGINT) AS pad_tokens,
+       |       CAST(sum(greatest(0, pt - budget)) AS BIGINT) AS overflow_tokens,
+       |       (CAST(sum(greatest(0, budget - pt)) AS BIGINT) * 1000000)
+       |         // CAST(sum(pt) AS BIGINT) AS pad_ppm,
+       |       (CAST(sum(greatest(0, pt - budget)) AS BIGINT) * 1000000)
+       |         // CAST(sum(pt) AS BIGINT) AS overflow_ppm
+       |FROM pk8 GROUP BY budget ORDER BY budget""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
@@ -915,5 +1004,6 @@ object BpeQueries {
     QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151),
     QuerySpec("q152_pack_contamination", Some(q152Sql), q152),
     QuerySpec("q153_dedup_packing", Some(q153Sql), q153),
+    QuerySpec("q158_budget_curve", Some(q158Sql), q158),
   )
 }

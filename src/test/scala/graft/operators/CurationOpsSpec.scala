@@ -408,6 +408,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(total > 0)
   }
 
+  // ------------------------------------------------------------- q158
+  test("q158: budget curve matches a driver packer at every budget") {
+    // token counts via the public trainer surface (q152's move)
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val nTok = BpeQueries.segmented(words, BpeQueries.trainMerges(words, 8))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).map(nTok).sum))
+      .sortBy(_._1)
+    val want = Seq(1024L, 2048L, 4096L, 8192L).map { b =>
+      val packs = docs.groupBy(_._1 % 8).toSeq.flatMap { case (bk, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (_, t) =>
+          val p = cum / b; cum += t; ((bk, p), t)
+        }
+      }.groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+      val total = packs.sum
+      val pad = packs.map(p => math.max(0L, b - p)).sum
+      val over = packs.map(p => math.max(0L, p - b)).sum
+      (b, packs.length.toLong, total, pad, over,
+        pad * 1000000L / total, over * 1000000L / total)
+    }
+    val got = run("q158_budget_curve").collect().map(r =>
+      (r.getAs[Long]("budget"), r.getAs[Long]("n_packs"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("pad_tokens"), r.getAs[Long]("overflow_tokens"),
+        r.getAs[Long]("pad_ppm"), r.getAs[Long]("overflow_ppm")))
+    assert(got.toSeq === want)
+    // the tradeoff must actually trade: padding grows with the budget,
+    // pack count shrinks
+    assert(got.map(_._6).toSeq === got.map(_._6).sortBy(identity).toSeq,
+      "pad_ppm must be non-decreasing in budget")
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq,
+      "n_packs must be non-increasing in budget")
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: matrix matches an exact driver recomputation and every rule fires") {
     val docs = graft.Tables.documents(spark, dir)
