@@ -750,10 +750,14 @@ object BpeQueries {
       .join(pk.select(col("doc_id").as("doc_b"),
         col("bucket").as("bb"), col("pack").as("pb")), Seq("doc_b"))
       .withColumn("co_packed", col("ba") === col("bb") && col("pa") === col("pb"))
+    // coalesce the sums so a clean corpus (no near-dup pairs) yields an
+    // explicit one-row zero summary, matching the oracle's agg-CTE form
     joined.agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("same_bucket_pairs"),
-        sum(when(col("co_packed"), 1L).otherwise(0L)).as("co_packed_pairs"),
+        coalesce(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)), lit(0L))
+          .as("same_bucket_pairs"),
+        coalesce(sum(when(col("co_packed"), 1L).otherwise(0L)), lit(0L))
+          .as("co_packed_pairs"),
         countDistinct(when(col("co_packed"),
           concat_ws(":", col("ba"), col("pa")))).as("contaminated_packs"))
       .crossJoin(broadcast(
@@ -806,23 +810,26 @@ object BpeQueries {
        |                             || CAST(pack AS VARCHAR)) AS BIGINT)
        |           AS total_packs
        |  FROM pkk
+       |), agg AS (
+       |  -- global agg over ann: exactly one row even when ann is empty
+       |  -- (clean corpus), so the audit always emits its zero summary
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(COALESCE(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END), 0)
+       |              AS BIGINT) AS same_bucket_pairs,
+       |         CAST(COALESCE(sum(CASE WHEN ba = bb AND pa = pb
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS co_packed_pairs,
+       |         CAST(count(DISTINCT CASE WHEN ba = bb AND pa = pb
+       |                                  THEN CAST(ba AS VARCHAR) || ':'
+       |                                       || CAST(pa AS VARCHAR) END) AS BIGINT)
+       |           AS contaminated_packs
+       |  FROM ann
        |)
-       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       |       CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS same_bucket_pairs,
-       |       CAST(sum(CASE WHEN ba = bb AND pa = pb THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS co_packed_pairs,
-       |       CAST(count(DISTINCT CASE WHEN ba = bb AND pa = pb
-       |                                THEN CAST(ba AS VARCHAR) || ':'
-       |                                     || CAST(pa AS VARCHAR) END) AS BIGINT)
-       |         AS contaminated_packs,
-       |       tp.total_packs,
-       |       (CAST(count(DISTINCT CASE WHEN ba = bb AND pa = pb
-       |                                 THEN CAST(ba AS VARCHAR) || ':'
-       |                                      || CAST(pa AS VARCHAR) END) AS BIGINT)
-       |        * 1000000) // tp.total_packs AS contaminated_ppm
-       |FROM ann, tp
-       |GROUP BY tp.total_packs""".stripMargin
+       |SELECT agg.n_pairs, agg.same_bucket_pairs, agg.co_packed_pairs,
+       |       agg.contaminated_packs, tp.total_packs,
+       |       (agg.contaminated_packs * 1000000) // tp.total_packs
+       |         AS contaminated_ppm
+       |FROM agg, tp""".stripMargin
 
 
   // --------------------------------------------------------------- q153

@@ -13,10 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * corpus rescan, ever.
   *
   * Exact centering without division: the centered scatter matrix
-  * scaled by n is M = n·G − S·Sᵀ (exact BIGINTs), which has the same
-  * eigenvectors as the covariance; the explained-share read divides
-  * only at the very end through staged truncations sized so no
-  * intermediate exceeds 2⁶³ (documented inline).
+  * scaled by n is M = n·G − S·Sᵀ, which has the same eigenvectors as
+  * the covariance. M's entries grow as n² and the power-iteration
+  * products as n²·10⁶, so [[topDir]] evaluates them in arbitrary
+  * precision (BigInt — the cost is d² driver-side multiplies per
+  * micro-batch, nothing distributed) and only the final milli-scale
+  * iterate / ppm share are truncated back to 64 bits. The one
+  * remaining ceiling is the Long STATE itself: Σx² per cell grows as
+  * n·10⁶ for milli-scale unit-norm codes, so the state is exact up to
+  * n ≈ 9·10¹² vectors — beyond any single stream's horizon; shard by
+  * key and [[merge]] before then.
   *
   * Scale: arrivals contribute d² multiply-adds map-side; the single
   * grouping key is fine because the PER-BATCH fold is O(batch·d²)
@@ -27,9 +33,11 @@ object GramStream {
 
   final case class Vec(vec_id: Long, q: Array[Long])
 
-  /** Emitted when the state changes: vectors seen, trace of the
-    * scaled scatter M, the 12-step power iterate (milli scale), and
-    * the direction's explained variance share in ppm. */
+  /** Emitted when the state changes: vectors seen, total per-vector
+    * variance (trace(M) DIV n² — milli² units; n-invariant so it fits
+    * 64 bits at any stream length, unlike raw trace(M) which grows as
+    * n²), the 12-step power iterate (milli scale), and the
+    * direction's explained variance share in ppm. */
   final case class TopDir(n: Long, trace: Long, v: Seq[Long], explained_ppm: Long)
 
   private[streaming] val D = 64
@@ -57,28 +65,36 @@ object GramStream {
     out
   }
 
-  /** M = n*G - S*S^T (the n-scaled centered scatter), its trace, and
-    * the q156 power iterate + explained share off the state alone. */
+  /** M = n*G - S*S^T (the n-scaled centered scatter), its n²-scaled
+    * trace, and the q156-style power iterate + explained share, off
+    * the state alone. All products involving M run in BigInt — M's
+    * entries reach ~2n²·10⁶ for milli-scale codes, past 2⁶³ at
+    * n ≈ 10⁴ vectors, so 64-bit arithmetic here would silently wrap
+    * on an unbounded stream. Cost is O(d²) driver-side big-multiplies
+    * per emit; the distributed side never touches M. */
   private[streaming] def topDir(st: Array[Long]): TopDir = {
     val n = st(0)
-    def m(j: Int, k: Int): Long =
-      n * st(1 + D + j * D + k) - st(1 + j) * st(1 + k)
+    def m(j: Int, k: Int): BigInt =
+      BigInt(n) * BigInt(st(1 + D + j * D + k)) -
+        BigInt(st(1 + j)) * BigInt(st(1 + k))
+    // power iterate: v stays milli-scale Long (|v| <= 1000); the
+    // matrix-vector product and max-abs renormalization are exact
     var v = Array.fill(D)(1000L)
     for (_ <- 1 to Iters) {
-      val raw = Array.tabulate(D)(k => (0 until D).map(j => m(j, k) * v(j)).sum)
-      val mx = math.max(raw.map(math.abs).max, 1L)
-      v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
+      val raw = Array.tabulate(D)(k =>
+        (0 until D).map(j => m(j, k) * v(j)).sum)
+      val mx = raw.map(_.abs).max.max(BigInt(1))
+      v = raw.map(x => (x * 1000 / mx).toLong)
     }
-    val trace = (0 until D).map(j => m(j, j)).sum
-    // v^T M v staged to stay in 64 bits: u = Mv (<= ~5e17/comp),
-    // u6 = u DIV 1e6 (<= 5e11), A = sum v*u6 (<= 3e16),
-    // ppm = (A DIV (trace DIV 1e6)) * 1e6 DIV ||v||^2
-    val u6 = Array.tabulate(D)(k => (0 until D).map(j => m(j, k) * v(j)).sum / 1000000L)
-    val a = (0 until D).map(k => v(k) * u6(k)).sum
-    val vn = v.map(x => x * x).sum
-    val t6 = math.max(trace / 1000000L, 1L)
-    val ppm = math.max(0L, a / t6 * 1000000L / vn)
-    TopDir(n, trace, v.toSeq, ppm)
+    val traceM = (0 until D).map(j => m(j, j)).sum // >= 0: n^2 * total variance
+    // explained share, exact: ppm = (v^T M v * 1e6) / (trace * ||v||^2)
+    val a = (0 until D).map(k =>
+      (0 until D).map(j => m(j, k) * v(j)).sum * v(k)).sum
+    val vn = BigInt(v.map(x => x * x).sum)
+    val ppm =
+      if (traceM <= 0) 0L else (a.max(BigInt(0)) * 1000000 / (traceM * vn)).toLong
+    val traceOut = if (n <= 0) 0L else (traceM / (BigInt(n) * BigInt(n))).toLong
+    TopDir(n, traceOut, v.toSeq, ppm)
   }
 
   def directions(spark: SparkSession, vecs: Dataset[Vec]): Dataset[TopDir] = {

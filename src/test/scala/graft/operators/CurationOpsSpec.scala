@@ -263,6 +263,31 @@ class CurationOpsSpec extends SparkSpec {
       contaminated.length.toLong * 1000000L / assign.values.toSeq.distinct.length)
   }
 
+  test("q152: a clean corpus (no near-dup pairs) still emits one zero row") {
+    // regression pin for the empty-`ann` branch: the audit's contract
+    // is ONE summary row always — zero pairs must read as an explicit
+    // all-zero row (both the Spark agg and the oracle's agg CTE), not
+    // as an empty result
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q152clean").toString
+    Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "web", 48L),
+      (1L, "india juliet kilo lima mike november oscar papa", "en", "book", 47L),
+      (2L, "quebec romeo sierra tango uniform victor whiskey xray", "en", "code", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.QueryCatalog.all.find(_.name == "q152_pack_contamination").get
+      .fn(spark, tmp).collect()
+    assert(rows.length === 1, "clean corpus must still yield the summary row")
+    val r = rows(0)
+    assert(r.getAs[Long]("n_pairs") === 0L)
+    assert(r.getAs[Long]("same_bucket_pairs") === 0L)
+    assert(r.getAs[Long]("co_packed_pairs") === 0L)
+    assert(r.getAs[Long]("contaminated_packs") === 0L)
+    assert(r.getAs[Long]("total_packs") > 0L)
+    assert(r.getAs[Long]("contaminated_ppm") === 0L)
+  }
+
   // ------------------------------------------------------------- q153
   test("q153: deduped packs are structurally contamination-free") {
     // survivors from q54's clustering + q97's longest-wins rule

@@ -55,6 +55,26 @@ class GramStreamSpec extends SparkSpec {
     assert(merged.toSeq === driverState(vs).toSeq)
   }
 
+  test("direction/share/trace are replica-invariant at wrap-scale n (BigInt guard)") {
+    // Ingesting the corpus m times multiplies every sufficient
+    // statistic by exactly m (state is additive), so the derived
+    // direction, explained share, and n-scaled trace are invariant.
+    // At m = 1e6 the scatter M's entries reach ~1e21 — far past 2^63 —
+    // so this fails with garbage if topDir ever computes M in Longs.
+    val st = driverState(corpus)
+    val m = 1000000L
+    val big = st.clone()
+    var i = 0
+    while (i < big.length) { big(i) *= m; i += 1 }
+    val base = GramStream.topDir(st)
+    val rep = GramStream.topDir(big)
+    assert(rep.n === base.n * m)
+    assert(rep.v === base.v)
+    assert(rep.trace === base.trace)
+    assert(rep.explained_ppm === base.explained_ppm)
+    assert(rep.explained_ppm >= 0 && rep.explained_ppm <= 1000000L)
+  }
+
   test("trace and explained share are sane and direction is stable under order") {
     val vs = corpus
     val a = GramStream.topDir(driverState(vs))
