@@ -859,8 +859,7 @@ object BpeQueries {
     import org.apache.spark.sql.expressions.Window
     val st = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val survivors = CorpusQueries.clustersFrom(s,
-        st.select(col("doc_id").as("id")), DedupQueries.jaccardPairs(s, dir))
+    val survivors = CorpusQueries.clusterMap(s, dir)
       .select(col("doc_id"), col("component_id"))
       .join(st, Seq("doc_id"))
       .withColumn("rn", row_number().over(

@@ -65,8 +65,21 @@ object CorpusQueries {
     * on the rounded value — identical predicate, so edges match the
     * oracle bit-for-bit). */
   private def q54(s: SparkSession, dir: String): DataFrame =
-    clustersFrom(s, Tables.documents(s, dir).select(col("doc_id").as("id")),
-      DedupQueries.jaccardPairs(s, dir))
+    // re-assert the output order: the artifact is materialized RDD
+    // blocks, whose scan does not carry the builder's sort
+    clusterMap(s, dir).orderBy(col("doc_id"))
+
+  /** The dedup clustering as a STANDING ARTIFACT ([[Artifacts]]):
+    * (doc_id, component_id, csize, is_canonical) is corpus state —
+    * q54 publishes it and q97/q109/q128/q142/q150/q153 consume it;
+    * re-deriving the full shingle → pair → iterative-CC chain per
+    * consumer was ~1 s of identical work each (the round-7 perf
+    * audit's top finding). Built once per dataset from the standalone
+    * derivation below; ArtifactsSpec pins artifact == fresh build. */
+  private[operators] def clusterMap(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "cluster_map")(
+      clustersFrom(s, Tables.documents(s, dir).select(col("doc_id").as("id")),
+        DedupQueries.jaccardPairs(s, dir)))
 
   /** Clustering body, reusable against a SHARED jaccard-pair frame
     * (CorpusPipeline). */
@@ -150,8 +163,7 @@ object CorpusQueries {
     * (never an unpartitioned window). */
   private def q128(s: SparkSession, dir: String): DataFrame =
     Share.of(
-        clustersFrom(s, Tables.documents(s, dir).select(col("doc_id").as("id")),
-            DedupQueries.jaccardPairs(s, dir))
+        clusterMap(s, dir)
           .filter(col("is_canonical"))
           .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
           .withColumn("n_docs", col("csize") * col("n_clusters")),
@@ -193,8 +205,7 @@ object CorpusQueries {
     * (doc_id, source) projection and an |S|-row rollup. */
   private def q142(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    clustersFrom(s, docs.select(col("doc_id").as("id")),
-        DedupQueries.jaccardPairs(s, dir))
+    clusterMap(s, dir)
       .select(col("doc_id"), expr("1000000L DIV csize").as("wppm"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
@@ -236,8 +247,7 @@ object CorpusQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       length(col("text")).cast("long").as("n_chars"))
-    val clusters = clustersFrom(s, docs.select(col("doc_id").as("id")),
-      DedupQueries.jaccardPairs(s, dir))
+    val clusters = clusterMap(s, dir)
     clusters.select(col("doc_id"), col("component_id"))
       .join(docs, Seq("doc_id"))
       .withColumn("rn", row_number().over(
@@ -275,8 +285,7 @@ object CorpusQueries {
   private def q150(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val clusters = clustersFrom(s, docs.select(col("doc_id").as("id")),
-      DedupQueries.jaccardPairs(s, dir))
+    val clusters = clusterMap(s, dir)
     val q = SelectionQueries.docNll(s, dir)
       .select(col("doc_id"), expr("(nll * 1000) DIV nbg").as("q_unat"))
     clusters.filter(col("csize") >= 2)
@@ -399,9 +408,8 @@ object CorpusQueries {
     val jac = DedupQueries.jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b")).persist()
     try {
-      jac.count() // materialize once for the CC loop AND the edge audit
-      val clusters = clustersFrom(s,
-        Tables.documents(s, dir).select(col("doc_id").as("id")), jac)
+      jac.count() // materialize once for the edge audit's two scans
+      val clusters = clusterMap(s, dir)
       val asg = clusters.select(col("doc_id"), col("component_id"),
         splitName(splitDecile(col("component_id"))).as("cluster"),
         splitName(splitDecile(col("doc_id"))).as("naive"))

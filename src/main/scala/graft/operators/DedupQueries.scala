@@ -258,8 +258,14 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** The near-dup edge set as a STANDING ARTIFACT ([[Artifacts]]):
+    * (doc_a, doc_b, jaccard) is corpus state consumed by ten+
+    * registered queries (q26/q54/q69/q70/q80/q97/q109/q128/q131/q142/
+    * q150/q152/q153) — built and materialized once per dataset, read
+    * thereafter. The builder below is the standalone derivation the
+    * oracle mirrors; ArtifactsSpec pins artifact == fresh build. */
   private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardFrom(pairStats(s, dir))
+    Artifacts.frame(s, dir, "neardup_pairs")(jaccardFrom(pairStats(s, dir)))
 
   private def q26(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
