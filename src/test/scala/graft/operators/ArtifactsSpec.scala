@@ -44,6 +44,29 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("bpe ntok dictionary artifact == full segmentation ground truth") {
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val t = BpeQueries.trained(spark, dir)
+    // the merge table must be the standalone trainer's
+    assert(t.merges === BpeQueries.trainMerges(words, 8))
+    // the distributed dictionary must match per-word token counts
+    // derived off the PUBLIC trainer surface (segmented)
+    val full = BpeQueries.segmented(words, t.merges)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val art = BpeQueries.ntokDict(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_tok")).toMap
+    assert(art === full)
+    assert(art.nonEmpty)
+    // and withNTok must serve exactly the dictionary's counts
+    val got = BpeQueries.withNTok(spark, dir, words.select(col("w")))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_tok")).toMap
+    assert(got === full)
+  }
+
   test("artifacts are memoized and survive catalog.clearCache") {
     val a = CorpusQueries.clusterMap(spark, dir)
     val n = a.count()
