@@ -67,6 +67,13 @@ object Artifacts {
           _ => build.localCheckpoint(true))
         .asInstanceOf[DataFrame]
 
+  /** Collect a BOUNDED frame into a LocalRelation DataFrame — literal
+    * rows in the plan, so consumers pay zero scan jobs and the frame
+    * trivially survives `clearCache`. Callers must guarantee
+    * boundedness (model tables, pruned counts — never corpus rows). */
+  private[operators] def local(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Memoized driver-side value (e.g. a learned merge table — bounded
     * by construction; never corpus-scale data). */
   private[operators] def value[T <: AnyRef](

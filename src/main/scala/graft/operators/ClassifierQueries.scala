@@ -65,11 +65,24 @@ object ClassifierQueries {
     * artifacts — the closure an online scorer ships
     * ([[graft.streaming.QualityStream]]). */
   private[graft] def fitNb(s: SparkSession, dir: String): (Array[Long], Long) = {
-    val (weights, prior) = fitFrames(s, dir)
+    val (weights, prior) = nbModel(s, dir)
     val a = new Array[Long](Buckets)
     weights.collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
     (a, prior.head().getLong(0))
   }
+
+  /** The fitted NB model as a STANDING ARTIFACT ([[Artifacts]]):
+    * B-row weight table + 1-row prior collected ONCE per dataset into
+    * LocalRelations. The earlier keep-it-lazy note below measured a
+    * PER-QUERY collect ~2× slower (three extra scheduled jobs per
+    * run); amortized across the model's consumers (q100/q104/q120/
+    * q130 + streaming export) the one-time collect wins — later
+    * queries broadcast literal rows with zero fit jobs. */
+  private def nbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Artifacts.value(s, dir, "nb_model") {
+      val (weights, prior) = fitFrames(s, dir)
+      (Artifacts.local(s, weights), Artifacts.local(s, prior))
+    }
 
   /** The fit as LAZY frames: (weights — B rows (b, w), prior — one
     * row (pr)). The batch query keeps the whole fit+score pipeline one
@@ -115,7 +128,7 @@ object ClassifierQueries {
     * doc_id % 10 = 0 split, score every doc. The spec asserts
     * learning (held-out accuracy above the majority rate) here. */
   private[graft] def docScores(s: SparkSession, dir: String): DataFrame = {
-    val (weights, prior) = fitFrames(s, dir)
+    val (weights, prior) = nbModel(s, dir)
     // ---- score: the B-row weight table and 1-row prior broadcast
     // into the token stream; ONE per-doc partial-sum agg ----
     toks(labeled(s, dir))

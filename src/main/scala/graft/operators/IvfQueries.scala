@@ -95,6 +95,24 @@ object IvfQueries {
     (assign(s, vectors, centroids).persist(), centroids)
   }
 
+  /** The built index as a STANDING ARTIFACT ([[Artifacts]]): k-means
+    * is corpus state — q42/q72/q123/q157 (+ the coreset/noise family)
+    * all search the SAME index, and each re-running the full
+    * Lloyd-iteration build per query was ~0.5 s of identical work.
+    * Assignments are local-checkpointed (corpus-sized, executor-side);
+    * centroids collapse to a K-row LocalRelation. [[writeIndex]] keeps
+    * the fresh build — exporting is exactly the standing-artifact
+    * write path. */
+  private[operators] def index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Artifacts.value(s, dir, "ivf_index") {
+      val (assigned, centroids) = buildIndex(s, dir)
+      val a = assigned.localCheckpoint(true)
+      val c = Artifacts.local(s, centroids)
+      assigned.unpersist()
+      centroids.unpersist()
+      (a, c)
+    }
+
   /** Persist the IVF index with vectors CLUSTERED BY CELL — the layout
     * that turns every probe into a partition-pruned scan: a search that
     * probes nprobe of K cells reads nprobe/K of the table from storage
@@ -138,7 +156,7 @@ object IvfQueries {
 
   /** q42: nprobe ANN search for the sampled query set. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, centroids) = buildIndex(s, dir)
+    val (assigned, centroids) = index(s, dir)
     // no eager materialization here (unlike q25/q54): the k-means chain
     // is serialized by the centroid BROADCAST stage, which materializes
     // once before either consumer of `assigned` scans — an extra
@@ -259,7 +277,7 @@ object IvfQueries {
   private val DedupTau = 0.4
 
   private def q72(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, _) = buildIndex(s, dir)
+    val (assigned, _) = index(s, dir)
     assigned.count() // the pair self-join's two scans race the cold cache
     val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
@@ -307,7 +325,7 @@ object IvfQueries {
   private val BoundaryMargin = 0.05
 
   private def q123(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, centroids) = buildIndex(s, dir)
+    val (assigned, centroids) = index(s, dir)
     assigned
       .crossJoin(broadcast(centroids.select(
         col("cell").as("ccell"), col("cv"), col("cnrm"))))
@@ -389,7 +407,7 @@ object IvfQueries {
   private val NoiseVoteK = 10
 
   private def q157(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, _) = buildIndex(s, dir)
+    val (assigned, _) = index(s, dir)
     val lab = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
     val av = assigned.join(lab, Seq("vec_id"))

@@ -166,7 +166,16 @@ object PqQueries {
     val cent = trainCore(vecs, m, subDim, k, iters) { pts =>
       q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
     }
+    adcApply(vecs, cent, q0, m, subDim, k, topK, queryId)
+  }
 
+  /** The ADC scoring pass against an ALREADY-TRAINED codebook — the
+    * index-serving stage, split from training so q96 can run it off
+    * the [[pqModel]] standing artifact (nobody retrains a PQ index
+    * per query). */
+  private def adcApply(
+      vecs: DataFrame, cent: Array[Array[Array[Long]]], q0: Array[Long],
+      m: Int, subDim: Int, k: Int, topK: Int, queryId: Long): DataFrame = {
     // ---- ADC: the query meets each codebook entry once (driver-side
     // lut), the corpus only through its codes ----
     val lut: Array[Array[Long]] = Array.tabulate(m, k) { (mm, kk) =>
@@ -196,12 +205,35 @@ object PqQueries {
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT))")
         .as("v"))
 
-  private def q96(s: SparkSession, dir: String): DataFrame =
-    // spread BEFORE the persisted training base: the per-row argmin
-    // folds are the heavy map work and must not serialize onto the
-    // testdata's single scan task (Tables.spread scaladoc)
-    adcTopK(Tables.spread(quantized(s, dir)), M, SubDim, K, Iters, TopK,
-      queryId = 0L)
+  /** The PQ model as a STANDING ARTIFACT ([[Artifacts]]): trained
+    * codebook + the q28-rule query panel (vec_id % [[RecallMod]] = 0;
+    * vec 0 — q96's query — is panel row 0). One training run per
+    * dataset serves q96 (single-query ADC) and q101 (the recall
+    * harness); per-query retraining was ~1 s of identical Lloyd
+    * rounds each. Driver footprint: M·K·subDim codebook longs + the
+    * bounded eval panel — both shippable at any corpus size. */
+  private def pqModel(s: SparkSession, dir: String)
+      : (Array[Array[Array[Long]]], Array[(Long, Array[Long])]) =
+    Artifacts.value(s, dir, "pq_model") {
+      var qPanel: Array[(Long, Array[Long])] = null
+      val cent = trainCore(
+          Tables.spread(quantized(s, dir)), M, SubDim, K, Iters) { pts =>
+        qPanel = pts.filter(col("vec_id") % RecallMod === 0)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+      }
+      (cent, qPanel)
+    }
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val (cent, panel) = pqModel(s, dir)
+    val q0 = panel.find(_._1 == 0L).get._2
+    // spread BEFORE the scoring scan: the per-row argmin folds are the
+    // heavy map work and must not serialize onto the testdata's single
+    // scan task (Tables.spread scaladoc)
+    adcApply(Tables.spread(quantized(s, dir)), cent, q0,
+      M, SubDim, K, TopK, queryId = 0L)
+  }
 
   // ------------------------------------------------- oracle generators
   // The CTE generators are parameterized by a stage prefix `p` and the
@@ -331,39 +363,66 @@ object PqQueries {
     * parameterized so the spec can pin the cells=1 degenerate case
     * exactly equal to flat PQ (residual encoding is a constant integer
     * shift there, and every stage is shift-exact). */
-  private[operators] def ivfpqTopK(
-      vecs: DataFrame, cells: Int, nprobe: Int, m: Int, subDim: Int,
-      k: Int, iters: Int, topK: Int, queryId: Long): DataFrame = {
+  /** The coarse/fine training stage of [[ivfpqTopK]], factored so q98
+    * can run it ONCE per dataset as a standing artifact. Returns
+    * (coarse codebook, fine residual codebook, query vector). */
+  private def ivfpqTrain(
+      vecs: DataFrame, cells: Int, m: Int, subDim: Int, k: Int,
+      iters: Int, queryId: Long)
+      : (Array[Array[Array[Long]]], Array[Array[Array[Long]]], Array[Long]) = {
     val dim = m * subDim
-    // the cell is assigned ONCE per row below a generate barrier; the
-    // residual lambda then reads the plain `cell` attribute (cheap)
-    // instead of re-running the coarse argmin per component
-    def residuals(ccl: Column): DataFrame = vecs
-      .select(col("vec_id"), col("v"),
-        explode(array(codeFor(ccl, lit(0), dim, cells))).as("cell"))
-      .select(col("vec_id"), col("cell"),
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          element_at(col("v"), j + 1) -
-            element_at(element_at(element_at(ccl, lit(1)), col("cell") + 1),
-              j + 1)).as("v"))
     // ---- training: ONE outer cache spans both stages — the coarse
     // rounds fill it and the fine stage's residual cache fills FROM it
     // (trainCore leaves a pre-cached input alone), so the source is
     // scanned once for training plus once by the lazy returned plan ----
     var q0: Array[Long] = null
     val cached = vecs.persist()
-    val (coarse, fine) =
-      try {
-        // coarse quantizer: one-subspace codebook over the full
-        // vector; the query vector rides out through the finish hook
-        val co = trainCore(cached, 1, dim, cells, iters) { pts =>
-          q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
-        }
-        val fi = trainCodebook(
-          residuals(codebookLit(co)).select(col("vec_id"), col("v")),
-          m, subDim, k, iters)
-        (co, fi)
-      } finally cached.unpersist()
+    try {
+      // coarse quantizer: one-subspace codebook over the full
+      // vector; the query vector rides out through the finish hook
+      val co = trainCore(cached, 1, dim, cells, iters) { pts =>
+        q0 = pts.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
+      }
+      val fi = trainCodebook(
+        residualsOf(cached, codebookLit(co), dim, cells)
+          .select(col("vec_id"), col("v")),
+        m, subDim, k, iters)
+      (co, fi, q0)
+    } finally cached.unpersist()
+  }
+
+  /** Residual frame: the cell is assigned ONCE per row below a
+    * generate barrier; the residual lambda then reads the plain
+    * `cell` attribute (cheap) instead of re-running the coarse argmin
+    * per component. */
+  private def residualsOf(
+      vecs: DataFrame, ccl: Column, dim: Int, cells: Int): DataFrame = vecs
+    .select(col("vec_id"), col("v"),
+      explode(array(codeFor(ccl, lit(0), dim, cells))).as("cell"))
+    .select(col("vec_id"), col("cell"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        element_at(col("v"), j + 1) -
+          element_at(element_at(element_at(ccl, lit(1)), col("cell") + 1),
+            j + 1)).as("v"))
+
+  private[operators] def ivfpqTopK(
+      vecs: DataFrame, cells: Int, nprobe: Int, m: Int, subDim: Int,
+      k: Int, iters: Int, topK: Int, queryId: Long): DataFrame = {
+    val (coarse, fine, q0) =
+      ivfpqTrain(vecs, cells, m, subDim, k, iters, queryId)
+    ivfpqApply(vecs, coarse, fine, q0, cells, nprobe, m, subDim, k,
+      topK, queryId)
+  }
+
+  /** The probe + ADC serving stage against an already-trained IVF-PQ
+    * model — split from training so q98 runs off the standing
+    * artifact. */
+  private def ivfpqApply(
+      vecs: DataFrame, coarse: Array[Array[Array[Long]]],
+      fine: Array[Array[Array[Long]]], q0: Array[Long], cells: Int,
+      nprobe: Int, m: Int, subDim: Int, k: Int, topK: Int,
+      queryId: Long): DataFrame = {
+    val dim = m * subDim
     val ccl = codebookLit(coarse)
 
     // ---- probe: the query's nprobe nearest cells, exact full-vector
@@ -391,7 +450,7 @@ object PqQueries {
         element_at(element_at(element_at(lutLit, col("cell")), mm + 1),
           codeFor(fcl, mm, subDim, k) + 1)),
       lit(0L), (acc, x) => acc + x)
-    residuals(ccl)
+    residualsOf(vecs, ccl, dim, cells)
       .filter(col("cell").isin(probes.map(Int.box): _*))
       .select(col("vec_id"), adc.as("adc_dist"))
       .filter(col("vec_id") =!= queryId)
@@ -399,9 +458,20 @@ object PqQueries {
       .limit(topK)
   }
 
-  private def q98(s: SparkSession, dir: String): DataFrame =
-    ivfpqTopK(Tables.spread(quantized(s, dir)), Cells, NProbe,
-      M, SubDim, K, Iters, TopK, queryId = 0L)
+  /** The IVF-PQ model (coarse + fine codebooks + query vector) as a
+    * standing artifact — the FAISS index nobody retrains per query. */
+  private def ivfpqModel(s: SparkSession, dir: String)
+      : (Array[Array[Array[Long]]], Array[Array[Array[Long]]], Array[Long]) =
+    Artifacts.value(s, dir, "ivfpq_model") {
+      ivfpqTrain(Tables.spread(quantized(s, dir)), Cells, M, SubDim, K,
+        Iters, queryId = 0L)
+    }
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val (coarse, fine, q0) = ivfpqModel(s, dir)
+    ivfpqApply(Tables.spread(quantized(s, dir)), coarse, fine, q0,
+      Cells, NProbe, M, SubDim, K, TopK, queryId = 0L)
+  }
 
   private val q98Sql = matHint(
     s"""WITH qv64 AS (
@@ -469,14 +539,9 @@ object PqQueries {
 
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.spread(quantized(s, dir))
-    // train; the query panel rides out through the finish hook while
-    // the cache is live (Q rows — the q28 bounded-panel rule)
-    var qPanel: Array[(Long, Array[Long])] = null
-    val cent = trainCore(vecs, M, SubDim, K, Iters) { pts =>
-      qPanel = pts.filter(col("vec_id") % RecallMod === 0)
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-    }
+    // model + query panel off the standing artifact (Q rows — the q28
+    // bounded-panel rule); no per-query retraining
+    val (cent, qPanel) = pqModel(s, dir)
     // per-query ADC luts (Q·M·K longs) as one map literal
     val luts: Map[Long, Seq[Seq[Long]]] = qPanel.map { case (qid, q0) =>
       qid -> Seq.tabulate(M, K) { (mm, kk) =>

@@ -168,25 +168,31 @@ object SelectionQueries {
   /** The LM-fit frames: (bg — bigram rows over ALL docs, c2t, c1t,
     * vt — counts/vocab off the train split). Shared by the batch
     * scorer and [[bigramLm]] (the streaming model export). */
+  // token array materialized below the spread exchange (q93 note);
+  // single-token docs produce no bigrams and drop out, same as the
+  // oracle's empty generate_series. Train-side frames filter BEFORE
+  // the spread so the fit shuffles 10% of the text, not all of it.
+  private def docsOf(pre: DataFrame): DataFrame =
+    Tables.spread(
+      pre.select(col("doc_id"), col("source"), split(col("text"), " ").as("t")),
+      col("doc_id")).filter(size(col("t")) >= 2)
+
+  private def bgOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
+        .as("b"))
+    .select(col("doc_id"), col("source"),
+      col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Every (doc, bigram) of the corpus — the per-query scoring scan. */
+  private def corpusBigrams(s: SparkSession, dir: String): DataFrame =
+    bgOf(docsOf(Tables.documents(s, dir)))
+
   private def lmFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // token array materialized below the spread exchange (q93 note);
-    // single-token docs produce no bigrams and drop out, same as the
-    // oracle's empty generate_series. Train-side frames filter BEFORE
-    // the spread so the fit shuffles 10% of the text, not all of it.
-    def docsOf(pre: DataFrame): DataFrame =
-      Tables.spread(
-        pre.select(col("doc_id"), col("source"), split(col("text"), " ").as("t")),
-        col("doc_id")).filter(size(col("t")) >= 2)
-    def bgOf(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
-          .as("b"))
-      .select(col("doc_id"), col("source"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
     val base = Tables.documents(s, dir)
-    val bg = bgOf(docsOf(base))
+    val bg = corpusBigrams(s, dir)
     val trainDocs = docsOf(base.filter(col("doc_id") % PplTrainMod === 0))
     // token counts do double duty: |vocab| (V in the Laplace
     // denominator — the FULL vocab, pruning doesn't change smoothing
@@ -217,28 +223,45 @@ object SelectionQueries {
     (bg, c2t, c1t, vt)
   }
 
+  /** The fitted LM as a STANDING ARTIFACT ([[Artifacts]]): pruned
+    * bigram counts, context counts, |vocab| — collected ONCE per
+    * dataset into LocalRelations (provably ≤ K² + K entries at ANY
+    * corpus size thanks to the [[LmVocabCap]] prune) and reused by
+    * every scorer (q99/q112/q130/q149/q150 and the NB/gate family all
+    * score under this one model; each re-fitting the train split per
+    * query was the round-7 perf audit's LM finding). */
+  private def lmModel(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    Artifacts.value(s, dir, "bigram_lm") {
+      val (_, c2t, c1t, vt) = lmFrames(s, dir)
+      (Artifacts.local(s, c2t), Artifacts.local(s, c1t), vt.head().getLong(0))
+    }
+
   /** The trained LM as collected artifacts (bigram counts, context
     * counts, vocab size) — the closure an online scorer ships
     * ([[graft.streaming.QualityStream]]); CCNet ships its (pruned)
-    * KenLM to workers the same way. The frames arrive already pruned
-    * to the top-[[LmVocabCap]] alphabet, so this collect is provably
+    * KenLM to workers the same way. The maps arrive already pruned
+    * to the top-[[LmVocabCap]] alphabet, so they are provably
     * ≤ K² + K entries at ANY corpus size — OOV lookups fall through
     * `getOrElse` to the unseen-smoothing path scorer-side. */
   private[graft] def bigramLm(
       s: SparkSession, dir: String): (Map[(String, String), Long], Map[String, Long], Long) = {
-    val (_, c2t, c1t, vt) = lmFrames(s, dir)
+    val (c2t, c1t, v) = lmModel(s, dir)
     (c2t.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
       c1t.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
-      vt.head().getLong(0))
+      v)
   }
 
   /** Per-doc NLL frame (source, doc_id, nll, nbg) — the spec asserts
-    * the ladder arithmetic and the planted-junk flagging on this. */
+    * the ladder arithmetic and the planted-junk flagging on this.
+    * Scoring joins the LM artifact's LocalRelations broadcast-side;
+    * only the corpus-side bigram explode is per-query work. */
   private[graft] def docNll(s: SparkSession, dir: String): DataFrame = {
-    val (bg, c2t, c1t, vt) = lmFrames(s, dir)
+    val (c2t, c1t, v) = lmModel(s, dir)
+    val bg = corpusBigrams(s, dir)
     bg.join(broadcast(c2t), Seq("w1", "w2"), "left")
       .join(broadcast(c1t), Seq("w1"), "left")
-      .crossJoin(broadcast(vt))
+      .withColumn("v", lit(v))
       .select(col("doc_id"), col("source"),
         EventQueries.lnSmallWeight(
           coalesce(col("c2"), lit(0L)) + 1L,
