@@ -995,7 +995,13 @@ object CorpusQueries {
     * q12's zero-fill idiom. Unlike the dedup joins there is NO df cap
     * here: a gram in all S sources is exactly the signal being measured,
     * and its fanout is bounded by S², not by document count. */
+  /** The distinct (source, 8-gram) frame as a STANDING ARTIFACT —
+    * the corpus-scale pass q122 (exact containment) and q135 (minhash
+    * sketch) share. */
   private def srcGrams8(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "src_grams8")(srcGrams8Build(s, dir))
+
+  private def srcGrams8Build(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("source"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)

@@ -32,6 +32,13 @@ object DedupQueries {
   // parameter choice.
   private val RowsPerBand = 4
 
+  /** The word-bigram shingle frame as a STANDING ARTIFACT
+    * ([[Artifacts]]): (doc_id, s) is the substrate of the whole
+    * near-dup family (posting index, MinHash bands, recall/precision
+    * harnesses) — one corpus explode per dataset, read thereafter. */
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "shingles")(shinglesBuild(s, dir))
+
   /** Distinct word-bigram shingles per doc: (doc_id, s). Tables.spread
     * spreads the per-doc shingle/hash work across cores — a small
     * documents parquet arrives as ONE scan partition in local mode,
@@ -39,7 +46,7 @@ object DedupQueries {
     * un-counted `repartition(col)` gets AQE-coalesced right back);
     * at 100 TB the scan is naturally partitioned and this is a cheap
     * doc_id-hash shuffle of raw text rows. */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+  private def shinglesBuild(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -119,17 +126,18 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
+  /** The MinHash band signatures as a STANDING ARTIFACT — the LSH
+    * index itself: (doc_id, n, band, bh) serves q25 and both harness
+    * queries (q103/q106); materialization also removes the old
+    * persist-and-count race guard (the artifact IS the
+    * materialization, so concurrent scan stages can never race a cold
+    * cache into re-running the 16-wide min-md5 aggregate). */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "lsh_bands")(bandsOf(shingles(s, dir)))
+
   private def q25(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
-    // persist: both sides of the candidate self-join and the sizes
-    // lookup reuse bands — without it the 16-wide min-md5 aggregate
-    // recomputes (and re-codegens) once per consumer.
-    val bands = bandsOf(sh).persist()
-    // materialize BEFORE the self-join: its two scan stages run
-    // concurrently in one job, and racing a cold cache re-runs the
-    // 16-wide min-md5 aggregate (and the shingle explode under it) once
-    // per side
-    bands.count()
+    val sh = shingles(s, dir)
+    val bands = bandSigs(s, dir)
     val cand = candidatesOf(bands)
     val sizes = bands.select(col("doc_id"), col("n")).distinct()
     // candidates are tiny after LSH — broadcast them into the shingle
@@ -342,7 +350,13 @@ object DedupQueries {
     * ~4·256·(N/256)²/2 = N²/128 worst-case on a degenerate corpus —
     * widen bands (16-bit) to trade candidate volume against the
     * guaranteed-recall hamming radius. */
-  private def simhash32(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc SimHash-32 signatures as a STANDING ARTIFACT — one row
+    * per doc, shared by q63 and q129 (the signature table a production
+    * simhash dedup maintains beside the corpus). */
+  private def simhash32(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "simhash32_sigs")(simhash32Build(s, dir))
+
+  private def simhash32Build(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("hx", md5(col("tok")))
@@ -377,11 +391,10 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  private def q63(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash32(s, dir).persist()
-    sig.count() // the band self-join's two scans would race the cold cache
-    simhashHam(sig).orderBy(col("doc_a"), col("doc_b"))
-  }
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    // the artifact is materialized, so the band self-join's two scans
+    // can no longer race a cold cache
+    simhashHam(simhash32(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash-32 kernel CTEs (tk → bits → sig → banded → cand → ham),
     * shared by q63Sql and q129Sql. */
@@ -572,13 +585,10 @@ object DedupQueries {
     * session convention (Verify/Bench clearCache between queries —
     * see IvfQueries). */
   private def q103(s: SparkSession, dir: String): DataFrame = {
-    // one shared shingle pass: the rare-filtered truth index and the
-    // full-set band signatures both read this cache entry
-    val sh = shingles(s, dir).persist()
-    val truth = jaccardFrom(pairStatsFrom(postingIndexFrom(sh)))
-    val bands = bandsOf(sh).persist()
-    bands.count()
-    val cand = candidatesOf(bands).withColumn("hit", lit(1L))
+    // truth = the near-dup pairs standing artifact (identical kernel);
+    // candidates = the band-signature standing artifact
+    val truth = jaccardPairs(s, dir)
+    val cand = candidatesOf(bandSigs(s, dir)).withColumn("hit", lit(1L))
     truth
       .join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("decile", floor(col("jaccard") * 10).cast("long"))
@@ -641,9 +651,8 @@ object DedupQueries {
     * hygiene is the session convention (Verify/Bench clearCache
     * between queries). */
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist()
-    val bands = bandsOf(sh).persist()
-    bands.count()
+    val sh = shingles(s, dir)
+    val bands = bandSigs(s, dir)
     // band agreement count per candidate pair (1..NumHashes/RowsPerBand)
     val candNb = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
@@ -721,8 +730,7 @@ object DedupQueries {
     * label join runs on the two PAIR frames (dedup output scale, tiny
     * relative to corpus), and the curve is a ≤4-row aggregate. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash32(s, dir).persist()
-    sig.count() // the band self-join's two scans race the cold cache
+    val sig = simhash32(s, dir)
     val truth = jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b")).withColumn("is_dup", lit(1L))
       .persist()
