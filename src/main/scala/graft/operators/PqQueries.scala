@@ -219,6 +219,7 @@ object PqQueries {
       val cent = trainCore(
           Tables.spread(quantized(s, dir)), M, SubDim, K, Iters) { pts =>
         qPanel = pts.filter(col("vec_id") % RecallMod === 0)
+          .orderBy(col("vec_id")).limit(PanelCap)
           .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
           .sortBy(_._1)
       }
@@ -537,6 +538,17 @@ object PqQueries {
     * the final report needs anyway. */
   private val RecallMod = 50
 
+  /** Hard panel-size cap: the % [[RecallMod]] rule alone makes the
+    * panel PROPORTIONAL to the corpus, and the recall harness is
+    * Q × N work — measured 17× slower at 10× data (SCALE.md sf1
+    * appendix), i.e. quadratic at 100 TB. A production recall eval is
+    * a FIXED query panel against the full corpus; the cap keeps the
+    * smallest [[PanelCap]] qualifying ids (vec 0 — q96's query — is
+    * always first) and the oracle applies the identical ORDER BY qid
+    * LIMIT. 8 binds at every sf (panels are 10/10/40), so the capped
+    * path is what both engines always compute. */
+  private val PanelCap = 8
+
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.spread(quantized(s, dir))
     // model + query panel off the standing artifact (Q rows — the q28
@@ -603,6 +615,7 @@ object PqQueries {
        |${stageCtes("", "qv", K, Iters, "codes")},
        |qs AS (
        |  SELECT DISTINCT vec_id AS qid FROM qv WHERE vec_id % $RecallMod = 0
+       |  ORDER BY qid LIMIT $PanelCap
        |), ex AS (
        |  SELECT q.vec_id AS qid, t.vec_id,
        |         CAST(sum((t.val - q.val) * (t.val - q.val)) AS BIGINT) AS d

@@ -196,4 +196,50 @@ class NewOpsPlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       "the d^2 fanout must come from the vec_id equi join, not a cross")
   }
+
+  test("q151 unigram viterbi: the piece inventory rides literals — no cartesian") {
+    val p = finalPlan("q151_unigram_viterbi")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the DP runs scan-side; nothing corpus-scale may shuffle into a merge join")
+  }
+
+  test("q154 DP release: one histogram pass, noise is scan-side arithmetic") {
+    val p = finalPlan("q154_dp_release")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q155 k-center: the emitted coreset is a driver-picked LocalRelation") {
+    // the greedy doubling loop runs as K bounded driver actions by
+    // design (the q80 fixed-point pattern); the RETURNED frame must be
+    // the K-row pick list, not a corpus-scale recomputation
+    val p = finalPlan("q155_kcenter_coreset")
+    assert(p.contains("LocalTableScan"), "result must be the collected pick list")
+    assert(!p.contains("Scan parquet"), "no corpus rescan may hide in the result plan")
+  }
+
+  test("q157 label noise: votes ride cell-equi joins, never all-pairs") {
+    val p = finalPlan("q157_label_noise")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q158 budget curve: one packing window per bucket, dict broadcast, no cartesian") {
+    val p = finalPlan("q158_budget_curve")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the token dictionary must broadcast into the corpus explode")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("CC/cluster consumers read the standing artifact, not a rebuilt clustering") {
+    // the cluster_map artifact is materialized RDD blocks — consumers
+    // must scan it (ExistingRDD), not re-run the shingle/pair/CC chain
+    Seq("q97_cluster_canonical", "q128_cluster_sizes", "q142_softdedup_weights")
+      .foreach { q =>
+        val p = finalPlan(q)
+        assert(p.contains("Scan ExistingRDD"),
+          s"$q must read the cluster_map/pairs artifact blocks")
+      }
+  }
 }
