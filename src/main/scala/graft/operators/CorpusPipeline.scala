@@ -10,13 +10,12 @@ import org.apache.spark.sql.functions.col
   * containment, connected-component dedup clusters, and the curation
   * funnel.
   *
-  * The per-query bench/correctness harness intentionally isolates
-  * queries (cache cleared between them), so q26/q54/q70/q71 each re-run
-  * the shingle kernel there — the right shape for a correctness gate,
-  * the wrong one for a 100 TB curation run, where the kernel scans the
-  * corpus once and every consumer reads the cached overlap triples.
-  * This is that shape. CorpusPipelineSpec proves each derived output
-  * byte-equals its standalone registered query.
+  * This predates (and motivated) the [[Artifacts]] standing-artifact
+  * layer, which now gives the registered queries themselves the
+  * share-one-materialization shape; the pipeline remains the explicit
+  * single-call composition — one invocation, all four outputs off one
+  * kernel pass, no memo layer involved. CorpusPipelineSpec proves each
+  * derived output byte-equals its standalone registered query.
   */
 object CorpusPipeline {
 
