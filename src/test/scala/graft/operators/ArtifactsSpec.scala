@@ -67,6 +67,43 @@ class ArtifactsSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("disk store: artifacts persist as parquet and later sessions read, not rebuild") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("artstore_data").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("artstore").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    writeDocs(Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "alpha bravo charlie delta echo foxtrot golf hotel india kilo",
+      "lima mike november oscar papa quebec romeo sierra tango uniform"))
+    spark.conf.set("spark.graft.artifactStore", storeDir)
+    try {
+      val first = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(first.nonEmpty, "the two alpha... docs must be a near-dup pair")
+      // the standing table must exist on disk
+      val stored = new java.io.File(storeDir).listFiles()
+        .filter(_.getName.endsWith("_neardup_pairs"))
+      assert(stored.length === 1, "one parquet artifact dir expected")
+      // a NEW session-equivalent (memo cleared) with DIFFERENT current
+      // corpus content must still serve the STORED artifact — proof the
+      // read path loads the standing table instead of rebuilding
+      Artifacts.reset()
+      writeDocs(Seq("totally different words now", "nothing shared here"))
+      val second = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(second === first,
+        "store hit must serve the written artifact, not re-derive")
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset() // drop entries built against the temp store/corpus
+    }
+  }
+
   test("artifacts are memoized and survive catalog.clearCache") {
     val a = CorpusQueries.clusterMap(spark, dir)
     val n = a.count()
