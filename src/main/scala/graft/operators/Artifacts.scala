@@ -68,28 +68,43 @@ object Artifacts {
   private[operators] def frame(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
     if (!enabled) build
-    else
-      memo
-        .computeIfAbsent(key(s, dir, s"frame:$name"), { _ =>
-          // session conf wins (runtime-settable — how the spec drives
-          // the store path); env is the operational switch
-          val configured = s.conf.get("spark.graft.artifactStore",
-            sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_STORE", ""))
-          (if (configured.isEmpty) None else Some(configured)) match {
-            case None => build.localCheckpoint(true)
-            case Some(store) =>
-              val tag = java.security.MessageDigest.getInstance("MD5")
-                .digest(dir.getBytes("UTF-8"))
-                .take(4).map("%02x".format(_)).mkString
-              val path = s"$store/${tag}_$name"
-              val fs = new org.apache.hadoop.fs.Path(path)
-                .getFileSystem(s.sparkContext.hadoopConfiguration)
-              if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-                build.write.mode("overwrite").parquet(path)
-              s.read.parquet(path)
-          }
-        })
-        .asInstanceOf[DataFrame]
+    else memoized(key(s, dir, s"frame:$name")) {
+      // session conf wins (runtime-settable — how the spec drives
+      // the store path); env is the operational switch
+      val configured = s.conf.get("spark.graft.artifactStore",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_STORE", ""))
+      (if (configured.isEmpty) None else Some(configured)) match {
+        case None => build.localCheckpoint(true)
+        case Some(store) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val path = s"$store/${tag}_$name"
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+            build.write.mode("overwrite").parquet(path)
+          s.read.parquet(path)
+      }
+    }
+
+  /** get → build OUTSIDE the map → putIfAbsent. NOT computeIfAbsent:
+    * artifact builders routinely request OTHER artifacts (cluster_map
+    * → neardup_pairs → shingles; ntok_dict → bpe_trained), and a
+    * nested computeIfAbsent on one ConcurrentHashMap throws
+    * "Recursive update". The build-outside form allows nesting; the
+    * putIfAbsent keeps first-wins semantics if two threads ever race
+    * (harness access is single-threaded — the race is theoretical,
+    * and losing it only wastes one duplicate build). */
+  private def memoized[T <: AnyRef](k: String)(build: => T): T = {
+    val cached = memo.get(k)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = memo.putIfAbsent(k, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
+  }
 
   /** Test hook: drop every memo entry so a spec can exercise the
     * build-vs-load-from-store branches of [[frame]]. Checkpointed
@@ -108,8 +123,5 @@ object Artifacts {
   private[operators] def value[T <: AnyRef](
       s: SparkSession, dir: String, name: String)(build: => T): T =
     if (!enabled) build
-    else
-      memo
-        .computeIfAbsent(key(s, dir, s"value:$name"), _ => build)
-        .asInstanceOf[T]
+    else memoized(key(s, dir, s"value:$name"))(build)
 }

@@ -1177,8 +1177,11 @@ object CorpusQueries {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_match"))
     val srcs = mh.select(col("source")).distinct()
+    // explicit broadcast: the artifact-backed mh scans carry no stats,
+    // so without the hint the |S|-row domain cross degrades to a
+    // CartesianProduct (plan-shape-spec-pinned)
     srcs.select(col("source").as("src_a"))
-      .crossJoin(srcs.select(col("source").as("src_b")))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
       .filter(col("src_a") < col("src_b"))
       .join(matches, Seq("src_a", "src_b"), "left")
       .withColumn("n_match", coalesce(col("n_match"), lit(0L)))

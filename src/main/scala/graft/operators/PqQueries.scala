@@ -547,7 +547,7 @@ object PqQueries {
     * always first) and the oracle applies the identical ORDER BY qid
     * LIMIT. 8 binds at every sf (panels are 10/10/40), so the capped
     * path is what both engines always compute. */
-  private val PanelCap = 8
+  private[operators] val PanelCap = 8
 
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.spread(quantized(s, dir))

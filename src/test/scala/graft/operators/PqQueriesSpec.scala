@@ -108,9 +108,14 @@ class PqQueriesSpec extends SparkSpec {
     val rows = graft.QueryCatalog.all.find(_.name == "q101_pq_recall").get
       .fn(spark, dir).collect()
     val n = graft.Tables.embeddings(spark, dir).count()
-    val panel = graft.Tables.embeddings(spark, dir)
+    val qualifying = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 50 === 0).count()
+    // the harness panel is the smallest PanelCap qualifying ids — the
+    // fixed-size rule that keeps the eval bounded at any corpus size
+    val panel = math.min(qualifying, PqQueries.PanelCap.toLong)
     assert(rows.length === panel, "one recall row per panel query")
+    assert(qualifying > PqQueries.PanelCap,
+      "the cap must bind at test scale so the bounded path is what runs")
     rows.foreach { r =>
       val hit = r.getAs[Long]("n_hit")
       assert(hit >= 0L && hit <= 10L)
