@@ -1341,6 +1341,112 @@ object CorpusQueries {
        |         AS mean_doc_tokens
        |FROM st CROSS JOIN vb CROSS JOIN nd""".stripMargin
 
+  // --------------------------------------------------------------- q159
+  /** Incremental cluster-map maintenance — the daily-ingest shape that
+    * completes q84: q84 answers "which NEW docs duplicate the corpus";
+    * this produces the UPDATED full cluster map without re-running
+    * connected components over corpus×corpus edges. The standing
+    * inputs are the prior clustering of the existing corpus
+    * (`prior_cluster_map` artifact — corpus docs over corpus-only
+    * edges) and the near-dup edge set; the increment (doc_id % 10 = 0
+    * plays the batch, q84's convention, with the df universe the full
+    * standing posting index exactly as there):
+    *
+    *  1. delta = batch-involving edges only (batch×corpus ∪
+    *     batch×batch) — never corpus×corpus;
+    *  2. CONTRACT each delta endpoint to its representative (corpus
+    *     doc → prior component label, batch doc → itself): paths
+    *     through the old corpus collapse into their label nodes, so
+    *     reachability in the full graph is preserved on a graph of
+    *     DELTA size;
+    *  3. run CC on the contracted graph (tiny — |delta| edges);
+    *  4. relabel: a merged group's label is the min over its member
+    *     labels, and prior labels are min-doc-ids of their parts, so
+    *     the final label is EXACTLY the full recompute's min
+    *     reachable doc_id — the oracle recomputes everything from
+    *     scratch and the hash compare proves incremental ≡ full.
+    *
+    * Output: q54's grain over ALL docs + the increment audit columns —
+    * origin (batch/corpus) and prior_component (−1 for batch docs); a
+    * corpus doc whose component_id ≠ prior_component was MERGED by
+    * today's batch, the operational readout of an ingest.
+    *
+    * Scale: the prior map and edge set are standing artifacts (parquet
+    * tables in production — the [[Artifacts]] store); per ingest the
+    * work is one batch-involving pair filter, two label joins, and a
+    * CC loop over a delta-sized contracted graph. Corpus size enters
+    * only through the (already standing) inputs — this is what makes
+    * daily dedup O(batch), not O(corpus). */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    // standing input: the corpus clustering BEFORE the batch arrived
+    val prior = Artifacts.frame(s, dir, "prior_cluster_map")(
+      clustersFrom(s,
+          docs.filter(!isBatch(col("doc_id"))).select(col("doc_id").as("id")),
+          pairs.filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b"))))
+        .select(col("doc_id"), col("component_id").as("pcomp")))
+    // the increment: batch-involving edges, endpoints contracted to
+    // their representatives
+    val delta = pairs
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      .join(prior.select(col("doc_id").as("doc_a"), col("pcomp").as("ra")),
+        Seq("doc_a"), "left")
+      .join(prior.select(col("doc_id").as("doc_b"), col("pcomp").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("src"),
+        coalesce(col("rb"), col("doc_b")).as("dst"))
+    val touched = delta.select(col("src").as("id"))
+      .union(delta.select(col("dst").as("id"))).distinct()
+    val merged = ConnectedComponents.auto(touched, delta)
+      .select(col("id"), col("component"))
+    val batchSide = docs.filter(isBatch(col("doc_id")))
+      .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"),
+        lit("batch").as("origin"), lit(-1L).as("prior_component"))
+    val corpusSide = prior
+      .join(merged.withColumnRenamed("id", "pcomp"), Seq("pcomp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("pcomp")).as("component_id"),
+        lit("corpus").as("origin"), col("pcomp").as("prior_component"))
+    batchSide.unionByName(corpusSide)
+      .select(col("doc_id"), col("component_id"),
+        count(lit(1)).over(Window.partitionBy(col("component_id"))).as("csize"),
+        (col("doc_id") === col("component_id")).as("is_canonical"),
+        col("origin"), col("prior_component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q159Sql =
+    s"""$ccPrefix,
+       |pedges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+       |),
+       |preach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM preach r JOIN pedges e ON e.src = r.doc_id
+       |),
+       |prior AS MATERIALIZED (
+       |  SELECT doc_id, min(lbl) AS pcomp FROM preach GROUP BY doc_id
+       |),
+       |cs AS (SELECT component_id, count(*) AS csize FROM comp GROUP BY component_id)
+       |SELECT c.doc_id, c.component_id, cs.csize,
+       |       (c.doc_id = c.component_id) AS is_canonical,
+       |       CASE WHEN c.doc_id % 10 = 0 THEN 'batch' ELSE 'corpus' END AS origin,
+       |       CAST(COALESCE(p.pcomp, -1) AS BIGINT) AS prior_component
+       |FROM comp c
+       |JOIN cs ON cs.component_id = c.component_id
+       |LEFT JOIN prior p ON p.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q54_cc_dedup_clusters", Some(q54Sql), q54),
     QuerySpec("q97_cluster_canonical", Some(q97Sql), q97),
@@ -1360,5 +1466,6 @@ object CorpusQueries {
     QuerySpec("q132_source_jsd", Some(q132Sql), q132),
     QuerySpec("q135_source_minhash", Some(q135Sql), q135),
     QuerySpec("q142_softdedup_weights", Some(q142Sql), q142),
+    QuerySpec("q159_incremental_clusters", Some(q159Sql), q159),
   )
 }

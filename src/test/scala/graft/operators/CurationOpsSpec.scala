@@ -288,6 +288,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("contaminated_ppm") === 0L)
   }
 
+  // ------------------------------------------------------------- q159
+  test("q159: incremental relabeling equals the full recompute, audit columns exact") {
+    // the oracle already pins incremental == full via the hash gate;
+    // this re-pins it in-process against q54's own output plus an
+    // independent driver recomputation of the PRIOR clustering
+    val full = run("q54_cc_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Long]("csize"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    val pairs = run("q26_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // driver union-find over corpus-only docs and edges
+    val corpusDocs = full.keySet.filter(_ % 10 != 0)
+    val parent = scala.collection.mutable.Map(corpusDocs.map(d => d -> d).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.filter { case (a, b) => a % 10 != 0 && b % 10 != 0 }.foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+    }
+    val prior = corpusDocs.map { d =>
+      // min-label: path-compress then take the min doc id of the set
+      d -> corpusDocs.filter(e => find(e) == find(d)).min
+    }.toMap
+    val rows = run("q159_incremental_clusters").collect()
+    assert(rows.length === full.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (comp, csize, canon) = full(d)
+      assert(r.getAs[Long]("component_id") === comp, s"doc $d: incremental != full")
+      assert(r.getAs[Long]("csize") === csize)
+      assert(r.getAs[Boolean]("is_canonical") === canon)
+      assert(r.getAs[String]("origin") === (if (d % 10 == 0) "batch" else "corpus"))
+      assert(r.getAs[Long]("prior_component") ===
+        (if (d % 10 == 0) -1L else prior(d)), s"doc $d prior label")
+    }
+    // the increment must actually exercise a merge at test scale —
+    // some corpus doc's label must have changed, else the audit
+    // column is dead
+    assert(rows.exists(r => r.getAs[String]("origin") == "corpus" &&
+      r.getAs[Long]("prior_component") != r.getAs[Long]("component_id")),
+      "testdata must contain a batch-induced component merge")
+  }
+
   // ------------------------------------------------------------- q153
   test("q153: deduped packs are structurally contamination-free") {
     // survivors from q54's clustering + q97's longest-wins rule

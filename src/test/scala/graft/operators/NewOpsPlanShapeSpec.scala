@@ -232,6 +232,13 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q159 incremental clusters: label joins are id-equi, no cartesian, artifact-fed") {
+    val p = finalPlan("q159_incremental_clusters")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"),
+      "prior map / pairs must come from the standing artifacts")
+  }
+
   test("CC/cluster consumers read the standing artifact, not a rebuilt clustering") {
     // the cluster_map artifact is materialized RDD blocks — consumers
     // must scan it (ExistingRDD), not re-run the shingle/pair/CC chain
