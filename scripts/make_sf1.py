@@ -11,7 +11,7 @@ vocabulary relationships) exactly preserved. The remaining tables are
 copied through unchanged (the spot-checked queries read only
 documents/embeddings).
 
-Usage: python3 scripts/make_sf1.py /root/testdata/sf0.1 /root/repo/tmp_sf1
+Usage: python3 scripts/make_sf1.py <src> <dst> [replicas=10]
 """
 import sys, shutil, os
 import duckdb
@@ -19,7 +19,7 @@ import duckdb
 src, dst = sys.argv[1], sys.argv[2]
 os.makedirs(dst, exist_ok=True)
 STRIDE = 10_000_000
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 con = duckdb.connect()
 

@@ -5,12 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped STANDING ARTIFACTS — derived datasets that are a
   * property of the corpus, not of any one query, built once per
-  * (SparkContext, dataset dir) and reused by every consumer:
+  * (SparkContext, dataset dir) and reused by every consumer. The full
+  * inventory (see SCALE.md's round-8 table for consumers):
   *
-  *   - `neardup_pairs`  — q26's exact-Jaccard near-dup edge set
-  *   - `cluster_map`    — q54's connected-component dedup clustering
-  *   - `bpe_trained`    — the learned BPE merge table + top-K token
-  *                        dictionary (driver values, bounded)
+  *   - `shingles` / `lsh_bands` / `simhash32_sigs` — the near-dup
+  *     index substrate (DedupQueries)
+  *   - `neardup_pairs` — q26's exact-Jaccard near-dup edge set
+  *   - `cluster_map` / `prior_cluster_map` — q54's CC clustering and
+  *     q159's pre-ingest standing input (CorpusQueries)
+  *   - `src_grams8` / `src_minhash_sigs` — source-similarity frames
+  *   - `bpe_trained` (driver: merges + pieces) with the DISTRIBUTED
+  *     `bpe_ntok_dict` / `bpe_wp_dict` dictionaries (BpeQueries)
+  *   - `bigram_lm` / `nb_model` — pruned model LocalRelations
+  *     (SelectionQueries / ClassifierQueries)
+  *   - `pq_model` / `ivfpq_model` / `ivf_index` — the ANN index state
+  *     (PqQueries / IvfQueries)
   *
   * Why: seven registered queries (q97/q109/q128/q142/q150/q152/q153)
   * consume the clustering and each re-derived the full shingle → pair

@@ -334,36 +334,45 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- q63
-  /** SimHash near-dup detection — the step q27 stops short of: a 32-bit
-    * token-level simhash, banded into 4 × 8-bit bands for candidate
-    * generation (equi-join on (band, byte), never all-pairs), then an
-    * exact hamming verify via bit_count(xor). With 4 bands and a
-    * hamming threshold of 3, banding is LOSSLESS by pigeonhole: ≤3
-    * differing bits cannot touch all 4 bands, so at least one band
-    * matches exactly — this is recall-free candidate pruning, unlike
-    * the probabilistic MinHash bands of q25.
+  /** SimHash near-dup detection — the step q27 stops short of: a
+    * 60-BIT token-level simhash (bits off the 64 hex nibbles of
+    * md5(tok) ‖ md5('x' ‖ tok)), banded into 4 × 15-bit bands for
+    * candidate generation (equi-join on (band, value), never
+    * all-pairs), then an exact hamming verify via bit_count(xor).
+    * With 4 bands and a hamming threshold of 3, banding is LOSSLESS
+    * by pigeonhole: ≤3 differing bits cannot touch all 4 bands, so at
+    * least one band matches exactly — recall-free candidate pruning,
+    * unlike the probabilistic MinHash bands of q25. (The pigeonhole
+    * argument is band-COUNT-only, so band WIDTH is a free scale knob.)
     *
-    * Scale: what shuffles is (doc_id, band, byte) triples — 4 rows of
-    * ~20 bytes per doc; the verify join touches only banded candidates
-    * and compares two longs. 8-bit bands give 256 buckets per band:
-    * at N docs a bucket holds ~N/256, so candidate volume is
-    * ~4·256·(N/256)²/2 = N²/128 worst-case on a degenerate corpus —
-    * widen bands (16-bit) to trade candidate volume against the
-    * guaranteed-recall hamming radius. */
-  /** Per-doc SimHash-32 signatures as a STANDING ARTIFACT — one row
+    * Scale: what shuffles is (doc_id, band, value) triples — 4 rows
+    * of ~20 bytes per doc; the verify join touches only banded
+    * candidates and compares two longs. Band width sets the random
+    * collision floor: the earlier 8-bit bands (256 buckets) went
+    * QUADRATIC once the corpus passed ~10⁵ docs — measured on the
+    * 100× replica: q129 grew 14.6× across the 10×→100× decade, the
+    * N²/2¹⁰ random-collision term dominating. 15-bit bands (32768
+    * buckets) push that term to N²/2¹⁷: sub-second at 10⁵, and the
+    * next widening (more signature bits) is the documented move past
+    * ~10⁷ docs. */
+  /** Per-doc SimHash-60 signatures as a STANDING ARTIFACT — one row
     * per doc, shared by q63 and q129 (the signature table a production
     * simhash dedup maintains beside the corpus). */
-  private def simhash32(s: SparkSession, dir: String): DataFrame =
-    Artifacts.frame(s, dir, "simhash32_sigs")(simhash32Build(s, dir))
+  private def simhash60(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "simhash60_sigs")(simhash60Build(s, dir))
 
-  private def simhash32Build(s: SparkSession, dir: String): DataFrame = {
+  private val SimBits = 60
+  private val SimBandBits = 15
+
+  private def simhash60Build(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("hx", md5(col("tok")))
-    val bitSums = (0 until 32).map { i =>
+      .withColumn("hx",
+        concat(md5(col("tok")), md5(concat(lit("x"), col("tok")))))
+    val bitSums = (0 until SimBits).map { i =>
       sum(when(substring(col("hx"), i + 1, 1).isin(oddNibbles: _*), 1L).otherwise(-1L)).as(s"b$i")
     }
-    val sigVal = (0 until 32)
+    val sigVal = (0 until SimBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     tk.groupBy(col("doc_id"))
@@ -371,13 +380,14 @@ object DedupQueries {
       .select(col("doc_id"), sigVal.cast("long").as("sig"))
   }
 
-  /** SimHash-32 near-dup pair kernel shared by q63 and q129: banded
-    * candidate generation (4×8 bands, lossless for hamming ≤ 3), then
+  /** SimHash-60 near-dup pair kernel shared by q63 and q129: banded
+    * candidate generation (4×15 bands, lossless for hamming ≤ 3), then
     * the exact hamming filter. Caller owns the sig persist/settle. */
   private def simhashHam(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("doc_id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bh"))): _*)).as("p"))
+        shiftright(col("sig"), SimBandBits * b)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bh"))): _*)).as("p"))
       .select(col("doc_id"), col("sig"), col("p.band").as("band"), col("p.bh").as("bh"))
     val cand = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -394,16 +404,16 @@ object DedupQueries {
   private def q63(s: SparkSession, dir: String): DataFrame =
     // the artifact is materialized, so the band self-join's two scans
     // can no longer race a cold cache
-    simhashHam(simhash32(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    simhashHam(simhash60(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash-32 kernel CTEs (tk → bits → sig → banded → cand → ham),
+  /** SimHash-60 kernel CTEs (tk → bits → sig → banded → cand → ham),
     * shared by q63Sql and q129Sql. */
   private val simhash32CtesSql: String = {
     val inList = oddNibbles.map(n => s"'$n'").mkString(",")
-    val bitSums = (0 until 32)
-      .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
+    val bitSums = (0 until SimBits)
+      .map(i => s"sum(CASE WHEN substr(md5(tok) || md5('x' || tok), ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
       .mkString(",\n |    ")
-    val value = (0 until 32)
+    val value = (0 until SimBits)
       .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
     s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -412,7 +422,7 @@ object DedupQueries {
        |  FROM tk GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($value AS BIGINT) AS sig FROM bits),
        |banded AS (
-       |  SELECT doc_id, sig, b.band, (sig >> (8 * b.band)) & 255 AS bh
+       |  SELECT doc_id, sig, b.band, (sig >> ($SimBandBits * b.band)) & ${(1L << SimBandBits) - 1} AS bh
        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
        |),
        |cand AS (
@@ -730,7 +740,7 @@ object DedupQueries {
     * label join runs on the two PAIR frames (dedup output scale, tiny
     * relative to corpus), and the curve is a ≤4-row aggregate. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash32(s, dir)
+    val sig = simhash60(s, dir)
     val truth = jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b")).withColumn("is_dup", lit(1L))
       .persist()

@@ -124,12 +124,12 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(qs.fn(spark, dir).count() > 0)
     val sig = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("hx", md5(col("tok")))
-    val bitSums = (0 until 32).map { i =>
+      .withColumn("hx", concat(md5(col("tok")), md5(concat(lit("x"), col("tok")))))
+    val bitSums = (0 until 60).map { i =>
       sum(when(substring(col("hx"), i + 1, 1)
         .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L).otherwise(-1L)).as(s"b$i")
     }
-    val v = (0 until 32)
+    val v = (0 until 60)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     val sigs = sig.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), v.as("sig")).as[(Long, Long)].collect()
