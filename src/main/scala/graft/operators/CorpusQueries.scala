@@ -1008,21 +1008,29 @@ object CorpusQueries {
       .select(col("source"), explode(array_distinct(
         expr("transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))"))).as("g"))
       .distinct()
+      // 60-bit digest join key beside the raw gram: the containment
+      // self-join sorts/shuffles 8-byte longs instead of ~50-byte gram
+      // strings (q122 measured n·log n on strings at 100×); both
+      // engines derive it identically so parity is structural, and at
+      // ≥10⁹ grams the documented widening is a second digest column
+      .withColumn("gh",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint"))
 
   private val srcGrams8Sql =
-    """SELECT DISTINCT source, g FROM (
+    """SELECT source, g, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+      |FROM (SELECT DISTINCT source, g FROM (
       |  SELECT source,
       |         unnest(list_distinct(list_transform(generate_series(0, len(t)-8),
       |                i -> array_to_string(list_slice(t, i+1, i+8), ' ')))) AS g
       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 8)""".stripMargin
+      |  WHERE len(t) >= 8))""".stripMargin
 
   private def q122(s: SparkSession, dir: String): DataFrame = {
     val sg = srcGrams8(s, dir).persist()
     sg.count() // domain + both join sides scan sg: settle the cache once
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val shared = sg.select(col("source").as("src_a"), col("g"))
-      .join(sg.select(col("source").as("src_b"), col("g")), Seq("g"))
+    val shared = sg.select(col("source").as("src_a"), col("gh"))
+      .join(sg.select(col("source").as("src_b"), col("gh")), Seq("gh"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1041,7 +1049,7 @@ object CorpusQueries {
        |tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
        |shared AS (
        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
-       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+       |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source <> b.source
        |  GROUP BY 1, 2)
        |SELECT ta.source AS src_a, tb.source AS src_b, CAST(ta.n AS BIGINT) AS n_a,
        |       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
