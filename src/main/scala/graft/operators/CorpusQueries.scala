@@ -673,6 +673,7 @@ object CorpusQueries {
       // first, the candidate scan then reads the cache
       .persist()
     val qset = quant.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(SimilarityQueries.EvalPanelCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("q").as("qq"), col("sa").as("qsa"), col("dn").as("qdn"))
     val pairs = quant.join(broadcast(qset), col("qid") =!= col("vec_id"))
@@ -711,13 +712,17 @@ object CorpusQueries {
       |              + sfac * sfac * list_dot_product(q, q)) AS dn
       |  FROM quant
       |),
+      |qp AS (
+      |  SELECT vec_id FROM qd WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
+      |),
       |p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
       |         floor(((c.nq + c.qmn * c.sfac * (q.sa + c.sa)
       |                 + c.sfac * c.sfac * list_dot_product(q.q, c.q))
       |                / (q.dn * c.dn)) * 1e6 + 0.5) / 1e6 AS sim_q,
       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim_exact
-      |  FROM qd q JOIN qd c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |  FROM qd q JOIN qp ON q.vec_id = qp.vec_id
+      |  JOIN qd c ON q.vec_id <> c.vec_id
       |),
       |r AS (SELECT qid, cid, sim_q,
       |             row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, cid) AS rn,

@@ -162,6 +162,7 @@ object IvfQueries {
     // once before either consumer of `assigned` scans — an extra
     // count() measured +0.35 s for nothing
     val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(SimilarityQueries.EvalPanelCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query
     val probes = queries.crossJoin(broadcast(centroids))
@@ -241,7 +242,8 @@ object IvfQueries {
        |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cell,
        |           row_number() OVER (PARTITION BY q.vec_id
        |             ORDER BY ${sim("q.v", "q.nrm", "c.cv", "c.cnrm")} DESC, c.cell) AS prk
-       |    FROM (SELECT * FROM nv WHERE vec_id % 50 = 0) q CROSS JOIN cent2 c
+       |    FROM (SELECT * FROM nv WHERE vec_id % 50 = 0
+       |          ORDER BY vec_id LIMIT 8) q CROSS JOIN cent2 c
        |  ) t WHERE prk <= $NProbe
        |),
        |cand AS (

@@ -65,6 +65,7 @@ object MultimodalQueries {
     val feats = mediaFeatures(s, dir)
       .withColumn("nrm", VectorMath.norm(s, "v"))
     val q = feats.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(SimilarityQueries.EvalPanelCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = feats.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -82,10 +83,13 @@ object MultimodalQueries {
       |  SELECT doc_id AS vec_id, emb::DOUBLE[] AS v,
       |         sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])) AS nrm
       |  FROM e
+      |), qp AS (
+      |  SELECT vec_id FROM nv WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8
       |), p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-      |  FROM nv q JOIN nv c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+      |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
+      |  JOIN nv c ON q.vec_id <> c.vec_id
       |), r AS (
       |  SELECT qid, cid, sim,
       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Fixed eval/search panel size — the q101 discipline applied to
+    * every ANN/eval panel in the engine: `vec_id % 50 = 0` ALONE
+    * makes a panel proportional to the corpus, and panel × corpus
+    * kernels (brute yardsticks, vote/eval harnesses) then grow
+    * quadratically (measured on q101 before its cap: 17× at 10×
+    * data). Every panel keeps only the smallest [[EvalPanelCap]]
+    * qualifying ids — ORDER BY vec_id LIMIT in the oracles, so both
+    * engines compute the identical bounded panel; 8 binds at every sf
+    * (panels are 10/10/40). */
+  private[operators] val EvalPanelCap = 8
+
   /** vectors as double arrays + precomputed L2 norm. */
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -36,6 +47,7 @@ object SimilarityQueries {
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val base = normed(s, dir)
     val q = base.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(EvalPanelCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = base.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -54,10 +66,13 @@ object SimilarityQueries {
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |),
+      |qp AS (SELECT vec_id FROM nv WHERE vec_id % 50 = 0
+      |       ORDER BY vec_id LIMIT 8),
       |p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-      |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
+      |  JOIN nv c ON q.vec_id <> c.vec_id
       |),
       |r AS (SELECT qid, cid, sim,
       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
@@ -94,6 +109,7 @@ object SimilarityQueries {
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val bucketed = bucketedVecs(s, dir)
     val q = bucketed.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(EvalPanelCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = bucketed
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
@@ -124,10 +140,13 @@ object SimilarityQueries {
        |  FROM embeddings
        |), bk AS (
        |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM nv
+       |), qp AS (
+       |  SELECT vec_id FROM bk WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
        |), p AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
        |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |  FROM bk q JOIN qp ON q.vec_id = qp.vec_id
+       |  JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |), r AS (
        |  SELECT qid, cid, sim, bucket,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
@@ -161,6 +180,7 @@ object SimilarityQueries {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", VectorMath.norm(s, "v"))
     val q = base.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(EvalPanelCap)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"), col("nrm").as("qn"))
     val c = base.select(col("vec_id").as("cid"), col("label").as("nbr_label"),
@@ -191,11 +211,14 @@ object SimilarityQueries {
        |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
+       |), qp AS (
+       |  SELECT vec_id FROM nv WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
        |), p AS (
        |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
        |         c.vec_id AS cid,
        |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
+       |  JOIN nv c ON q.vec_id <> c.vec_id
        |), r AS (
        |  SELECT qid, true_label, nbr_label,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
@@ -238,6 +261,7 @@ object SimilarityQueries {
   private def q108(s: SparkSession, dir: String): DataFrame = {
     val b = bucketedVecs(s, dir)
     val q = b.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(EvalPanelCap)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = b.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
@@ -267,11 +291,14 @@ object SimilarityQueries {
        |  FROM embeddings
        |), bk AS (
        |  SELECT vec_id, label, v, nrm, $bucketExpr AS bucket FROM nv
+       |), qp AS (
+       |  SELECT vec_id FROM bk WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
        |), p AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS neg_id,
        |         q.label AS q_label, c.label AS neg_label,
        |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id % 50 = 0
+       |  FROM bk q JOIN qp ON q.vec_id = qp.vec_id
+       |  JOIN bk c ON q.bucket = c.bucket
        |   AND q.vec_id <> c.vec_id AND q.label <> c.label
        |), r AS (
        |  SELECT qid, neg_id, q_label, neg_label, sim,
@@ -399,6 +426,7 @@ object SimilarityQueries {
       .withColumn("nrm", VectorMath.norm(s, "v"))
     val labCnt = base.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
     val q = base.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(EvalPanelCap)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"), col("nrm").as("qn"))
     val ranked = base
@@ -443,11 +471,15 @@ object SimilarityQueries {
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
        |), lc AS (SELECT label, count(*) AS n_lab FROM nv GROUP BY label),
+       |qp AS (
+       |  SELECT vec_id FROM nv WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
+       |),
        |p AS (
        |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
        |         c.vec_id AS cid,
        |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
-       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
+       |  JOIN nv c ON q.vec_id <> c.vec_id
        |), r AS (
        |  SELECT qid, true_label, nbr_label,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn

@@ -172,8 +172,9 @@ class PipelineQueriesSpec extends SparkSpec {
   test("q79 vote accounting: one prediction per query vector") {
     val rows = SimilarityQueries.specs.find(_.name == "q79_knn_label_vote").get
       .fn(spark, dir).collect()
-    val nQueries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 50 === 0).count()
+    // the fixed 8-query eval panel (EvalPanelCap; smallest ids win)
+    val nQueries = math.min(8L, Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0).count())
     assert(rows.map(_.getAs[Long]("n_queries")).sum === nQueries)
     rows.foreach { r =>
       val (n, c) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct"))
