@@ -59,7 +59,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      // SPARK_GRAFT_BENCH_REPS: dev knob for long sweeps (100× replica
+      // runs don't need min-of-3 — the heavy kernels dwarf host noise)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val times = (1 to reps).map { _ =>
         // each timed run pays its own persists: CacheManager matches
         // canonicalized plans, so without this a second run would
         // silently reuse the first run's cached intermediates

@@ -322,10 +322,18 @@ object ClassifierQueries {
         sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("b_only"))
       .withColumn("agree_ppm",
         expr("((both_keep + both_drop) * 1000000) div n_docs"))
-      .withColumn("kappa", Det.rnd(
-        (col("n_docs") * (col("both_keep") + col("both_drop")) - chance)
-          .cast("double") /
-          (col("n_docs") * col("n_docs") - chance).cast("double"), 3))
+      // Degenerate-kappa contract: when n² == chance (a pair whose
+      // marginals are fully concentrated — e.g. both gates keep every
+      // doc) Cohen's kappa is undefined; emit NULL. Without the guard
+      // Spark's ANSI division throws DIVIDE_BY_ZERO and DuckDB's IEEE
+      // division yields inf — caught live by the 100× replica sweep.
+      .withColumn("kappa",
+        when(col("n_docs") * col("n_docs") - chance === 0L,
+          lit(null).cast("double"))
+        .otherwise(Det.rnd(
+          (col("n_docs") * (col("both_keep") + col("both_drop")) - chance)
+            .cast("double") /
+            (col("n_docs") * col("n_docs") - chance).cast("double"), 3)))
       .orderBy(col("pair"))
   }
 
@@ -375,8 +383,9 @@ object ClassifierQueries {
        |)
        |SELECT pair, n_docs, both_keep, both_drop, a_only, b_only,
        |  CAST(((both_keep + both_drop) * 1000000) // n_docs AS BIGINT) AS agree_ppm,
-       |  floor(CAST(n_docs * (both_keep + both_drop) - $chance AS DOUBLE)
-       |        / (n_docs * n_docs - $chance) * 1000 + 0.5) / 1000 AS kappa
+       |  CASE WHEN n_docs * n_docs - $chance = 0 THEN NULL
+       |       ELSE floor(CAST(n_docs * (both_keep + both_drop) - $chance AS DOUBLE)
+       |            / (n_docs * n_docs - $chance) * 1000 + 0.5) / 1000 END AS kappa
        |FROM agg ORDER BY pair""".stripMargin
   }
 

@@ -659,7 +659,8 @@ object CorpusQueries {
       // Spark floor → BIGINT (DuckDB's → DOUBLE); cast back so the code
       // arrays are array<double> in both engines (values stay integers)
       .withColumn("q",
-        expr("transform(v, x -> CAST(floor((x - qmn) / (qmx - qmn) * 255 + 0.5) AS DOUBLE))"))
+        expr("transform(v, x -> CAST(CASE WHEN qmx = qmn THEN 0.0 ELSE " +
+          "floor((x - qmn) / (qmx - qmn) * 255 + 0.5) END AS DOUBLE))"))
       .withColumn("sfac", (col("qmx") - col("qmn")) / lit(255.0))
       .withColumn("nq", size(col("v")).cast("double") * col("qmn") * col("qmn"))
       .withColumn("sa", expr("aggregate(q, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
@@ -679,9 +680,10 @@ object CorpusQueries {
     val pairs = quant.join(broadcast(qset), col("qid") =!= col("vec_id"))
       .withColumn("sdot", VectorMath.dot(s, "qq", "q"))
       .withColumn("sim_q", Det.rate(
-        (col("nq") + col("qmn") * col("sfac") * (col("qsa") + col("sa"))
-          + col("sfac") * col("sfac") * col("sdot")) / (col("qdn") * col("dn"))))
-      .withColumn("sim_exact", Det.rate(VectorMath.dot(s, "qv", "v") / (col("qn") * col("nrm"))))
+        when(col("qdn") * col("dn") === lit(0.0), lit(0.0)).otherwise(
+          (col("nq") + col("qmn") * col("sfac") * (col("qsa") + col("sa"))
+            + col("sfac") * col("sfac") * col("sdot")) / (col("qdn") * col("dn")))))
+      .withColumn("sim_exact", Det.rate(VectorMath.cosine(s, "qv", "v", col("qn"), col("nrm"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim_q").desc, col("vec_id")))
         .cast("long"))
@@ -700,7 +702,7 @@ object CorpusQueries {
       |quant AS (
       |  SELECT vec_id, v, qmn,
       |         sqrt(list_dot_product(v, v)) AS nrm,
-      |         list_transform(v, x -> floor((x - qmn) / (qmx - qmn) * 255 + 0.5)) AS q,
+      |         list_transform(v, x -> CASE WHEN qmx = qmn THEN 0.0 ELSE floor((x - qmn) / (qmx - qmn) * 255 + 0.5) END) AS q,
       |         (qmx - qmn) / 255.0 AS sfac,
       |         CAST(len(v) AS DOUBLE) * qmn * qmn AS nq
       |  FROM nv CROSS JOIN st
@@ -717,10 +719,11 @@ object CorpusQueries {
       |),
       |p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-      |         floor(((c.nq + c.qmn * c.sfac * (q.sa + c.sa)
-      |                 + c.sfac * c.sfac * list_dot_product(q.q, c.q))
-      |                / (q.dn * c.dn)) * 1e6 + 0.5) / 1e6 AS sim_q,
-      |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim_exact
+      |         floor((CASE WHEN q.dn * c.dn = 0 THEN 0.0
+      |                ELSE (c.nq + c.qmn * c.sfac * (q.sa + c.sa)
+      |                      + c.sfac * c.sfac * list_dot_product(q.q, c.q))
+      |                     / (q.dn * c.dn) END) * 1e6 + 0.5) / 1e6 AS sim_q,
+      |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim_exact
       |  FROM qd q JOIN qp ON q.vec_id = qp.vec_id
       |  JOIN qd c ON q.vec_id <> c.vec_id
       |),

@@ -759,7 +759,11 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_pred"), sum(col("is_dup")).as("tp"))
       .crossJoin(broadcast(nTruth))
       .withColumn("precision", Det.rate(col("tp").cast("double") / col("n_pred")))
-      .withColumn("recall", Det.rate(col("tp").cast("double") / col("n_truth")))
+      // recall undefined when the truth pair-set is empty (clean corpus
+      // with SimHash candidates) — NULL, not ANSI DIVIDE_BY_ZERO
+      .withColumn("recall",
+        when(col("n_truth") === 0L, lit(null).cast("double"))
+          .otherwise(Det.rate(col("tp").cast("double") / col("n_truth"))))
       .withColumn("f1",
         Det.rate(lit(2.0) * col("tp").cast("double") / (col("n_pred") + col("n_truth")).cast("double")))
       .select(col("radius"), col("n_pred"), col("tp"), col("n_truth"),
@@ -802,7 +806,9 @@ object DedupQueries {
        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT radius, n_pred, tp, n_truth,
        |       floor(CAST(tp AS DOUBLE) / n_pred * 1e6 + 0.5) / 1e6 AS precision,
-       |       floor(CAST(tp AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6 AS recall,
+       |       CASE WHEN n_truth = 0 THEN NULL
+       |            ELSE floor(CAST(tp AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6
+       |       END AS recall,
        |       floor(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE) * 1e6 + 0.5)
        |         / 1e6 AS f1
        |FROM ag CROSS JOIN nt ORDER BY radius""".stripMargin

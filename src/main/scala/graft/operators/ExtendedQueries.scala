@@ -176,7 +176,7 @@ object ExtendedQueries {
     val va = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val vb = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cands.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "va", "vb") / (col("na") * col("nb"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "va", "vb", col("na"), col("nb"))))
       .filter(col("sim") >= 0.3)
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
@@ -205,7 +205,7 @@ object ExtendedQueries {
        |  FROM nv
        |), p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |         floor((CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
        |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyTable)
        |)
        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3

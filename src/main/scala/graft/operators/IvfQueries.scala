@@ -41,7 +41,7 @@ object IvfQueries {
     * can never flip an assignment between engines/runs. */
   private def assign(s: SparkSession, vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "v", "cv") / (col("nrm") * col("cnrm"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "v", "cv", col("nrm"), col("cnrm"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
       .filter(col("rk") === 1)
@@ -134,7 +134,7 @@ object IvfQueries {
       nprobe: Int = NProbe, topK: Int = TopK): DataFrame = {
     val centroids = s.read.parquet(s"$indexPath/centroids")
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cnrm"))))
+      .withColumn("csim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cnrm"))))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
       .filter(col("prk") <= nprobe)
@@ -146,7 +146,7 @@ object IvfQueries {
       .select(col("vec_id").as("cid"), col("v").as("cv2"), col("nrm").as("cn"), col("cell"))
     probes.join(vectors, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv2") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv2", col("qn"), col("cn"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))).cast("long"))
       .filter(col("rn") <= topK)
@@ -166,7 +166,7 @@ object IvfQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cnrm"))))
+      .withColumn("csim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cnrm"))))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
       .filter(col("prk") <= NProbe)
@@ -176,7 +176,7 @@ object IvfQueries {
         assigned.select(col("vec_id").as("cid"), col("v").as("cv2"), col("nrm").as("cn"), col("cell")),
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv2") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv2", col("qn"), col("cn"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))).cast("long"))
       .filter(col("rn") <= TopK)
@@ -187,7 +187,7 @@ object IvfQueries {
   private val Dims = 64
   private def rnd(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
   private def sim(v: String, n: String, cv: String, cn: String) =
-    rnd(s"list_dot_product($v, $cv) / ($n * $cn)")
+    rnd(VectorMath.cosineSql(v, cv, n, cn))
 
   // argmax-cosine assignment of nv rows against centroid CTE `cent`
   private def assignCte(name: String, cent: String) =
@@ -286,7 +286,7 @@ object IvfQueries {
     val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("cell").as("cellb"))
     a.join(b, col("cell") === col("cellb") && col("vec_a") < col("vec_b"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "va", "vb") / (col("na") * col("nb"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "va", "vb", col("na"), col("nb"))))
       .filter(col("sim") >= DedupTau)
       .select(col("vec_b").as("vec_id"), col("cell"), col("vec_a"), col("sim"))
       .groupBy(col("vec_id"), col("cell"))
@@ -331,7 +331,7 @@ object IvfQueries {
     assigned
       .crossJoin(broadcast(centroids.select(
         col("cell").as("ccell"), col("cv"), col("cnrm"))))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "v", "cv") / (col("nrm") * col("cnrm"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "v", "cv", col("nrm"), col("cnrm"))))
       .groupBy(col("vec_id"), col("cell"))
       .agg(max(when(col("ccell") === col("cell"), col("sim"))).as("a_sim"),
         max(when(col("ccell") =!= col("cell"), col("sim"))).as("b_sim"))
@@ -419,7 +419,7 @@ object IvfQueries {
       col("label").as("b_label"), col("v").as("bv"), col("nrm").as("bn"))
     val winners = a.join(b, Seq("cell")).filter(col("aid") =!= col("bid"))
       .withColumn("sim",
-        Det.rate(VectorMath.dot(s, "avv", "bv") / (col("an") * col("bn"))))
+        Det.rate(VectorMath.cosine(s, "avv", "bv", col("an"), col("bn"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("aid")).orderBy(col("sim").desc, col("bid"))))
       .filter(col("rn") <= NoiseVoteK)

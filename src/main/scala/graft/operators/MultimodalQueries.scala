@@ -69,7 +69,7 @@ object MultimodalQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = feats.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))
@@ -87,7 +87,7 @@ object MultimodalQueries {
       |  SELECT vec_id FROM nv WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8
       |), p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-      |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+      |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
       |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
       |  JOIN nv c ON q.vec_id <> c.vec_id
       |), r AS (

@@ -79,7 +79,7 @@ object RetrievalQueries {
     val denseTop = base.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
-        Det.rate(VectorMath.dot(s, "v", "qv") / (col("nrm") * col("qn"))).as("dense_score"))
+        Det.rate(VectorMath.cosine(s, "v", "qv", col("nrm"), col("qn"))).as("dense_score"))
       .orderBy(col("dense_score").desc, col("doc_id"))
       .limit(TopK)
     // ---- fuse: rank within each ≤K-row list, RRF-sum ----
@@ -131,7 +131,7 @@ object RetrievalQueries {
        |  FROM embeddings
        |), dense AS (
        |  SELECT c.vec_id AS doc_id,
-       |         floor((list_dot_product(c.v, q.v) / (c.nrm * q.nrm)) * 1e6 + 0.5) / 1e6
+       |         floor((CASE WHEN c.nrm * q.nrm = 0 THEN 0.0 ELSE list_dot_product(c.v, q.v) / (c.nrm * q.nrm) END) * 1e6 + 0.5) / 1e6
        |           AS dense_score
        |  FROM nv c JOIN nv q ON q.vec_id = 0 AND c.vec_id <> 0
        |), dense_top AS (

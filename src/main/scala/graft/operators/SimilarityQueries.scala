@@ -51,7 +51,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = base.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))
@@ -70,7 +70,7 @@ object SimilarityQueries {
       |       ORDER BY vec_id LIMIT 8),
       |p AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-      |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+      |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
       |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
       |  JOIN nv c ON q.vec_id <> c.vec_id
       |),
@@ -116,7 +116,7 @@ object SimilarityQueries {
     // equi-join on bucket — the ANN win: hash shuffle, not a cross join
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))
@@ -144,7 +144,7 @@ object SimilarityQueries {
        |  SELECT vec_id FROM bk WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 8
        |), p AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
-       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
        |  FROM bk q JOIN qp ON q.vec_id = qp.vec_id
        |  JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |), r AS (
@@ -186,7 +186,7 @@ object SimilarityQueries {
     val c = base.select(col("vec_id").as("cid"), col("label").as("nbr_label"),
       col("v").as("cv"), col("nrm").as("cn"))
     val nbrs = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("rn") <= VoteK)
@@ -216,7 +216,7 @@ object SimilarityQueries {
        |), p AS (
        |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
        |         c.vec_id AS cid,
-       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
        |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
        |  JOIN nv c ON q.vec_id <> c.vec_id
        |), r AS (
@@ -268,7 +268,7 @@ object SimilarityQueries {
       col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("neg_id") && col("q_label") =!= col("neg_label"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .filter(col("sim") < NegDupTau)
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neg_id")))
@@ -296,7 +296,7 @@ object SimilarityQueries {
        |), p AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS neg_id,
        |         q.label AS q_label, c.label AS neg_label,
-       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
        |  FROM bk q JOIN qp ON q.vec_id = qp.vec_id
        |  JOIN bk c ON q.bucket = c.bucket
        |   AND q.vec_id <> c.vec_id AND q.label <> c.label
@@ -433,7 +433,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("label").as("nbr_label"),
         col("v").as("cv"), col("nrm").as("cn"))
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", Det.rate(VectorMath.dot(s, "qv", "cv") / (col("qn") * col("cn"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "qv", "cv", col("qn"), col("cn"))))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
         .cast("long"))
@@ -477,7 +477,7 @@ object SimilarityQueries {
        |p AS (
        |  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nbr_label,
        |         c.vec_id AS cid,
-       |         floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+       |         floor((CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
        |  FROM nv q JOIN qp ON q.vec_id = qp.vec_id
        |  JOIN nv c ON q.vec_id <> c.vec_id
        |), r AS (

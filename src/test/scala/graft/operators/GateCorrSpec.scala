@@ -26,13 +26,18 @@ class GateCorrSpec extends SparkSpec {
       val ao = r.getAs[Long]("a_only"); val bo = r.getAs[Long]("b_only")
       assert(bk + bd + ao + bo === n, r.getAs[String]("pair"))
       assert(r.getAs[Long]("agree_ppm") === (bk + bd) * 1000000L / n)
-      // kappa recomputed from the row's own confusion counts
+      // kappa recomputed from the row's own confusion counts; NULL when
+      // n² == chance (undefined kappa — fully concentrated marginals)
       val chance = (bk + ao) * (bk + bo) + (bd + bo) * (bd + ao)
-      val expected =
-        math.floor((n * (bk + bd) - chance).toDouble /
-          (n * n - chance).toDouble * 1000 + 0.5) / 1000
-      assert(r.getAs[Double]("kappa") === expected, r.getAs[String]("pair"))
-      assert(r.getAs[Double]("kappa") > -1.0 && r.getAs[Double]("kappa") <= 1.0)
+      if (n * n - chance == 0L) {
+        assert(r.isNullAt(r.fieldIndex("kappa")), r.getAs[String]("pair"))
+      } else {
+        val expected =
+          math.floor((n * (bk + bd) - chance).toDouble /
+            (n * n - chance).toDouble * 1000 + 0.5) / 1000
+        assert(r.getAs[Double]("kappa") === expected, r.getAs[String]("pair"))
+        assert(r.getAs[Double]("kappa") > -1.0 && r.getAs[Double]("kappa") <= 1.0)
+      }
     }
     // each gate is non-degenerate on the corpus (keeps AND drops exist)
     val lmNb = rows.find(_.getAs[String]("pair") == "lm~nb").get
