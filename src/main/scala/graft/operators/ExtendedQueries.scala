@@ -115,7 +115,16 @@ object ExtendedQueries {
     * The planes are deterministic constants, so the whole pipeline is
     * oracle-expressible: the DuckDB twin inlines all 192 plane arrays
     * and uses an OR-of-16-code-equalities candidate predicate (the
-    * oracle may be quadratic; only the engine must not be). */
+    * oracle may be quadratic; only the engine must not be).
+    *
+    * Scale honesty (100× replica sweep): with B fixed, RANDOM bucket
+    * collisions contribute ~L·N²/2^B pairs — negligible at test scale
+    * (≈10⁴ pairs at sf0.1) but the dominant term past ~10⁶ vectors.
+    * B must grow ~log₂N to keep that linear, which the static inlined
+    * oracle can't mirror, so the registered form documents the bound
+    * instead; the 100-TB embedding-dedup path is q72 (IVF-cell-bounded
+    * SemDeDup, √N cells) exactly as q135 is q122's sketched
+    * replacement. */
   private[operators] val NdTables = 16
   private[operators] val NdPlanes = 12
   private val NdSeed = 1000

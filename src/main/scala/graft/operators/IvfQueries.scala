@@ -25,7 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfQueries {
 
-  private val K = 16
+  private val MinK = 16
+  /** Cell count ≈ √N/4 — the FAISS coarse-quantizer guideline: it
+    * balances the N·K assignment cost against the N²/K within-cell
+    * work (SemDeDup q72, cell-local kNN q157), putting BOTH at ~N^1.5
+    * instead of leaving within-cell pairs quadratic (measured: the
+    * fixed-16-cell index put q72 at 328 s and q157 at 506 s on the
+    * 100× replica; √N cells is the documented fix). The floor keeps
+    * every driver test scale (≤ 4096 vectors) on the historical
+    * 16-cell index; the oracle computes the same rule in a CTE. */
+  private[operators] def kFor(n: Long): Int =
+    math.max(MinK, math.ceil(math.sqrt(n.toDouble) / 4.0).toInt)
   private val Iterations = 2
   private val NProbe = 4
   private val TopK = 3
@@ -56,9 +66,11 @@ object IvfQueries {
     // logs a scary 'No Partition Defined for Window' warning on every
     // run. K rows on the driver is the k-means-init idiom, not a
     // driver-side data path.
+    // the count also materializes the persisted vectors for the seeds
+    val k = kFor(vectors.count())
     val seedRows = vectors
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(K)
+      .limit(k)
       .select(col("v"), col("nrm"))
       .collect()
     var centroids = s.createDataFrame(
@@ -223,10 +235,14 @@ object IvfQueries {
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
+       |), kc AS (
+       |  SELECT greatest($MinK, CAST(ceil(sqrt(count(*)) / 4.0) AS BIGINT)) AS k FROM nv
        |), seed AS (
-       |  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell,
-       |         v AS cv, nrm AS cnrm
-       |  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K
+       |  SELECT cell, cv, cnrm FROM (
+       |    SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell,
+       |           v AS cv, nrm AS cnrm
+       |    FROM nv
+       |  ) t CROSS JOIN kc WHERE cell < k
        |),
        |${assignCte("asg1", "seed")},
        |${updateCte("asg1", "up1", "cent1")},

@@ -16,6 +16,17 @@ class IvfSpec extends SparkSpec {
     assert(cells > 1 && cells <= 16)
   }
 
+  test("cell count scales as ceil(sqrt(N)/4) with the 16-cell test-scale floor") {
+    // the fix for the 100x-replica finding: fixed 16 cells made
+    // within-cell work (q72/q157) quadratic; sqrt-N cells puts
+    // assignment and within-cell pairs both at ~N^1.5
+    assert(IvfQueries.kFor(500L) === 16)    // sf0.001/sf0.01
+    assert(IvfQueries.kFor(2000L) === 16)   // sf0.1
+    assert(IvfQueries.kFor(4096L) === 16)   // floor boundary
+    assert(IvfQueries.kFor(20000L) === 36)  // 10x replica
+    assert(IvfQueries.kFor(200000L) === 112) // 100x replica
+  }
+
   test("q42 results come only from probed cells, top-k per query, deterministic") {
     val fn = SparkEntry.queries("q42_cosine_ivf")
     val r1 = fn(spark, dir).collect()
