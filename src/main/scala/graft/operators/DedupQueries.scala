@@ -140,16 +140,20 @@ object DedupQueries {
     val bands = bandSigs(s, dir)
     val cand = candidatesOf(bands)
     val sizes = bands.select(col("doc_id"), col("n")).distinct()
-    // candidates are tiny after LSH — broadcast them into the shingle
-    // joins instead of shuffling the full shingle table twice.
+    // candidates after LSH are pair-scale and sizes are one row per
+    // doc — both GROW WITH THE CORPUS, so no unconditional broadcast
+    // hints here: AQE runtime-broadcasts them while they fit (all
+    // bench scales) and falls back to shuffle joins at corpus scale,
+    // where an N-row broadcast would be a driver OOM (100× sweep
+    // finding).
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(broadcast(cand), Seq("doc_a"))
+      .join(cand, Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("icnt"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb") - col("icnt"))))
       .filter(col("jaccard") >= 0.5)
@@ -236,10 +240,12 @@ object DedupQueries {
 
   /** Pair kernel over a posting-list index frame (fresh or reloaded). */
   private[operators] def pairStatsFrom(index: DataFrame): DataFrame = {
-    // persisted for its two consumers (pair-gen scan, sizes broadcast
-    // build); the broadcast build materializes first and populates the
-    // cache, so no eager count is needed (unlike the self-join races
-    // in q25/q63 — both consumers there are concurrent scan stages)
+    // persisted for its two consumers (pair-gen scan, sizes build);
+    // the sizes build materializes first and populates the cache, so
+    // no eager count is needed (unlike the self-join races in
+    // q25/q63 — both consumers there are concurrent scan stages).
+    // sizes is one row per doc (corpus-scale): joins stay unhinted so
+    // AQE broadcasts while small and shuffles at scale
     val grouped = index.persist()
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -250,8 +256,8 @@ object DedupQueries {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("icnt"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
   }
 
   private[operators] def pairStats(s: SparkSession, dir: String): DataFrame =
@@ -533,9 +539,9 @@ object DedupQueries {
       .select(col("p.batch_doc"), col("p.match_doc"))
       .groupBy(col("batch_doc"), col("match_doc")).agg(count(lit(1)).as("icnt"))
     val scored = inter
-      .join(broadcast(sizes.select(col("doc_id").as("batch_doc"), col("n").as("nb"))),
+      .join(sizes.select(col("doc_id").as("batch_doc"), col("n").as("nb")),
         Seq("batch_doc"))
-      .join(broadcast(sizes.select(col("doc_id").as("match_doc"), col("n").as("nm"))),
+      .join(sizes.select(col("doc_id").as("match_doc"), col("n").as("nm")),
         Seq("match_doc"))
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("nb") + col("nm") - col("icnt"))))
@@ -675,14 +681,14 @@ object DedupQueries {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("nb"))
     val sizes = bands.select(col("doc_id"), col("n")).distinct()
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(broadcast(candNb.select(col("doc_a"), col("doc_b"))), Seq("doc_a"))
+      .join(candNb.select(col("doc_a"), col("doc_b")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
     candNb
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("icnt"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb2"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb2")), Seq("doc_b"))
       .withColumn("jaccard",
         Det.rate(col("icnt").cast("double") / (col("na") + col("nb2") - col("icnt"))))
       .groupBy(col("nb"))
