@@ -920,7 +920,8 @@ object CorpusQueries {
       .withColumn("is_near", lit(true))
     val staged = docs
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      // near-dup doc set grows with the corpus dup rate — unhinted
+      .join(nearDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("n_tok") < 30, "short")
           .when(col("top_c").cast("double") / col("n_tok") > 0.15, "repetitive")

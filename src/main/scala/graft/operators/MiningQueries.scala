@@ -56,9 +56,12 @@ object MiningQueries {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinPairCount)
+    // uni is VOCABULARY-scale (grows ~Heaps' law with the corpus): no
+    // unconditional broadcast hint — AQE runtime-broadcasts while it
+    // fits and shuffle-joins once the vocabulary outgrows the driver
     pairs
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), Seq("w1"))
-      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .join(uni.select(col("tok").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("cb")), Seq("w2"))
       .crossJoin(broadcast(tot))
       // ((double)n_ab * N) / ((double)ca * cb): every product < 2^53 so
       // both engines compute identical doubles (see Det scaladoc)
@@ -183,11 +186,14 @@ object MiningQueries {
     // frame is persisted in the SQL cache (clearCache-hygienic, no raw
     // RDD persist to leak).
     val cached = und.sparkSession.createDataFrame(und.rdd, und.schema).persist()
-    // deg's broadcast build materializes `und` into the cache before the
-    // probe side scans it — consumers are serialized, no eager count
-    // needed (see the cold-cache-race rule in ConnectedComponents)
+    // deg is NODE-scale (one row per vertex — corpus-sized for q80's
+    // doc graph), so it joins unhinted: AQE broadcasts while small,
+    // shuffles at scale. Without the broadcast build serializing the
+    // consumers, the join's two scans race the cold cache — settle it
+    // eagerly (the cold-cache-race rule in ConnectedComponents).
+    cached.count()
     val deg = cached.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = cached.join(broadcast(deg), Seq("src")).persist()
+    val edges = cached.join(deg, Seq("src")).persist()
     var ranks = deg.select(col("src").as("node")).withColumn("r", lit(PrScale))
     for (_ <- 1 to iters) {
       // an undirected node always has ≥1 incoming edge, so the groupBy
