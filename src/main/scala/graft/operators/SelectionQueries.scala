@@ -862,6 +862,99 @@ object SelectionQueries {
        |FROM d JOIN ph USING (source, bin)
        |GROUP BY d.source, ph.bucket ORDER BY d.source, ph.bucket""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** Temperature-scaled source mixing (the multilingual-sampling
+    * classic: Conneau & Lample 2019 §3.1 sample languages ∝ p^α with
+    * α = 0.5; mT5, Xue et al. 2021 §3.2, tunes the same exponent):
+    * the sampling weight of each source is its token share raised to
+    * a temperature α, interpolating between proportional sampling
+    * (α = 1, big crawls dominate) and uniform sampling (α = 0, small
+    * sources oversample until they overfit). This emits all three
+    * canonical points of that dial — the proportional mix, the
+    * α = 0.5 square-root mix, and the uniform mix — each
+    * renormalized to EXACTLY 10⁶ ppm by q105's largest-remainder
+    * method, which is the frame a mixture designer interpolates on
+    * before handing budgets to q114/q145.
+    *
+    * Exactness: n^0.5 is the INTEGER square root — libm sqrt seeds
+    * the guess and two integer comparisons correct the ±1 ulp error
+    * (exact for n < 2⁵², i.e. any real token count), so both engines
+    * produce identical weights with no float in the ordering. Ties in
+    * the largest-remainder ranking break by source name.
+    *
+    * Scale: one count-shuffle corpus scan (map-side combined), then
+    * everything runs on the |S|-row frame where whole-frame windows
+    * are free. The isqrt compresses the dynamic range, so raw·10⁶
+    * stays ≤ ~10¹² even for 10¹²-token sources — no overflow. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def ppm(raw: String, out: String): DataFrame => DataFrame = df => {
+      val byRem = Window.partitionBy().orderBy(col(s"${out}_rem").desc, col("source"))
+      df.withColumn(s"${out}_tot", sum(col(raw)).over(whole))
+        .withColumn(s"${out}_b", expr(s"($raw * 1000000) DIV ${out}_tot"))
+        .withColumn(s"${out}_rem", expr(s"($raw * 1000000) % ${out}_tot"))
+        .withColumn(s"${out}_short", lit(1000000L) - sum(col(s"${out}_b")).over(whole))
+        .withColumn(s"${out}_rk", row_number().over(byRem).cast("long"))
+        .withColumn(out, col(s"${out}_b") +
+          when(col(s"${out}_rk") <= col(s"${out}_short"), 1L).otherwise(0L))
+    }
+    val base = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("isq", expr(
+        """s0 + (CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN 1 ELSE 0 END)
+          |   - (CASE WHEN s0*s0 > n_tokens THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("one", lit(1L))
+    base
+      .transform(ppm("n_tokens", "prop_ppm"))
+      .transform(ppm("isq", "sqrt_ppm"))
+      .transform(ppm("one", "uniform_ppm"))
+      .select(col("source"), col("n_tokens"), col("isq").as("isqrt_tokens"),
+        col("prop_ppm"), col("sqrt_ppm"), col("uniform_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q161Sql = {
+    def ppm(src: String, raw: String, out: String) =
+      s"""${out}_al AS (
+         |  SELECT *, ($raw * 1000000) // CAST(sum($raw) OVER () AS BIGINT) AS ${out}_b,
+         |         ($raw * 1000000) % CAST(sum($raw) OVER () AS BIGINT) AS ${out}_rem
+         |  FROM $src
+         |), ${out}_tp AS (
+         |  SELECT *, 1000000 - CAST(sum(${out}_b) OVER () AS BIGINT) AS ${out}_short,
+         |         row_number() OVER (ORDER BY ${out}_rem DESC, source) AS ${out}_rk
+         |  FROM ${out}_al
+         |), ${out}_f AS (
+         |  SELECT * EXCLUDE (${out}_b, ${out}_rem, ${out}_short, ${out}_rk),
+         |         CAST(${out}_b + CASE WHEN ${out}_rk <= ${out}_short THEN 1 ELSE 0 END
+         |              AS BIGINT) AS $out
+         |  FROM ${out}_tp
+         |)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), sq AS (
+       |  SELECT source, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0,
+       |         CAST(1 AS BIGINT) AS one
+       |  FROM src
+       |), iq AS (
+       |  SELECT source, n_tokens, one,
+       |         s0 + (CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN 1 ELSE 0 END)
+       |            - (CASE WHEN s0*s0 > n_tokens THEN 1 ELSE 0 END) AS isq
+       |  FROM sq
+       |),
+       |${ppm("iq", "n_tokens", "prop_ppm")},
+       |${ppm("prop_ppm_f", "isq", "sqrt_ppm")},
+       |${ppm("sqrt_ppm_f", "one", "uniform_ppm")}
+       |SELECT source, n_tokens, isq AS isqrt_tokens,
+       |       prop_ppm, sqrt_ppm, uniform_ppm
+       |FROM uniform_ppm_f ORDER BY source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
@@ -871,5 +964,6 @@ object SelectionQueries {
     QuerySpec("q144_doremi_reweight", Some(q144Sql), q144),
     QuerySpec("q145_token_cap", Some(q145Sql), q145),
     QuerySpec("q149_ccnet_buckets", Some(q149Sql), q149),
+    QuerySpec("q161_temperature_mix", Some(q161Sql), q161),
   )
 }

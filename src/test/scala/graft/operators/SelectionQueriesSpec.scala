@@ -143,4 +143,49 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(small.getAs[Long]("budget").toDouble / budget >=
       small.getAs[Long]("n_tok") / totTok - 2e-6)
   }
+
+  test("q161 temperature dial: exact apportionment at all three alphas") {
+    val out = graft.QueryCatalog.all.find(_.name == "q161_temperature_mix").get
+      .fn(spark, dir).collect()
+    assert(out.length > 1)
+    // exact recomputation of the largest-remainder apportionment from
+    // the raw weights, for each temperature point
+    def apportion(w: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = w.map(_._2).sum
+      val base = w.map { case (s, x) => (s, x * 1000000L / tot, x * 1000000L % tot) }
+      val short = 1000000L - base.map(_._2).sum
+      val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
+        .take(short.toInt).map(_._1).toSet
+      base.map { case (s, b, _) => s -> (b + (if (bump(s)) 1L else 0L)) }.toMap
+    }
+    val raw = out.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens")))
+    val isq = out.map(r => (r.getAs[String]("source"), r.getAs[Long]("isqrt_tokens")))
+    val one = raw.map { case (s, _) => (s, 1L) }
+    val expect = Map(
+      "prop_ppm" -> apportion(raw.toSeq),
+      "sqrt_ppm" -> apportion(isq.toSeq),
+      "uniform_ppm" -> apportion(one.toSeq))
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      // isqrt is the exact integer square root
+      val (n, w) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("isqrt_tokens"))
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) != $w")
+      expect.foreach { case (colName, m) =>
+        assert(r.getAs[Long](colName) === m(s), s"$colName mismatch for $s")
+      }
+    }
+    // each dial point conserves the ppm budget exactly
+    Seq("prop_ppm", "sqrt_ppm", "uniform_ppm").foreach { c =>
+      assert(out.map(_.getAs[Long](c)).sum === 1000000L, s"$c must sum to 1e6")
+    }
+    // the temperature interpolates monotonically: the largest source's
+    // share falls as alpha drops 1 -> 0.5 -> 0; the smallest rises
+    // (±1 slack: largest-remainder bumps are one ppm each)
+    val big = out.maxBy(_.getAs[Long]("n_tokens"))
+    val small = out.minBy(_.getAs[Long]("n_tokens"))
+    assert(big.getAs[Long]("prop_ppm") + 1 >= big.getAs[Long]("sqrt_ppm"))
+    assert(big.getAs[Long]("sqrt_ppm") + 1 >= big.getAs[Long]("uniform_ppm"))
+    assert(small.getAs[Long]("prop_ppm") <= small.getAs[Long]("sqrt_ppm") + 1)
+    assert(small.getAs[Long]("sqrt_ppm") <= small.getAs[Long]("uniform_ppm") + 1)
+  }
 }
