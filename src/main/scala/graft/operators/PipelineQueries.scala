@@ -743,6 +743,156 @@ object PipelineQueries {
        |LEFT JOIN ka ON ka.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q162
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, §2.2 — the MOSS algorithm): hash every k-gram, slide a
+    * window of w consecutive hashes over each document, and in each
+    * window SELECT the minimum hash, rightmost position on ties. The
+    * selected set is the document's fingerprint, with two paper
+    * guarantees this query audits: any substring shared between two
+    * documents of at least t = k + w − 1 tokens yields a shared
+    * selected hash (detection), and the expected fingerprint density
+    * is 2/(w+1) of the k-gram positions (compactness) — the property
+    * that makes winnowing the fingerprint SAMPLER where q90 keeps
+    * every window hash. Output per source: docs, winnow-eligible
+    * k-gram positions, selected fingerprints, the measured density,
+    * corpus-shared fingerprint hashes present in the source, and docs
+    * flagged by at least one shared hash.
+    *
+    * The rightmost-min-with-ties rule is expressed relationally by
+    * one running `min` over the encoded key `hash:(9999999−pos)` —
+    * fixed-width, so lexicographic order IS (hash asc, pos desc) and
+    * both engines pick identical winners with no argmax subquery.
+    *
+    * Scale: k-gram hashing and window selection are doc-partitioned
+    * (one shuffle on doc_id, windows never global); only selected
+    * 16-byte fingerprints — an expected 2/(w+1) sample — reach the
+    * cross-doc sharing shuffle, which is the point of winnowing at
+    * 100 TB: the corpus-wide exchange carries the sample, not every
+    * window hash. */
+  private val WinnowK = 4
+  private val WinnowW = 4
+
+  /** Fingerprint kernel over a (doc_id, source, t) frame — factored so
+    * the spec can feed planted texts and verify the paper guarantees
+    * directly. Emits one row per SELECTED (doc, window-winner):
+    * (doc_id, source, sel_h, sel_pos). */
+  private[operators] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .withColumn("n_h", (size(col("t")) - WinnowK + 1).cast("long"))
+      .filter(col("n_h") >= WinnowW)
+      .select(col("doc_id"), col("source"), col("n_h"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $WinnowK), i -> md5(concat_ws(' ', slice(t, i + 1, $WinnowK))))"))
+          .as(Seq("pos", "h")))
+      .withColumn("key", concat(col("h"), lit(":"),
+        lpad((lit(9999999L) - col("pos")).cast("string"), 7, "0")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    wins
+      .withColumn("skey", min(col("key")).over(byDoc))
+      .filter(col("pos") <= col("n_h") - WinnowW)
+      .select(col("doc_id"), col("source"), col("skey")).distinct()
+      .select(col("doc_id"), col("source"),
+        substring(col("skey"), 1, 32).as("sel_h"),
+        (lit(9999999L) - substring(col("skey"), 34, 7).cast("long")).as("sel_pos"))
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val fp = winnowFingerprints(docs)
+    val perDoc = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val sharedH = fp.select(col("doc_id"), col("sel_h")).distinct()
+      .groupBy(col("sel_h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sel_h"))
+    val sharedFp = fp.join(sharedH, Seq("sel_h"))
+    val perDocShared = sharedFp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val perSrcShared = sharedFp.groupBy(col("source"))
+      .agg(countDistinct(col("sel_h")).as("shared_fp_hashes"))
+    docs.select(col("doc_id"), col("source"),
+        when(col("n_tokens") >= WinnowK + WinnowW - 1,
+          col("n_tokens") - WinnowK + 1).otherwise(0L).as("n_pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDocShared, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_pos") === 0L, 1L).otherwise(0L)).as("n_short_docs"),
+        sum(col("n_pos")).as("n_positions"),
+        coalesce(sum(col("n_fp")), lit(0L)).as("n_fp"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("docs_matched"))
+      .join(perSrcShared, Seq("source"), "left")
+      .withColumn("shared_fp_hashes", coalesce(col("shared_fp_hashes"), lit(0L)))
+      .withColumn("density_ppm",
+        expr("CASE WHEN n_positions > 0 THEN (n_fp * 1000000) DIV n_positions END"))
+      .select(col("source"), col("n_docs"), col("n_short_docs"),
+        col("n_positions"), col("n_fp"), col("density_ppm"),
+        col("shared_fp_hashes"), col("docs_matched"))
+      .orderBy(col("source"))
+  }
+
+  private val q162Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), base AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens FROM d
+       |), wins AS (
+       |  SELECT doc_id, source, CAST(len(t) - $WinnowK + 1 AS BIGINT) AS n_h,
+       |         i AS pos,
+       |         md5(array_to_string(list_slice(t, i + 1, i + $WinnowK), ' ')) AS h
+       |  FROM d, unnest(generate_series(0, len(t) - $WinnowK)) AS u(i)
+       |  WHERE len(t) >= ${WinnowK + WinnowW - 1}
+       |), keyed AS (
+       |  SELECT *, h || ':' || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS key
+       |  FROM wins
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, source, skey FROM (
+       |    SELECT doc_id, source, pos, n_h,
+       |           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |             AS skey
+       |    FROM keyed)
+       |  WHERE pos <= n_h - $WinnowW
+       |), fp AS (
+       |  SELECT doc_id, source, substr(skey, 1, 32) AS sel_h FROM sel
+       |), shared AS (
+       |  SELECT sel_h FROM (SELECT DISTINCT doc_id, sel_h FROM fp)
+       |  GROUP BY sel_h HAVING count(*) >= 2
+       |), pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id
+       |), pds AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM fp JOIN shared USING (sel_h) GROUP BY doc_id
+       |), ssh AS (
+       |  SELECT source, CAST(count(DISTINCT sel_h) AS BIGINT) AS shared_fp_hashes
+       |  FROM fp JOIN shared USING (sel_h) GROUP BY source
+       |), pos AS (
+       |  SELECT b.doc_id, b.source,
+       |         CASE WHEN b.n_tokens >= ${WinnowK + WinnowW - 1}
+       |              THEN b.n_tokens - $WinnowK + 1 ELSE 0 END AS n_pos
+       |  FROM base b
+       |), roll AS (
+       |  SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN p.n_pos = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_short_docs,
+       |         CAST(sum(p.n_pos) AS BIGINT) AS n_positions,
+       |         CAST(COALESCE(sum(pd.n_fp), 0) AS BIGINT) AS n_fp,
+       |         CAST(sum(CASE WHEN COALESCE(pds.n_shared, 0) > 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS docs_matched
+       |  FROM pos p
+       |  LEFT JOIN pd ON pd.doc_id = p.doc_id
+       |  LEFT JOIN pds ON pds.doc_id = p.doc_id
+       |  GROUP BY p.source
+       |)
+       |SELECT r.source, r.n_docs, r.n_short_docs, r.n_positions, r.n_fp,
+       |       CASE WHEN r.n_positions > 0
+       |            THEN CAST((r.n_fp * 1000000) // r.n_positions AS BIGINT)
+       |       END AS density_ppm,
+       |       CAST(COALESCE(ssh.shared_fp_hashes, 0) AS BIGINT) AS shared_fp_hashes,
+       |       r.docs_matched
+       |FROM roll r LEFT JOIN ssh ON ssh.source = r.source
+       |ORDER BY r.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
@@ -754,5 +904,6 @@ object PipelineQueries {
     QuerySpec("q113_epoch_shards", Some(q113Sql), q113),
     QuerySpec("q116_padding_waste", Some(q116Sql), q116),
     QuerySpec("q117_span_scrub", Some(q117Sql), q117),
+    QuerySpec("q162_winnow_fingerprint", Some(q162Sql), q162),
   )
 }

@@ -258,4 +258,16 @@ class PipelinePlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-10 must use the rank-limit pushdown, not full window sorts:\n$p")
   }
+
+  test("q162 winnowing: selection windows are doc-partitioned, no join on the corpus scan") {
+    val p = finalPlan("q162_winnow_fingerprint")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // every Window in the executed plan must be keyed by doc_id — the
+    // winnow selection can never fall into a single global partition
+    val winLines = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "the rightmost-min selection must be a Window")
+    winLines.foreach { l =>
+      assert(l.contains("doc_id"), s"winnow window must partition by doc_id: $l")
+    }
+  }
 }

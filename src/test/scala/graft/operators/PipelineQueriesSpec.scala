@@ -248,4 +248,67 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(books.getAs[Long]("tokens_dup") === 0L)
     assert(books.getAs[Long]("n_docs") === 2L, "short docs still count in the denominator")
   }
+
+  // ------------------------------------------------------------- q162
+  /** Textbook winnowing (Schleimer et al. 2003 Fig. 5): per window of
+    * w hashes select the min, rightmost on ties — a direct loop, no
+    * key-encoding trick, so it independently checks the relational
+    * min-over-encoded-key formulation. */
+  private def winnowRef(toks: Seq[String], k: Int, w: Int): Set[(Int, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hs = toks.sliding(k).filter(_.length == k).map(g => md5hex(g.mkString(" "))).toVector
+    (0 to hs.length - w).map { p =>
+      val win = (p until p + w).map(i => (hs(i), i))
+      val sel = win.minBy { case (h, i) => (h, -i) }
+      (sel._2, sel._1)
+    }.toSet
+  }
+
+  test("q162 fingerprints equal the textbook rightmost-min winnowing, doc by doc") {
+    val (k, w) = (4, 4)
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+      .toMap
+    val got = PipelineQueries.winnowFingerprints(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("t")))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rows) =>
+        d -> rows.map(r => (r.getAs[Long]("sel_pos").toInt, r.getAs[String]("sel_h"))).toSet
+      }
+    val expect = texts.map { case (d, t) => d -> winnowRef(t, k, w) }
+      .filter(_._2.nonEmpty)
+    assert(got.keySet === expect.keySet, "every winnow-eligible doc fingerprints")
+    got.foreach { case (d, fps) => assert(fps === expect(d), s"doc $d fingerprint set") }
+  }
+
+  test("q162 rollup: density within paper bounds, detection guarantee on planted dup") {
+    val out = q("q162_winnow_fingerprint").collect()
+    out.foreach { r =>
+      if (r.getAs[Long]("n_positions") > 0) {
+        val d = r.getAs[Long]("density_ppm")
+        // ≥ 1/w of positions (one winner per disjoint window) and ≤ all
+        assert(d >= 1000000L / 4 - 1 && d <= 1000000L,
+          s"${r.getAs[String]("source")} density $d outside [1/w, 1]")
+      }
+      assert(r.getAs[Long]("docs_matched") <= r.getAs[Long]("n_docs"))
+    }
+    // planted guarantee: two docs sharing a k+w-1 = 7-token run MUST
+    // share a selected fingerprint hash
+    import spark.implicits._
+    val run = "the shared seven token run lives here"
+    val planted = Seq(
+      (1L, "a", s"alpha beta $run gamma delta epsilon zeta"),
+      (2L, "b", s"$run omega psi chi phi upsilon tau sigma"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val fp = PipelineQueries.winnowFingerprints(planted).collect()
+    val h1 = fp.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[String]("sel_h")).toSet
+    val h2 = fp.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[String]("sel_h")).toSet
+    assert((h1 & h2).nonEmpty, "t-token shared run must yield a shared fingerprint")
+  }
 }
