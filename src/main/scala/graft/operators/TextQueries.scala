@@ -546,6 +546,197 @@ object TextQueries {
        |        * 1000000) // count(*) AS reject_ppm
        |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q163
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978; the V(N) = K·N^β
+    * power law every tokenizer-sizing and dedup-planning estimate
+    * leans on): per source, walk the corpus in ingest order (doc_id),
+    * record (cumulative tokens N, cumulative distinct vocabulary V)
+    * at C = 8 evenly-spaced document checkpoints, and least-squares
+    * fit log₂V = log₂K + β·log₂N over those points — exactly, in
+    * integers: both logs through graft_log2q20 (Q20 fixed point,
+    * bit-identical in DuckDB via [[graft.functions.Log2Kernel.cteChain]]),
+    * the regression in Long sums (bounded: 8 points × (62·2²⁰)² per
+    * term), the two final divisions in DECIMAL(38,0)/HUGEINT with the
+    * remainder-removal idiom ((a − pmod(a,b)) div b), which makes
+    * floor and truncate agree so Spark's `div` and DuckDB's `//`
+    * floor the same bits even for the (possible) negative intercept.
+    * β ≈ 0 flags a closed/templated vocabulary (V saturates — this
+    * synthetic corpus fits at β ≈ 0.01-0.02), natural corpora sit at
+    * β ≈ 0.4-0.6, and β → 1 flags unbounded novelty (serial IDs,
+    * noise). Emits per source: doc/token/vocab totals, points used,
+    * beta_ppm, log2k_micro.
+    *
+    * Scale: NO corpus-order window — cumulative values at the 8
+    * checkpoints are conditional aggregates (row joins the ≤8-row
+    * per-source checkpoint list on rk ≤ crk, then map-side-combined
+    * groupBy collapses to 8·|S| rows before the exchange). The dense
+    * per-source rank is the one sequential ingredient; it runs as a
+    * window over the NARROW (source, doc_id) projection (16 B/doc)
+    * and joins back by doc_id, so token arrays never pass through
+    * the per-source sort. The term-first-appearance aggregate is the
+    * usual (source, term)-keyed shuffle — vocabulary-scale state,
+    * corpus-scale only on the map side. */
+  private val HeapsC = 8L
+
+  /** Shared exact log-log least-squares over per-source Q20 points
+    * (source, x, y): per-source sums in Long (bounded by ≤ ~10 points
+    * × (62·2²⁰)² per term), slope and intercept as floor-exact
+    * integers — slope_ppm = ⌊10⁶·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)⌋ and
+    * icept_micro = ⌊10⁶·(Σy − slope·Σx)/(n·2²⁰)⌋ — computed in
+    * DECIMAL(38,0) with the remainder-removal idiom
+    * ((a − pmod(a,b)) div b), which makes floor and truncate agree so
+    * Spark's `div` and DuckDB's `//` (which truncates) floor the same
+    * bits even for negative numerators (Zipf slopes, intercepts).
+    * Degenerate spread (den = 0: < 2 distinct x) yields nulls. */
+  private[operators] def log2Fit(pts: DataFrame): DataFrame =
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .withColumn("num", expr("n_pts * sxy - sx * sy"))
+      .withColumn("den", expr("n_pts * sxx - sx * sx"))
+      .withColumn("slope_ppm",
+        expr("""CASE WHEN den > 0 THEN CAST(
+                |  (CAST(num AS DECIMAL(38,0)) * 1000000
+                |   - pmod(CAST(num AS DECIMAL(38,0)) * 1000000, den)) DIV den
+                |  AS BIGINT) END""".stripMargin))
+      .withColumn("icept_micro",
+        expr("""CASE WHEN den > 0 THEN CAST(
+                |  ((CAST(sy AS DECIMAL(38,0)) * den - CAST(num AS DECIMAL(38,0)) * sx) * 1000000
+                |   - pmod((CAST(sy AS DECIMAL(38,0)) * den - CAST(num AS DECIMAL(38,0)) * sx) * 1000000,
+                |          CAST(n_pts AS DECIMAL(38,0)) * den * 1048576))
+                |  DIV (CAST(n_pts AS DECIMAL(38,0)) * den * 1048576)
+                |  AS BIGINT) END""".stripMargin))
+
+  /** DuckDB twin of [[log2Fit]]: CTEs fit/ft/ex/fx over `$ptsCte`
+    * (columns source, `$xCol`, `$yCol`); `fx` carries (source, n_pts,
+    * slope_ppm, icept_micro). HUGEINT + the same remainder-removal
+    * floor idiom. */
+  private[operators] def log2FitSql(ptsCte: String, xCol: String, yCol: String): String =
+    s""", fit AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_pts,
+       |         CAST(sum($xCol) AS BIGINT) AS sx,
+       |         CAST(sum($yCol) AS BIGINT) AS sy,
+       |         CAST(sum($xCol * $xCol) AS BIGINT) AS sxx,
+       |         CAST(sum($xCol * $yCol) AS BIGINT) AS sxy
+       |  FROM $ptsCte GROUP BY source
+       |), ft AS (
+       |  SELECT source, n_pts, sx, sy,
+       |         n_pts * sxy - sx * sy AS num,
+       |         n_pts * sxx - sx * sx AS den
+       |  FROM fit
+       |), ex AS (
+       |  SELECT source, n_pts, num, den,
+       |         CAST(num AS HUGEINT) * 1000000 AS bnum,
+       |         (CAST(sy AS HUGEINT) * den - CAST(num AS HUGEINT) * sx) * 1000000
+       |           AS knum,
+       |         CAST(n_pts AS HUGEINT) * den * 1048576 AS kden
+       |  FROM ft
+       |), fx AS (
+       |  SELECT source, n_pts,
+       |         CASE WHEN den > 0 THEN CAST(
+       |           (bnum - ((bnum % den + den) % den)) // den AS BIGINT)
+       |         END AS slope_ppm,
+       |         CASE WHEN den > 0 THEN CAST(
+       |           (knum - ((knum % kden + kden) % kden)) // kden AS BIGINT)
+       |         END AS icept_micro
+       |  FROM ex
+       |)""".stripMargin
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    heapsFit(s, Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t")))
+
+  /** The q163 kernel over a (source, doc_id, t) frame — factored so
+    * the spec can feed planted closed- vs open-vocabulary corpora and
+    * check the fitted β orders them. */
+  private[operators] def heapsFit(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val rkF = docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val ranked = docs.join(rkF.select(col("doc_id"), col("rk")), Seq("doc_id"))
+    val spine = ranked.select(col("source"), col("rk"),
+      size(col("t")).cast("long").as("tok"))
+    val firsts = ranked
+      .select(col("source"), col("rk"), explode(col("t")).as("term"))
+      .groupBy(col("source"), col("term")).agg(min(col("rk")).as("fr"))
+    val dF = rkF.groupBy(col("source")).agg(max(col("rk")).as("d"))
+    val cps = dF.crossJoin((1L to HeapsC).toDF("c"))
+      .select(col("source").as("csrc"),
+        greatest(lit(1L), expr(s"(d * c) DIV $HeapsC")).as("crk"))
+      .distinct()
+    val npt = spine
+      .join(cps, col("source") === col("csrc") && col("rk") <= col("crk"))
+      .groupBy(col("csrc"), col("crk")).agg(sum(col("tok")).as("nn"))
+    val vpt = firsts
+      .join(cps, col("source") === col("csrc") && col("fr") <= col("crk"))
+      .groupBy(col("csrc").as("vsrc"), col("crk").as("vrk"))
+      .agg(count(lit(1)).as("v"))
+    val pts = npt
+      .join(vpt, col("csrc") === col("vsrc") && col("crk") === col("vrk"), "left")
+      .select(col("csrc").as("source"), col("crk"), col("nn"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .filter(col("nn") >= 1L && col("v") >= 1L)
+      .withColumn("x", expr("graft_log2q20(nn, 1L)"))
+      .withColumn("y", expr("graft_log2q20(v, 1L)"))
+    val fit = log2Fit(pts)
+    val totals = pts
+      .join(dF.withColumnRenamed("source", "tsrc"),
+        col("source") === col("tsrc") && col("crk") === col("d"))
+      .select(col("source"), col("d").as("n_docs"),
+        col("nn").as("n_tokens"), col("v").as("vocab"))
+    totals.join(fit, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("n_pts"), col("slope_ppm").as("beta_ppm"),
+        col("icept_micro").as("log2k_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val q163Sql = {
+    val logs = graft.functions.Log2Kernel.cteChain(
+      "pts", "lg", Seq(("lx", "nn", "CAST(1 AS BIGINT)"), ("ly", "v", "CAST(1 AS BIGINT)")))
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT source, doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |              AS BIGINT) AS rk
+       |  FROM documents
+       |), spine AS MATERIALIZED (
+       |  SELECT source, rk, CAST(len(t) AS BIGINT) AS tok FROM d
+       |), firsts AS (
+       |  SELECT source, term, min(rk) AS fr FROM (
+       |    SELECT source, rk, unnest(t) AS term FROM d
+       |  ) GROUP BY source, term
+       |), dd AS MATERIALIZED (
+       |  SELECT source, CAST(max(rk) AS BIGINT) AS d_docs FROM spine GROUP BY source
+       |), cps AS MATERIALIZED (
+       |  SELECT DISTINCT dd.source AS csrc,
+       |         greatest(1, (dd.d_docs * cs.c) // $HeapsC) AS crk
+       |  FROM dd CROSS JOIN (SELECT unnest(generate_series(1, $HeapsC)) AS c) cs
+       |), npt AS (
+       |  SELECT cp.csrc, cp.crk, CAST(sum(s.tok) AS BIGINT) AS nn
+       |  FROM spine s JOIN cps cp ON cp.csrc = s.source AND s.rk <= cp.crk
+       |  GROUP BY cp.csrc, cp.crk
+       |), vpt AS (
+       |  SELECT cp.csrc AS vsrc, cp.crk AS vrk, CAST(count(*) AS BIGINT) AS v
+       |  FROM firsts f JOIN cps cp ON cp.csrc = f.source AND f.fr <= cp.crk
+       |  GROUP BY cp.csrc, cp.crk
+       |), pts AS MATERIALIZED (
+       |  SELECT npt.csrc AS source, npt.crk, npt.nn, COALESCE(vpt.v, 0) AS v
+       |  FROM npt LEFT JOIN vpt ON vpt.vsrc = npt.csrc AND vpt.vrk = npt.crk
+       |  WHERE npt.nn >= 1 AND COALESCE(vpt.v, 0) >= 1
+       |)$logs${log2FitSql("lg", "lx_q20", "ly_q20")}, tot AS (
+       |  SELECT p.source, dd.d_docs AS n_docs, p.nn AS n_tokens, p.v AS vocab
+       |  FROM pts p JOIN dd ON dd.source = p.source AND p.crk = dd.d_docs
+       |)
+       |SELECT t.source, t.n_docs, t.n_tokens, t.vocab, e.n_pts,
+       |       e.slope_ppm AS beta_ppm, e.icept_micro AS log2k_micro
+       |FROM tot t JOIN fx e ON e.source = t.source
+       |ORDER BY t.source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -557,5 +748,6 @@ object TextQueries {
     QuerySpec("q118_vocab_coverage", Some(q118Sql), q118),
     QuerySpec("q134_ngram_diversity", Some(q134Sql), q134),
     QuerySpec("q147_gopher_rules", Some(q147Sql), q147),
+    QuerySpec("q163_heaps_law", Some(q163Sql), q163),
   )
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LnSmall, LshSignCodes, Md5Keyed}
+import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ln_small"),
       new ExpressionInfo(classOf[LnSmall].getName, "graft_ln_small"),
       (children: Seq[Expression]) => LnSmall(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_log2q20"),
+      new ExpressionInfo(classOf[Log2Q20].getName, "graft_log2q20"),
+      (children: Seq[Expression]) => Log2Q20(children(0), children(1))))
     ext.injectOptimizerRule(_ => new FuseDotProduct)
   }
 }

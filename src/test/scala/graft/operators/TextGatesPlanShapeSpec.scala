@@ -68,4 +68,20 @@ class TextGatesPlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the doc frame must never shuffle to meet the bin-phase map")
   }
+
+  test("q163 heaps fit: native log kernel, no cartesian, narrow rank windows") {
+    val p = executedPlan("q163_heaps_law")
+    assert(p.contains("graft_log2q20"),
+      "the Q20 log must run as the native codegen expression")
+    assert(!p.contains("CartesianProduct"),
+      s"the checkpoint cross must broadcast the 8-row ladder:\n$p")
+    // every per-source rank window sorts the NARROW (source, doc_id)
+    // projection — token arrays must never pass through the rank sort
+    val winIn = p.split("\n").sliding(2).collect {
+      case Array(w, nxt) if w.contains("Window [row_number()") => nxt
+    }.toSeq
+    assert(winIn.nonEmpty)
+    winIn.foreach(l => assert(!l.contains("text#") && !l.contains("t#"),
+      s"rank window input must be narrow:\n$l"))
+  }
 }
