@@ -737,6 +737,132 @@ object TextQueries {
        |ORDER BY t.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q164
+  /** Zipf rank-frequency slope (Zipf 1949): per source, rank the
+    * vocabulary by (count desc, term) and fit log₂f = log₂c − s·log₂r
+    * over the log-spaced rank panel r ∈ {1,2,4,…,64} — the dual of
+    * q163 (vocabulary GROWTH) on the frequency axis, and the
+    * quantitative read of q118's coverage ladder: s ≈ 1 is the
+    * natural-language law, s far below 1 flags a flattened
+    * (templated / closed) distribution, s far above flags a
+    * head-heavy one. Same exact machinery as q163: graft_log2q20
+    * points, [[log2Fit]] integer regression, floor-portable
+    * divisions; the slope is NEGATIVE for any Zipfian source, so the
+    * fit exercises the signed floor path (zipf_slope_ppm ≈ −10⁶·s).
+    *
+    * Scale: the corpus collapses to the (source, term) count
+    * aggregate first (map-side combined); the rank window runs over
+    * VOCABULARY rows within each source — and only ranks ≤ 64
+    * survive, so on an open 100 TB vocabulary the q99/q118 move
+    * applies unchanged (pre-filter to counts above a floor before
+    * ranking; rank 64's count sits far above any such floor). The
+    * fit is ≤ 7 points per source. */
+  private val ZipfRanks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L)
+
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val byFreq = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("term"))
+    val pts = counts
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .filter(col("rk").isInCollection(ZipfRanks))
+      .select(col("source"), col("rk"), col("c"),
+        expr("graft_log2q20(rk, 1L)").as("x"),
+        expr("graft_log2q20(c, 1L)").as("y"))
+    val tot = counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_freq"))
+    tot.join(log2Fit(pts), Seq("source"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("top_freq"),
+        col("n_pts"), col("slope_ppm").as("zipf_slope_ppm"),
+        col("icept_micro").as("log2c_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val q164Sql = {
+    val logs = graft.functions.Log2Kernel.cteChain(
+      "pts", "lg", Seq(("lx", "rk", "CAST(1 AS BIGINT)"), ("ly", "c", "CAST(1 AS BIGINT)")))
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+       |), c AS MATERIALIZED (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM t WHERE term <> '' GROUP BY source, term
+       |), r AS (
+       |  SELECT source, c,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                                 ORDER BY c DESC, term) AS BIGINT) AS rk
+       |  FROM c
+       |), pts AS (
+       |  SELECT source, rk, c FROM r
+       |  WHERE rk IN (${ZipfRanks.mkString(", ")})
+       |)$logs${log2FitSql("lg", "lx_q20", "ly_q20")}, tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |         CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(max(c) AS BIGINT) AS top_freq
+       |  FROM c GROUP BY source
+       |)
+       |SELECT t.source, t.vocab, t.n_tokens, t.top_freq, f.n_pts,
+       |       f.slope_ppm AS zipf_slope_ppm, f.icept_micro AS log2c_micro
+       |FROM tot t JOIN fx f ON f.source = t.source
+       |ORDER BY t.source""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q165
+  /** Good-Turing coverage + Chao1 richness (Good 1953; Chao 1984) —
+    * the "how much vocabulary haven't we seen yet" numbers a corpus
+    * datasheet reports next to q163's growth exponent: per source,
+    * the hapax (once-seen) and dis legomena (twice-seen) counts, the
+    * Good-Turing unseen-probability mass N₁/N and its complement
+    * (the coverage estimate), the hapax share of the vocabulary, and
+    * the bias-corrected Chao1 richness floor
+    * V + N₁(N₁−1)/(2(N₂+1)) — the projected TRUE vocabulary size the
+    * corpus is sampling. All exact integer ppm (every numerator
+    * nonnegative, so plain div == floor on both engines).
+    *
+    * Scale: one map-side-combined (source, term) count shuffle —
+    * vocabulary-scale state — then a |S|-row aggregate. The cheapest
+    * query shape after q147's. */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+      .withColumn("unseen_mass_ppm", expr("(hapax * 1000000) DIV n_tokens"))
+      .withColumn("coverage_ppm",
+        expr("((n_tokens - hapax) * 1000000) DIV n_tokens"))
+      .withColumn("hapax_vocab_ppm", expr("(hapax * 1000000) DIV vocab"))
+      .withColumn("chao1_vocab",
+        expr("vocab + (hapax * (hapax - 1)) DIV (2 * (dis + 1))"))
+      .orderBy(col("source"))
+
+  private val q165Sql =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |), c AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM t WHERE term <> '' GROUP BY source, term
+      |), g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+      |         CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+      |  FROM c GROUP BY source
+      |)
+      |SELECT source, vocab, n_tokens, hapax, dis,
+      |       (hapax * 1000000) // n_tokens AS unseen_mass_ppm,
+      |       ((n_tokens - hapax) * 1000000) // n_tokens AS coverage_ppm,
+      |       (hapax * 1000000) // vocab AS hapax_vocab_ppm,
+      |       vocab + (hapax * (hapax - 1)) // (2 * (dis + 1)) AS chao1_vocab
+      |FROM g ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -749,5 +875,7 @@ object TextQueries {
     QuerySpec("q134_ngram_diversity", Some(q134Sql), q134),
     QuerySpec("q147_gopher_rules", Some(q147Sql), q147),
     QuerySpec("q163_heaps_law", Some(q163Sql), q163),
+    QuerySpec("q164_zipf_slope", Some(q164Sql), q164),
+    QuerySpec("q165_good_turing", Some(q165Sql), q165),
   )
 }

@@ -84,4 +84,24 @@ class TextGatesPlanShapeSpec extends SparkSpec {
     winIn.foreach(l => assert(!l.contains("text#") && !l.contains("t#"),
       s"rank window input must be narrow:\n$l"))
   }
+
+  test("q164 zipf: rank window runs over the count aggregate, never doc rows") {
+    val p = executedPlan("q164_zipf_slope")
+    assert(p.contains("graft_log2q20"))
+    assert(!p.contains("CartesianProduct"))
+    val winIn = p.split("\n").sliding(2).collect {
+      case Array(w, nxt) if w.contains("Window [row_number()") => nxt
+    }.toSeq
+    assert(winIn.nonEmpty)
+    winIn.foreach(l => assert(!l.contains("text#"),
+      s"rank window must consume (source, term, c) aggregates:\n$l"))
+  }
+
+  test("q165 good-turing: two-level aggregate, no joins, no windows") {
+    val p = executedPlan("q165_good_turing")
+    assert(!p.contains("Join"), s"q165 must not join:\n$p")
+    assert(!p.contains("Window"), s"q165 must not window:\n$p")
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.length <= 2, s"term agg + source agg only:\n$p")
+  }
 }
