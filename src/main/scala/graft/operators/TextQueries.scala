@@ -650,42 +650,49 @@ object TextQueries {
 
   /** The q163 kernel over a (source, doc_id, t) frame — factored so
     * the spec can feed planted closed- vs open-vocabulary corpora and
-    * check the fitted β orders them. */
+    * check the fitted β orders them.
+    *
+    * The per-source rank is monotone in doc_id, so rank ≤ crk is
+    * doc_id ≤ (the crk-th smallest doc_id) — the ONE window in the
+    * plan therefore runs only to translate the 8-rung rank ladder
+    * into doc_id THRESHOLDS (8·|S| rows), and every corpus-side
+    * consumer joins raw doc_ids against that tiny frame. No rank
+    * column is ever attached to corpus rows, so the window subtree
+    * is built once instead of once per consumer (the first-cut shape
+    * recomputed scan+window ~5×: 3.2 s → this at sf0.1). */
   private[operators] def heapsFit(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val rkF = docs.select(col("source"), col("doc_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
-    val ranked = docs.join(rkF.select(col("doc_id"), col("rk")), Seq("doc_id"))
-    val spine = ranked.select(col("source"), col("rk"),
-      size(col("t")).cast("long").as("tok"))
-    val firsts = ranked
-      .select(col("source"), col("rk"), explode(col("t")).as("term"))
-      .groupBy(col("source"), col("term")).agg(min(col("rk")).as("fr"))
-    val dF = rkF.groupBy(col("source")).agg(max(col("rk")).as("d"))
-    val cps = dF.crossJoin((1L to HeapsC).toDF("c"))
-      .select(col("source").as("csrc"),
+    val dF = docs.groupBy(col("source")).agg(count(lit(1)).as("d"))
+    val ladder = dF.crossJoin((1L to HeapsC).toDF("c"))
+      .select(col("source").as("lsrc"), col("d"),
         greatest(lit(1L), expr(s"(d * c) DIV $HeapsC")).as("crk"))
       .distinct()
-    val npt = spine
-      .join(cps, col("source") === col("csrc") && col("rk") <= col("crk"))
-      .groupBy(col("csrc"), col("crk")).agg(sum(col("tok")).as("nn"))
-    val vpt = firsts
-      .join(cps, col("source") === col("csrc") && col("fr") <= col("crk"))
+    val cps = docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .join(ladder, col("source") === col("lsrc") && col("rk") === col("crk"))
+      .select(col("lsrc").as("csrc"), col("crk"), col("d"),
+        col("doc_id").as("cdoc"))
+    val npt = docs
+      .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("tok"))
+      .join(cps, col("source") === col("csrc") && col("doc_id") <= col("cdoc"))
+      .groupBy(col("csrc"), col("crk"), col("d")).agg(sum(col("tok")).as("nn"))
+    val vpt = docs
+      .select(col("source"), col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("fd"))
+      .join(cps, col("source") === col("csrc") && col("fd") <= col("cdoc"))
       .groupBy(col("csrc").as("vsrc"), col("crk").as("vrk"))
       .agg(count(lit(1)).as("v"))
     val pts = npt
       .join(vpt, col("csrc") === col("vsrc") && col("crk") === col("vrk"), "left")
-      .select(col("csrc").as("source"), col("crk"), col("nn"),
+      .select(col("csrc").as("source"), col("crk"), col("d"), col("nn"),
         coalesce(col("v"), lit(0L)).as("v"))
       .filter(col("nn") >= 1L && col("v") >= 1L)
       .withColumn("x", expr("graft_log2q20(nn, 1L)"))
       .withColumn("y", expr("graft_log2q20(v, 1L)"))
-    val fit = log2Fit(pts)
-    val totals = pts
-      .join(dF.withColumnRenamed("source", "tsrc"),
-        col("source") === col("tsrc") && col("crk") === col("d"))
+    val fit = log2Fit(pts.select(col("source"), col("x"), col("y")))
+    val totals = pts.filter(col("crk") === col("d"))
       .select(col("source"), col("d").as("n_docs"),
         col("nn").as("n_tokens"), col("v").as("vocab"))
     totals.join(fit, Seq("source"))
