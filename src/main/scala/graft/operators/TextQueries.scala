@@ -870,6 +870,155 @@ object TextQueries {
       |       vocab + (hapax * (hapax - 1)) // (2 * (dis + 1)) AS chao1_vocab
       |FROM g ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  /** Term burstiness (Church & Gale 1995): content words CLUMP — when
+    * a document uses a topical term it uses it repeatedly, so the
+    * collection-frequency-to-document-frequency ratio cf/df separates
+    * bursty topic/spam terms (high) from evenly-spread function words
+    * (≈ 1). The top-20 burstiest terms above a cf ≥ 8 stability
+    * floor, with burstiness in exact integer milli (cf·1000 div df),
+    * document reach in ppm of the corpus, and (burstiness desc, term)
+    * as the total order — the term-level complement of q78's
+    * doc-level duplicated-gram histogram and q56's within-doc
+    * repetition gate.
+    *
+    * Scale: (term, doc) pairs collapse to df/cf in one two-level
+    * aggregate (map-side combined both levels); the final top-20 is a
+    * TakeOrdered over vocabulary-scale rows — nothing corpus-scale
+    * survives the first aggregate, and the cf floor is the same
+    * open-vocabulary guard as q118/q164. */
+  private val BurstCfFloor = 8L
+  private val BurstTopK = 20
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("k"))
+    val nDocs = Tables.documents(s, dir).select(count(lit(1)).as("n_docs"))
+    perDoc.groupBy(col("term"))
+      .agg(sum(col("k")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= BurstCfFloor)
+      .crossJoin(nDocs)
+      .select(col("term"), col("cf"), col("df"),
+        expr("(cf * 1000) DIV df").as("burstiness_milli"),
+        expr("(df * 1000000) DIV n_docs").as("doc_reach_ppm"))
+      .orderBy(col("burstiness_milli").desc, col("term"))
+      .limit(BurstTopK)
+  }
+
+  private val q166Sql =
+    s"""WITH pd AS (
+       |  SELECT term, doc_id, count(*) AS k FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |  ) WHERE term <> '' GROUP BY term, doc_id
+       |), a AS (
+       |  SELECT term, CAST(sum(k) AS BIGINT) AS cf,
+       |         CAST(count(*) AS BIGINT) AS df
+       |  FROM pd GROUP BY term HAVING CAST(sum(k) AS BIGINT) >= $BurstCfFloor
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT a.term, a.cf, a.df,
+       |       (a.cf * 1000) // a.df AS burstiness_milli,
+       |       (a.df * 1000000) // n.n_docs AS doc_reach_ppm
+       |FROM a CROSS JOIN n
+       |ORDER BY burstiness_milli DESC, a.term
+       |LIMIT $BurstTopK""".stripMargin
+
+  // --------------------------------------------------------------- q167
+  /** Modified Kneser-Ney discount statistics (Chen & Goodman 1998
+    * §3.3.3 — the numbers KenLM's trainer derives before it smooths
+    * anything): for each n-gram order 1-3, the count-of-counts
+    * n₁..n₄ (how many distinct grams occur exactly c times) and the
+    * closed-form discounts Y = n₁/(n₁+2n₂), D₁ = 1 − 2Y·n₂/n₁,
+    * D₂ = 2 − 3Y·n₃/n₂, D₃₊ = 3 − 4Y·n₄/n₃, all as exact floor-milli
+    * integers in DECIMAL(38,0)/HUGEINT with the remainder-removal
+    * idiom (D₂/D₃₊ can go negative on skewed count tables — the
+    * signed floor path again) and null guards on every vanishing
+    * denominator. The trainer-side companion of q99's bigram LM: q99
+    * consumes a smoother, this measures the corpus statistics that
+    * FIT one.
+    *
+    * Scale: one flattened three-order gram explode (q134's guarded
+    * struct move) into a map-side-combined (n, gram) count, then the
+    * count-of-counts collapse to 3 rows — gram-vocabulary-scale
+    * state, corpus-scale only on the map side. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val gramStructs = (1 to 3).map { n =>
+      s"if(size(t) >= $n, transform(sequence(0, size(t)-$n), " +
+        s"i -> struct($n as n, concat_ws(' ', slice(t, i+1, $n)) as g)), " +
+        "cast(array() as array<struct<n: int, g: string>>))"
+    }.mkString("flatten(array(", ", ", "))")
+    def dmilli(numExpr: String, denExpr: String, guard: String) =
+      s"""CASE WHEN $guard THEN CAST(
+         |  (CAST($numExpr AS DECIMAL(38,0)) * 1000
+         |   - pmod(CAST($numExpr AS DECIMAL(38,0)) * 1000, $denExpr))
+         |  DIV ($denExpr) AS BIGINT) END""".stripMargin
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .select(explode(expr(gramStructs)).as("x"))
+      .groupBy(col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("distinct_grams"), sum(col("c")).as("total_grams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c") === 3L, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c") === 4L, 1L).otherwise(0L)).as("n4"))
+      .withColumn("y_milli",
+        expr("CASE WHEN n1 + 2 * n2 > 0 THEN (n1 * 1000) DIV (n1 + 2 * n2) END"))
+      .withColumn("d1_milli",
+        expr("CASE WHEN n1 + 2 * n2 > 0 THEN (n1 * 1000) DIV (n1 + 2 * n2) END"))
+      .withColumn("d2_milli", expr(dmilli(
+        "2 * n2 * (n1 + 2 * n2) - 3 * n1 * n3", "n2 * (n1 + 2 * n2)",
+        "n2 > 0 AND n1 + 2 * n2 > 0")))
+      .withColumn("d3_milli", expr(dmilli(
+        "3 * n3 * (n1 + 2 * n2) - 4 * n1 * n4", "n3 * (n1 + 2 * n2)",
+        "n3 > 0 AND n1 + 2 * n2 > 0")))
+      .select(col("n").cast("long").as("n"), col("distinct_grams"),
+        col("total_grams"), col("n1"), col("n2"), col("n3"), col("n4"),
+        col("y_milli"), col("d1_milli"), col("d2_milli"), col("d3_milli"))
+      .orderBy(col("n"))
+  }
+
+  private val q167Sql = {
+    def arm(n: Int) =
+      s"""SELECT $n AS n,
+         |       unnest(list_transform(generate_series(0, len(t)-$n),
+         |              i -> array_to_string(list_slice(t, i+1, i+$n), ' '))) AS g
+         |FROM t WHERE len(t) >= $n""".stripMargin
+    def dmilli(num: String, den: String, guard: String) =
+      s"""CASE WHEN $guard THEN CAST(
+         |  ((($num)::HUGEINT * 1000) - ((((($num)::HUGEINT * 1000) % ($den)) + ($den)) % ($den)))
+         |  // ($den) AS BIGINT) END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), g AS (${(1 to 3).map(arm).mkString("\n", "\nUNION ALL\n", "\n")}),
+       |c AS (
+       |  SELECT n, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY n, g
+       |), cc AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS distinct_grams,
+       |         CAST(sum(c) AS BIGINT) AS total_grams,
+       |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |         CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |         CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM c GROUP BY n
+       |)
+       |SELECT CAST(n AS BIGINT) AS n, distinct_grams, total_grams, n1, n2, n3, n4,
+       |       CASE WHEN n1 + 2 * n2 > 0 THEN (n1 * 1000) // (n1 + 2 * n2) END
+       |         AS y_milli,
+       |       CASE WHEN n1 + 2 * n2 > 0 THEN (n1 * 1000) // (n1 + 2 * n2) END
+       |         AS d1_milli,
+       |       ${dmilli("2 * n2 * (n1 + 2 * n2) - 3 * n1 * n3",
+                        "(n2 * (n1 + 2 * n2))::HUGEINT",
+                        "n2 > 0 AND n1 + 2 * n2 > 0")} AS d2_milli,
+       |       ${dmilli("3 * n3 * (n1 + 2 * n2) - 4 * n1 * n4",
+                        "(n3 * (n1 + 2 * n2))::HUGEINT",
+                        "n3 > 0 AND n1 + 2 * n2 > 0")} AS d3_milli
+       |FROM cc ORDER BY n""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -884,5 +1033,7 @@ object TextQueries {
     QuerySpec("q163_heaps_law", Some(q163Sql), q163),
     QuerySpec("q164_zipf_slope", Some(q164Sql), q164),
     QuerySpec("q165_good_turing", Some(q165Sql), q165),
+    QuerySpec("q166_burstiness", Some(q166Sql), q166),
+    QuerySpec("q167_kn_discounts", Some(q167Sql), q167),
   )
 }

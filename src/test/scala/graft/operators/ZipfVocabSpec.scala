@@ -129,4 +129,91 @@ class ZipfVocabSpec extends SparkSpec {
     assert(r.head.getAs[Long]("coverage_ppm") === 0L)
     assert(r.head.getAs[Long]("chao1_vocab") === 9L + 9L * 8L / 2L)
   }
+
+  test("q166 sf0.001: the top-20 burstiness board equals the plain-Scala replay") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toLong
+    val board = docs
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map((_, id)) }
+      .groupBy(_._1).toSeq
+      .map { case (term, xs) => (term, xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+      .filter(_._2 >= 8L)
+      .map { case (term, cf, df) =>
+        (term, cf, df, cf * 1000 / df, df * 1000000 / nDocs) }
+      .sortBy { case (term, _, _, b, _) => (-b, term) }
+      .take(20)
+    val got = run("q166_burstiness", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === board)
+  }
+
+  test("q166 planted: a clumped term outranks an evenly-spread one 8:1") {
+    val dir = writeDocs(
+      Seq((1L, Seq.fill(8)("burst").mkString(" "), "en", "s")) ++
+        (2L to 9L).map(i => (i, "flat", "en", "s")))
+    val got = run("q166_burstiness", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("burst") === 8000L) // cf 8 in 1 doc
+    assert(got("flat") === 1000L)  // cf 8 over 8 docs
+  }
+
+  test("q167 sf0.001: discounts equal the plain-Scala replay at every order") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val got = run("q167_kn_discounts", dir).collect()
+      .map(r => r.getAs[Long]("n") -> r).toMap
+    (1 to 3).foreach { n =>
+      val grams = texts.flatMap { t =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toSeq else Seq.empty
+      }
+      val cs = grams.groupBy(identity).values.map(_.size.toLong).toSeq
+      val r = got(n.toLong)
+      assert(r.getAs[Long]("distinct_grams") === cs.size.toLong, s"n=$n")
+      assert(r.getAs[Long]("total_grams") === cs.sum, s"n=$n")
+      val Seq(n1, n2, n3, n4) = (1L to 4L).map(c => cs.count(_ == c).toLong)
+      assert(r.getAs[Long]("n1") === n1)
+      assert(r.getAs[Long]("n2") === n2)
+      assert(r.getAs[Long]("n3") === n3)
+      assert(r.getAs[Long]("n4") === n4)
+      def opt(cn: String) = Option(r.getAs[Any](cn)).map(_.asInstanceOf[Long])
+      val s12 = n1 + 2 * n2
+      assert(opt("y_milli") === (if (s12 > 0) Some(n1 * 1000 / s12) else None))
+      assert(opt("d1_milli") === opt("y_milli"))
+      assert(opt("d2_milli") === (if (n2 > 0 && s12 > 0)
+        Some(fdiv(BigInt(2 * n2 * s12 - 3 * n1 * n3) * 1000, BigInt(n2 * s12)).toLong)
+      else None))
+      assert(opt("d3_milli") === (if (n3 > 0 && s12 > 0)
+        Some(fdiv(BigInt(3 * n3 * s12 - 4 * n1 * n4) * 1000, BigInt(n3 * s12)).toLong)
+      else None))
+    }
+  }
+
+  test("q167 planted skew: D2 goes exactly negative through the floor path") {
+    // two-token docs = one bigram each: 10 unique, 1 doubled, 10 tripled
+    // -> order-2 counts n1=10, n2=1, n3=10, n4=0, so
+    // Y = D1 = floor(10000/12) = 833, D2 = (24-300)*1000/12 = -23000,
+    // D3+ = 360*1000/120 = 3000; no trigrams exist at all
+    var id = 0L
+    def doc(text: String) = { id += 1; (id, text, "en", "s") }
+    val rows =
+      (1 to 10).map(i => doc(s"u$i v$i")) ++
+        (1 to 2).map(_ => doc("p0 q0")) ++
+        (1 to 10).flatMap(i => (1 to 3).map(_ => doc(s"a$i b$i")))
+    val got = run("q167_kn_discounts", writeDocs(rows)).collect()
+      .map(r => r.getAs[Long]("n") -> r).toMap
+    assert(!got.contains(3L))
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n1") === 10L && r2.getAs[Long]("n2") === 1L &&
+      r2.getAs[Long]("n3") === 10L && r2.getAs[Long]("n4") === 0L)
+    assert(r2.getAs[Long]("y_milli") === 833L)
+    assert(r2.getAs[Long]("d1_milli") === 833L)
+    assert(r2.getAs[Long]("d2_milli") === -23000L)
+    assert(r2.getAs[Long]("d3_milli") === 3000L)
+  }
 }
