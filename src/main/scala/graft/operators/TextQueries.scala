@@ -891,7 +891,7 @@ object TextQueries {
   private val BurstTopK = 20
 
   private def q166(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(s, dir)
+    val perDoc = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(toks).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("k"))
