@@ -302,6 +302,113 @@ object DedupQueries {
        |WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6 >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q168
+  /** Dedup-threshold calibration curve — the knob-tuning table read
+    * BEFORE committing a Jaccard cutoff to q54's clustering: for each
+    * threshold rung 0.30-0.90, how many candidate pairs qualify, how
+    * many distinct docs get flagged, and what share of the corpus'
+    * tokens sits in flagged docs. The j_ppm per pair is the
+    * artifact's own rounded jaccard (⌊j·10⁶ + 0.5⌋), so rung 300000
+    * counts exactly the standing near-dup edge set and every rung
+    * uses the identical rounding rule in both engines. Candidacy is
+    * inherited from the posting-list kernel (pairs must share a rare
+    * shingle) — pairs below that bar have j ≈ 0 and belong to no
+    * rung.
+    *
+    * Scale: the pair frame is the standing [[jaccardPairs]] artifact
+    * (bounded by LSH-style candidacy, built once per dataset); the
+    * rung join is a ×7 blowup of PAIRS (not corpus) into map-side-
+    * combined aggregates, and the flagged-doc token join shuffles
+    * only flagged doc_ids against the per-doc token counts. */
+  private val DedupRungs = Seq(300000L, 400000L, 500000L,
+    600000L, 700000L, 800000L, 900000L)
+
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pj = jaccardPairs(s, dir)
+      .withColumn("j_ppm",
+        expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"))
+    val rungs = DedupRungs.toDF("thr")
+    val hits = pj.join(rungs, col("j_ppm") >= col("thr"))
+    val perRung = hits.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+    val toks = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("ntok"))
+    val tot = toks.agg(sum(col("ntok")).as("total_tokens"))
+    val flagged = hits
+      .select(col("thr"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_docs_flagged"), sum(col("ntok")).as("flagged_tokens"))
+    rungs.join(perRung, Seq("thr"), "left").join(flagged, Seq("thr"), "left")
+      .crossJoin(tot)
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_docs_flagged", coalesce(col("n_docs_flagged"), lit(0L)))
+      .withColumn("flagged_tokens", coalesce(col("flagged_tokens"), lit(0L)))
+      .select(col("thr").as("threshold_ppm"), col("n_pairs"),
+        col("n_docs_flagged"), col("flagged_tokens"),
+        expr("(flagged_tokens * 1000000) DIV total_tokens").as("flagged_token_ppm"))
+      .orderBy(col("threshold_ppm"))
+  }
+
+  private val q168Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5)
+       |         AS BIGINT) AS j_ppm
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6
+       |        >= 0.3
+       |),
+       |rungs AS (
+       |  SELECT CAST(unnest([${DedupRungs.mkString(", ")}]) AS BIGINT) AS thr
+       |),
+       |hits AS MATERIALIZED (
+       |  SELECT r.thr, j.doc_a, j.doc_b
+       |  FROM jac j JOIN rungs r ON j.j_ppm >= r.thr
+       |),
+       |pr AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY thr),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |              AS BIGINT) AS ntok
+       |  FROM documents
+       |),
+       |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total_tokens FROM toks),
+       |fl AS (
+       |  SELECT thr, doc_a AS doc_id FROM hits
+       |  UNION
+       |  SELECT thr, doc_b FROM hits
+       |),
+       |fa AS (
+       |  SELECT f.thr, CAST(count(*) AS BIGINT) AS n_docs_flagged,
+       |         CAST(sum(t.ntok) AS BIGINT) AS flagged_tokens
+       |  FROM fl f JOIN toks t USING (doc_id) GROUP BY f.thr
+       |)
+       |SELECT r.thr AS threshold_ppm,
+       |       COALESCE(pr.n_pairs, 0) AS n_pairs,
+       |       COALESCE(fa.n_docs_flagged, 0) AS n_docs_flagged,
+       |       COALESCE(fa.flagged_tokens, 0) AS flagged_tokens,
+       |       (COALESCE(fa.flagged_tokens, 0) * 1000000) // tot.total_tokens
+       |         AS flagged_token_ppm
+       |FROM rungs r
+       |LEFT JOIN pr ON pr.thr = r.thr
+       |LEFT JOIN fa ON fa.thr = r.thr
+       |CROSS JOIN tot
+       |ORDER BY threshold_ppm""".stripMargin
+
   // ---------------------------------------------------------------- q27
   /** 16-bit SimHash per document from token md5 nibbles: bit i set iff
     * Σ_tokens (nibble_i odd ? +1 : -1) > 0. Token multiplicity counts
@@ -1054,5 +1161,6 @@ object DedupQueries {
     QuerySpec("q129_simhash_curve", Some(q129Sql), q129),
     QuerySpec("q137_bloom_dedup_filter", Some(q137Sql), q137),
     QuerySpec("q146_paragraph_dedup", Some(q146Sql), q146),
+    QuerySpec("q168_dedup_threshold_curve", Some(q168Sql), q168),
   )
 }
