@@ -1019,6 +1019,85 @@ object TextQueries {
        |FROM cc ORDER BY n""".stripMargin
   }
 
+  // --------------------------------------------------------------- q169
+  /** Log-length lognormal fit: document lengths are classically
+    * lognormal, and the (μ, σ²) of log₂-length is what a loader uses
+    * to size length buckets (q75/q116 consume a bucket layout; this
+    * measures the distribution that justifies one). Per source: doc
+    * count, min/max token length, μ as mean_log2len_micro (10⁻⁶ of a
+    * log₂ unit) and σ² as var_log2len_milli (10⁻³ of a squared log₂
+    * unit — milli, not micro, keeps (nΣx²−(Σx)²)·10³ inside
+    * DECIMAL(38,0) even at 10⁹ docs/source), both exact integers off
+    * graft_log2q20 points with the remainder-removal floor. Zero-token
+    * docs are counted (n_docs) but excluded from the fit (n_fit).
+    *
+    * Scale: pure scan-side arithmetic per row into one map-side-
+    * combined |S|-row aggregate — q147's cheapest-possible shape,
+    * with the Q20 log running inside whole-stage codegen. */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("len"))
+      .withColumn("x", expr("CASE WHEN len >= 1 THEN graft_log2q20(len, 1L) END"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("x")).as("n_fit"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+        sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("mean_log2len_micro",
+        expr("""CASE WHEN n_fit > 0 THEN CAST(
+                |  (CAST(sx AS DECIMAL(38,0)) * 1000000
+                |   - pmod(CAST(sx AS DECIMAL(38,0)) * 1000000, n_fit * 1048576))
+                |  DIV (n_fit * 1048576) AS BIGINT) END""".stripMargin))
+      .withColumn("var_log2len_milli",
+        expr("""CASE WHEN n_fit > 0 THEN CAST(
+                |  ((n_fit * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 1000
+                |   - pmod((n_fit * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 1000,
+                |          CAST(n_fit AS DECIMAL(38,0)) * n_fit * 1099511627776))
+                |  DIV (CAST(n_fit AS DECIMAL(38,0)) * n_fit * 1099511627776)
+                |  AS BIGINT) END""".stripMargin))
+      .select(col("source"), col("n_docs"), col("n_fit"),
+        col("min_len"), col("max_len"),
+        col("mean_log2len_micro"), col("var_log2len_milli"))
+      .orderBy(col("source"))
+
+  private val q169Sql = {
+    val logs = graft.functions.Log2Kernel.cteChain(
+      "d", "lg", Seq(("lx", "CASE WHEN len >= 1 THEN len ELSE 1 END", "CAST(1 AS BIGINT)")))
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |              AS BIGINT) AS len
+       |  FROM documents
+       |)$logs, p AS (
+       |  SELECT source, len,
+       |         CASE WHEN len >= 1 THEN lx_q20 END AS x
+       |  FROM lg
+       |), a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(x) AS BIGINT) AS n_fit,
+       |         CAST(min(len) AS BIGINT) AS min_len,
+       |         CAST(max(len) AS BIGINT) AS max_len,
+       |         CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+       |  FROM p GROUP BY source
+       |), e AS (
+       |  SELECT *, CAST(sx AS HUGEINT) * 1000000 AS mnum,
+       |         CAST(n_fit AS HUGEINT) * 1048576 AS mden,
+       |         (n_fit * sxx - CAST(sx AS HUGEINT) * sx) * 1000 AS vnum,
+       |         CAST(n_fit AS HUGEINT) * n_fit * 1099511627776 AS vden
+       |  FROM a
+       |)
+       |SELECT source, n_docs, n_fit, min_len, max_len,
+       |       CASE WHEN n_fit > 0 THEN CAST(
+       |         (mnum - ((mnum % mden + mden) % mden)) // mden AS BIGINT)
+       |       END AS mean_log2len_micro,
+       |       CASE WHEN n_fit > 0 THEN CAST(
+       |         (vnum - ((vnum % vden + vden) % vden)) // vden AS BIGINT)
+       |       END AS var_log2len_milli
+       |FROM e ORDER BY source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -1035,5 +1114,6 @@ object TextQueries {
     QuerySpec("q165_good_turing", Some(q165Sql), q165),
     QuerySpec("q166_burstiness", Some(q166Sql), q166),
     QuerySpec("q167_kn_discounts", Some(q167Sql), q167),
+    QuerySpec("q169_loglen_fit", Some(q169Sql), q169),
   )
 }

@@ -194,6 +194,48 @@ class ZipfVocabSpec extends SparkSpec {
     }
   }
 
+  test("q169 sf0.001: log-length moments equal the plain-Scala replay") {
+    val dir = "/root/testdata/sf0.001"
+    val bySrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = run("q169_loglen_fit", dir).collect()
+    assert(got.length === bySrc.size)
+    got.foreach { r =>
+      val lens = bySrc(r.getAs[String]("source"))
+      val xs = lens.filter(_ >= 1).map(Log2Kernel.q20(_, 1L))
+      val n = xs.size.toLong
+      assert(r.getAs[Long]("n_docs") === lens.size.toLong)
+      assert(r.getAs[Long]("n_fit") === n)
+      assert(r.getAs[Long]("min_len") === lens.min)
+      assert(r.getAs[Long]("max_len") === lens.max)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      assert(r.getAs[Long]("mean_log2len_micro") ===
+        fdiv(sx * 1000000, BigInt(n) * 1048576).toLong)
+      assert(r.getAs[Long]("var_log2len_milli") ===
+        fdiv((n * sxx - sx * sx) * 1000, BigInt(n) * n * BigInt(1L << 40)).toLong)
+    }
+  }
+
+  test("q169 planted dyadic lengths: exact moments, zero-length doc excluded from fit") {
+    // lengths 4 and 16 -> x = 2, 4 in log2 units: mean 3.000000,
+    // var ((2-3)^2+(4-3)^2)/2 = 1.000 exactly; the empty doc counts
+    // in n_docs/min_len only
+    val dir = writeDocs(Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" "), "en", "s"),
+      (2L, (1 to 16).map(i => s"b$i").mkString(" "), "en", "s"),
+      (3L, "", "en", "s")))
+    val r = run("q169_loglen_fit", dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_fit") === 2L)
+    assert(r.getAs[Long]("min_len") === 0L)
+    assert(r.getAs[Long]("max_len") === 16L)
+    assert(r.getAs[Long]("mean_log2len_micro") === 3000000L)
+    assert(r.getAs[Long]("var_log2len_milli") === 1000L)
+  }
+
   test("q167 planted skew: D2 goes exactly negative through the floor path") {
     // two-token docs = one bigram each: 10 unique, 1 doubled, 10 tripled
     // -> order-2 counts n1=10, n2=1, n3=10, n4=0, so
