@@ -955,6 +955,114 @@ object SelectionQueries {
        |FROM uniform_ppm_f ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q170
+  /** Repetition-budget audit (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): repeating data is nearly
+    * free up to ~4 epochs and nearly worthless after. For training
+    * budgets of 1/2/4/8× the corpus, allocated across sources by
+    * q161's √-temperature weights (exact isqrt + largest-remainder,
+    * so every budget apportions to the token), report how the
+    * 4-epoch rule bites: sources pushed past 4 epochs, the token
+    * mass requested beyond each source's 4-epoch cap, and the
+    * effective-token share of the budget if over-cap repetition
+    * counts zero — the table that says which budget multiple this
+    * corpus can actually absorb under the chosen mixture.
+    *
+    * Exactness: the per-(budget, source) allocation is
+    * ⌊B·w/Σw⌋ + largest-remainder top-up inside each budget
+    * partition (B·w in DECIMAL(38,0)/HUGEINT — B reaches 8× a
+    * 100 TB corpus's tokens and w is an isqrt, so the product
+    * overflows Long at scale); caps and clamps are pure Long.
+    *
+    * Scale: one map-side-combined count scan, then a ×4 blowup of
+    * the |S|-row frame with per-budget windows — all bounded. */
+  private val EpochBudgets = Seq(1L, 2L, 4L, 8L)
+  private val EpochCap = 4L
+
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byM = Window.partitionBy(col("bx"))
+    val byRem = Window.partitionBy(col("bx")).orderBy(col("rem").desc, col("source"))
+    val src = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """s0 + (CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN 1 ELSE 0 END)
+          |   - (CASE WHEN s0*s0 > n_tokens THEN 1 ELSE 0 END)""".stripMargin))
+    src.crossJoin(EpochBudgets.toDF("bx"))
+      .withColumn("tw", sum(col("w")).over(byM))
+      .withColumn("tt", sum(col("n_tokens")).over(byM))
+      .withColumn("base",
+        expr("CAST(CAST(bx * tt AS DECIMAL(38,0)) * w DIV tw AS BIGINT)"))
+      .withColumn("rem", expr("pmod(CAST(bx * tt AS DECIMAL(38,0)) * w, tw)"))
+      .withColumn("short", expr("bx * tt") - sum(col("base")).over(byM))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+      .withColumn("cap", col("n_tokens") * EpochCap)
+      .groupBy(col("bx"))
+      .agg(max(col("tt")).as("corpus_tokens"),
+        count(lit(1)).as("n_sources"),
+        sum(when(col("alloc") > col("cap"), 1L).otherwise(0L)).as("n_over_cap"),
+        sum(greatest(col("alloc") - col("cap"), lit(0L))).as("over_mass_tokens"),
+        sum(least(col("alloc"), col("cap"))).as("effective_tokens"))
+      .withColumn("budget_tokens", expr("bx * corpus_tokens"))
+      .withColumn("effective_ppm", expr(
+        "CAST(CAST(effective_tokens AS DECIMAL(38,0)) * 1000000 DIV budget_tokens AS BIGINT)"))
+      .select(col("bx").as("budget_x"), col("budget_tokens"), col("n_sources"),
+        col("n_over_cap"), col("over_mass_tokens"), col("effective_tokens"),
+        col("effective_ppm"))
+      .orderBy(col("budget_x"))
+  }
+
+  private val q170Sql =
+    s"""WITH src AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), iq AS (
+       |  SELECT source, n_tokens,
+       |         s0 + (CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN 1 ELSE 0 END)
+       |            - (CASE WHEN s0*s0 > n_tokens THEN 1 ELSE 0 END) AS w
+       |  FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+       |        FROM src)
+       |), ms AS (SELECT CAST(unnest([${EpochBudgets.mkString(", ")}]) AS BIGINT) AS bx),
+       |al AS (
+       |  SELECT iq.*, ms.bx,
+       |         CAST(sum(w) OVER (PARTITION BY ms.bx) AS BIGINT) AS tw,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY ms.bx) AS BIGINT) AS tt
+       |  FROM iq CROSS JOIN ms
+       |), ba AS (
+       |  SELECT *,
+       |         CAST((CAST(bx * tt AS HUGEINT) * w) // tw AS BIGINT) AS base,
+       |         CAST((CAST(bx * tt AS HUGEINT) * w) % tw AS BIGINT) AS rem
+       |  FROM al
+       |), tp AS (
+       |  SELECT *,
+       |         bx * tt - CAST(sum(base) OVER (PARTITION BY bx) AS BIGINT) AS short,
+       |         row_number() OVER (PARTITION BY bx ORDER BY rem DESC, source) AS rk
+       |  FROM ba
+       |), ac AS (
+       |  SELECT *, base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc,
+       |         n_tokens * $EpochCap AS cap
+       |  FROM tp
+       |), ag AS (
+       |  SELECT bx, CAST(max(tt) AS BIGINT) AS corpus_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_sources,
+       |         CAST(sum(CASE WHEN alloc > cap THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_over_cap,
+       |         CAST(sum(greatest(alloc - cap, 0)) AS BIGINT) AS over_mass_tokens,
+       |         CAST(sum(least(alloc, cap)) AS BIGINT) AS effective_tokens
+       |  FROM ac GROUP BY bx
+       |)
+       |SELECT bx AS budget_x, bx * corpus_tokens AS budget_tokens, n_sources,
+       |       n_over_cap, over_mass_tokens, effective_tokens,
+       |       CAST((CAST(effective_tokens AS HUGEINT) * 1000000)
+       |            // (bx * corpus_tokens) AS BIGINT) AS effective_ppm
+       |FROM ag ORDER BY budget_x""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
@@ -965,5 +1073,6 @@ object SelectionQueries {
     QuerySpec("q145_token_cap", Some(q145Sql), q145),
     QuerySpec("q149_ccnet_buckets", Some(q149Sql), q149),
     QuerySpec("q161_temperature_mix", Some(q161Sql), q161),
+    QuerySpec("q170_repetition_budget", Some(q170Sql), q170),
   )
 }
