@@ -199,8 +199,85 @@ object RetrievalQueries {
        |FROM c ORDER BY ctx_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q171
+  /** Inverted-index compression-size estimate — the capacity-planning
+    * number computed BEFORE building a retrieval index over 100 TB:
+    * posting lists store delta gaps, and the classic codes' sizes are
+    * pure integer functions of the gap's bit length (Witten, Moffat &
+    * Bell, "Managing Gigabytes" ch.3): Elias-γ costs 2⌊log₂g⌋+1 bits,
+    * LEB128 varint ⌈bitlen/7⌉ bytes. Per log₂(df) bucket (bucket =
+    * bitlen(df): rare terms 1, stopword-class terms high): term and
+    * posting counts, raw 8-byte-id bytes, γ bytes, varint bytes, and
+    * each code's compressed-to-raw ppm — showing the classic result
+    * that gap coding crushes high-df lists (dense ⇒ small gaps) while
+    * rare-term lists stay near-incompressible.
+    *
+    * Exactness: bitlen via length(bin(g)) in BOTH engines (Spark and
+    * DuckDB both render minimal-width binary); first posting encodes
+    * doc_id − (−1) so a 0 id still yields a positive gap; all sums
+    * Long.
+    *
+    * Scale: the postings frame is index-scale (Σdf rows) — one
+    * (term)-partitioned window computes lag-gaps and df in a single
+    * pass, then everything map-side-combines into ≤ 64 bitlen
+    * buckets. No collect_list: gaps never materialize per term. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val byTerm = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val wholeTerm = Window.partitionBy(col("term"))
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("term"))
+      .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(byTerm), lit(-1L)))
+      .withColumn("df", count(lit(1)).over(wholeTerm))
+      .withColumn("blen", length(bin(col("gap"))).cast("long"))
+      .withColumn("bucket", length(bin(col("df"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(expr("2 * blen - 1")).as("gamma_bits"),
+        sum(expr("(blen + 6) DIV 7")).as("varint_bytes"))
+      .withColumn("raw_bytes", expr("n_postings * 8"))
+      .withColumn("gamma_bytes", expr("(gamma_bits + 7) DIV 8"))
+      .withColumn("gamma_ppm", expr("(gamma_bytes * 1000000) DIV raw_bytes"))
+      .withColumn("varint_ppm", expr("(varint_bytes * 1000000) DIV raw_bytes"))
+      .select(col("bucket").as("df_log2_bucket"), col("n_terms"),
+        col("n_postings"), col("raw_bytes"), col("gamma_bytes"),
+        col("varint_bytes"), col("gamma_ppm"), col("varint_ppm"))
+      .orderBy(col("df_log2_bucket"))
+  }
+
+  private val q171Sql =
+    """WITH p AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+      |  FROM documents
+      |), g AS (
+      |  SELECT term, doc_id,
+      |         doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+      |                           -1) AS gap,
+      |         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      |  FROM p
+      |), b AS (
+      |  SELECT term, df, CAST(length(bin(gap)) AS BIGINT) AS blen,
+      |         CAST(length(bin(df)) AS BIGINT) AS bucket
+      |  FROM g
+      |), a AS (
+      |  SELECT bucket, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |         CAST(count(*) AS BIGINT) AS n_postings,
+      |         CAST(sum(2 * blen - 1) AS BIGINT) AS gamma_bits,
+      |         CAST(sum((blen + 6) // 7) AS BIGINT) AS varint_bytes
+      |  FROM b GROUP BY bucket
+      |)
+      |SELECT bucket AS df_log2_bucket, n_terms, n_postings,
+      |       n_postings * 8 AS raw_bytes,
+      |       (gamma_bits + 7) // 8 AS gamma_bytes, varint_bytes,
+      |       (((gamma_bits + 7) // 8) * 1000000) // (n_postings * 8) AS gamma_ppm,
+      |       (varint_bytes * 1000000) // (n_postings * 8) AS varint_ppm
+      |FROM a ORDER BY df_log2_bucket""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q94_hybrid_rrf", Some(q94Sql), q94),
     QuerySpec("q143_context_pack", Some(q143Sql), q143),
+    QuerySpec("q171_index_size_estimate", Some(q171Sql), q171),
   )
 }
