@@ -15,6 +15,71 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  // --------------------------------------------------------------- q160
+  /** Watermark-lateness audit — the table that SIZES a watermark
+    * delay before deploying any of this file's streaming twins: under
+    * Structured Streaming's rule an event is dropped iff its event
+    * time has fallen more than the delay behind the maximum event
+    * time seen so far, so for a delay ladder of 1m/5m/15m/1h this
+    * reports exactly how many events the stream would drop, in ppm,
+    * plus the observed lateness tail (max and count of out-of-order
+    * arrivals at all). Arrival order is event_id (the generator's
+    * ingest sequence); lateness is computed in exact microseconds
+    * against the running event-time maximum.
+    *
+    * Scale: the running max needs the arrival order — it runs as ONE
+    * unpartitioned window over the narrow (event_id, ts) projection
+    * (16 B/event; the standard two-pass per-partition-max + offset
+    * prefix scan replaces it where one partition won't hold the
+    * projection). The ladder join then blows up EVENTS ×4 straight
+    * into a map-side-combined 4-row aggregate. */
+  private val LatenessLadderSec = Seq(60L, 300L, 900L, 3600L)
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byArrival = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id")).rowsBetween(Long.MinValue, 0)
+    val late = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("late_us", max(col("tus")).over(byArrival) - col("tus"))
+    val ladder = LatenessLadderSec.toDF("delay_sec")
+    late.crossJoin(ladder)
+      .groupBy(col("delay_sec"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_sec") * 1000000L, 1L).otherwise(0L))
+          .as("dropped_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("out_of_order_events"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("dropped_ppm", expr("(dropped_events * 1000000) DIV n_events"))
+      .select(col("delay_sec"), col("n_events"), col("out_of_order_events"),
+        col("dropped_events"), col("dropped_ppm"),
+        expr("max_late_us DIV 1000000").as("max_late_sec"))
+      .orderBy(col("delay_sec"))
+  }
+
+  private val q160Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS tus FROM events
+       |), l AS (
+       |  SELECT event_id, tus,
+       |         max(tus) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) - tus
+       |           AS late_us
+       |  FROM e
+       |), ladder AS (
+       |  SELECT CAST(unnest([${LatenessLadderSec.mkString(", ")}]) AS BIGINT)
+       |    AS delay_sec
+       |)
+       |SELECT delay_sec, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS out_of_order_events,
+       |       CAST(sum(CASE WHEN late_us > delay_sec * 1000000 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS dropped_events,
+       |       (CAST(sum(CASE WHEN late_us > delay_sec * 1000000 THEN 1 ELSE 0 END)
+       |             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS dropped_ppm,
+       |       CAST(max(late_us) AS BIGINT) // 1000000 AS max_late_sec
+       |FROM l CROSS JOIN ladder
+       |GROUP BY delay_sec ORDER BY delay_sec""".stripMargin
+
   // ---------------------------------------------------------------- q30
   /** Tumbling 1-hour windows per event_type (groupBy(window(...)) — the
     * literal streaming aggregation in batch mode). */
@@ -870,5 +935,6 @@ object EventQueries {
     QuerySpec("q107_pruned_window", Some(q107Sql), q107),
     QuerySpec("q133_ks_drift", Some(q133Sql), q133),
     QuerySpec("q138_quantile_drift", Some(q138Sql), q138),
+    QuerySpec("q160_watermark_lateness", Some(q160Sql), q160),
   )
 }
