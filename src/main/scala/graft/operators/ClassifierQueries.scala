@@ -440,10 +440,77 @@ object ClassifierQueries {
        |       CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm
        |FROM agg ORDER BY source, gate""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Exact ROC-AUC of the quality gate on the held-out split — the
+    * number a gate ships with (q100 reports thresholded accuracy;
+    * AUC is the threshold-FREE ranking quality): per source, the
+    * Mann-Whitney statistic computed exactly over integer scores,
+    * ties at half credit — AUC = (2·Σ_pos less_neg + Σ_pos tied_neg)
+    * / (2·P·N) in floor ppm. Degenerate single-class sources guard
+    * null.
+    *
+    * No pos×neg pair join: held-out docs collapse to one row per
+    * DISTINCT (source, score) with class counts, and a per-source
+    * running sum of negatives-strictly-below prices every positive
+    * at that score in one pass — the rank-sum construction, O(n log n)
+    * in the partition sort, never O(P·N). Contribution sums ride in
+    * DECIMAL(38,0)/HUGEINT (P·N overflows Long at 10¹⁰ docs/source).
+    *
+    * Scale: per-doc scores are q100's artifact-broadcast scan; the
+    * AUC pass groups to distinct-score rows (≤ docs, usually far
+    * fewer over integer milli-nat scores) and windows per source. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("s"))
+      .rowsBetween(Long.MinValue, -1)
+    docScores(s, dir)
+      .filter(col("doc_id") % TrainMod =!= 0)
+      .groupBy(col("source"), col("s"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("gp"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("gn"))
+      .withColumn("less_n", coalesce(sum(col("gn")).over(bySrc), lit(0L)))
+      .withColumn("contrib",
+        expr("CAST(gp AS DECIMAL(38,0)) * (2 * less_n + gn)"))
+      .groupBy(col("source"))
+      .agg(sum(col("gp")).as("n_pos"), sum(col("gn")).as("n_neg"),
+        sum(col("contrib")).as("u2"))
+      .withColumn("auc_ppm", expr(
+        """CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(
+          |  u2 * 1000000 DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)
+          |  AS BIGINT) END""".stripMargin))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("auc_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q172Sql =
+    s"""$scoreCtes, held AS (
+       |  SELECT source, s, CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gp,
+       |         CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS gn
+       |  FROM p WHERE doc_id % $TrainMod <> 0
+       |  GROUP BY source, s
+       |), r AS (
+       |  SELECT source, gp, gn,
+       |         CAST(COALESCE(sum(gn) OVER (PARTITION BY source ORDER BY s
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS less_n
+       |  FROM held
+       |), a AS (
+       |  SELECT source, CAST(sum(gp) AS BIGINT) AS n_pos,
+       |         CAST(sum(gn) AS BIGINT) AS n_neg,
+       |         sum(CAST(gp AS HUGEINT) * (2 * less_n + gn)) AS u2
+       |  FROM r GROUP BY source
+       |)
+       |SELECT source, n_pos, n_neg,
+       |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(
+       |         (u2 * 1000000) // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
+       |       END AS auc_ppm
+       |FROM a ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q100_nb_classifier", Some(q100Sql), q100),
     QuerySpec("q104_nb_calibration", Some(q104Sql), q104),
     QuerySpec("q120_gate_agreement", Some(q120Sql), q120),
     QuerySpec("q130_source_gate_matrix", Some(q130Sql), q130),
+    QuerySpec("q172_gate_auc", Some(q172Sql), q172),
   )
 }
