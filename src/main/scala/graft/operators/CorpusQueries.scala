@@ -148,6 +148,65 @@ object CorpusQueries {
        |FROM comp c JOIN cs ON cs.component_id = c.component_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q174
+  /** Single-linkage transitivity audit: q54 clusters by CONNECTIVITY,
+    * so a cluster of k docs is justified by as few as k−1 of its
+    * k(k−1)/2 possible near-dup pairs — the classic dedup over-merge
+    * risk (two distinct templates bridged by one chimeric doc). Per
+    * cluster size: clusters, direct artifact pairs, implied pairs,
+    * and transitivity = direct/implied in ppm — 10⁶ means every pair
+    * was independently measured similar (a clique, merge is safe);
+    * near the k−1 tree floor means the cluster leans on chains and
+    * deserves the q97/q150 survivor review before deletion. The
+    * 2-clusters pin the audit's floor: a pair IS its own clique, so
+    * their row must read exactly 10⁶.
+    *
+    * Scale: both inputs are standing artifacts (pair set, cluster
+    * map); the audit is one doc_a-keyed equi join of PAIRS to the
+    * map, then two bounded rollups (per-component, then per-size). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val cm = clusterMap(s, dir)
+      .select(col("doc_id"), col("component_id"), col("csize"))
+    val direct = DedupQueries.jaccardPairs(s, dir)
+      .join(cm.select(col("doc_id").as("doc_a"), col("component_id")), Seq("doc_a"))
+      .groupBy(col("component_id")).agg(count(lit(1)).as("direct"))
+    cm.filter(col("csize") >= 2L)
+      .select(col("component_id"), col("csize")).distinct()
+      .join(direct, Seq("component_id"), "left")
+      .withColumn("direct", coalesce(col("direct"), lit(0L)))
+      .withColumn("implied", expr("csize * (csize - 1) DIV 2"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("direct")).as("direct_pairs"),
+        sum(col("implied")).as("implied_pairs"))
+      .withColumn("transitivity_ppm",
+        expr("(direct_pairs * 1000000) DIV implied_pairs"))
+      .select(col("csize"), col("n_clusters"), col("direct_pairs"),
+        col("implied_pairs"), col("transitivity_ppm"))
+      .orderBy(col("csize"))
+  }
+
+  private val q174Sql =
+    s"""$ccPrefix,
+       |cs AS (SELECT component_id, CAST(count(*) AS BIGINT) AS csize
+       |       FROM comp GROUP BY component_id),
+       |dir AS (
+       |  SELECT c.component_id, CAST(count(*) AS BIGINT) AS direct
+       |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+       |  GROUP BY c.component_id
+       |), percomp AS (
+       |  SELECT cs.component_id, cs.csize, COALESCE(d.direct, 0) AS direct,
+       |         cs.csize * (cs.csize - 1) // 2 AS implied
+       |  FROM cs LEFT JOIN dir d ON d.component_id = cs.component_id
+       |  WHERE cs.csize >= 2
+       |)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(direct) AS BIGINT) AS direct_pairs,
+       |       CAST(sum(implied) AS BIGINT) AS implied_pairs,
+       |       (CAST(sum(direct) AS BIGINT) * 1000000)
+       |         // CAST(sum(implied) AS BIGINT) AS transitivity_ppm
+       |FROM percomp GROUP BY csize ORDER BY csize""".stripMargin
+
   // --------------------------------------------------------------- q128
   /** Duplicate-cluster size distribution — the dedup report's standard
     * figure (how much of the corpus sits in 2-clusters vs heavy
@@ -1484,5 +1543,6 @@ object CorpusQueries {
     QuerySpec("q135_source_minhash", Some(q135Sql), q135),
     QuerySpec("q142_softdedup_weights", Some(q142Sql), q142),
     QuerySpec("q159_incremental_clusters", Some(q159Sql), q159),
+    QuerySpec("q174_transitivity_audit", Some(q174Sql), q174),
   )
 }
