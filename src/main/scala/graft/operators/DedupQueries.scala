@@ -93,14 +93,19 @@ object DedupQueries {
     * joined in h order — byte-identical to the oracle's
     * string_agg(... ORDER BY h). Shared by q25 (candidate generation)
     * and q103 (the recall harness), so the two cannot drift. */
-  private def bandsOf(sh: DataFrame): DataFrame = {
+  /** Shingles + the 16 keyed digests (one `hx` array column) — the
+    * shared front of [[bandsOf]] and q175's long-format minhashes. */
+  private def hashedShingles(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
-    val hashed =
-      if (s.catalog.functionExists("graft_md5_keyed"))
-        sh.withColumn("hx", expr(s"graft_md5_keyed(s, $NumHashes)"))
-      else
-        sh.withColumn("hx", array((0 until NumHashes).map(h =>
-          md5(concat(lit(h.toString), lit(":"), col("s")))): _*))
+    if (s.catalog.functionExists("graft_md5_keyed"))
+      sh.withColumn("hx", expr(s"graft_md5_keyed(s, $NumHashes)"))
+    else
+      sh.withColumn("hx", array((0 until NumHashes).map(h =>
+        md5(concat(lit(h.toString), lit(":"), col("s")))): _*))
+  }
+
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val hashed = hashedShingles(sh)
     val mh = hashed.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
       (0 until NumHashes).map(h =>
@@ -408,6 +413,96 @@ object DedupQueries {
        |LEFT JOIN fa ON fa.thr = r.thr
        |CROSS JOIN tot
        |ORDER BY threshold_ppm""".stripMargin
+
+  // --------------------------------------------------------------- q175
+  /** MinHash estimator calibration — is K = 16 hashes ENOUGH? For
+    * every standing near-dup pair, compare the MinHash Jaccard
+    * estimate (matching components / K — E[ĵ] = j, sd √(j(1−j)/K))
+    * against the exact shingle Jaccard, rolled up per true-Jaccard
+    * decile: pairs, mean true and estimated ppm, mean |error|, and
+    * the signed mean bias (portable floor — it can be negative). The
+    * operating-characteristic table read before trusting q25/q29's
+    * signatures at a new threshold, companion to q103/q106 which
+    * grade the BANDING, not the estimator.
+    *
+    * Scale: minhashes come from the same one-pass keyed-digest kernel
+    * as the band artifact; the estimate join is PAIR-scale ×K rows
+    * (the pair set is the standing artifact, bounded by candidacy),
+    * map-side combined per pair then per decile. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val mh = hashedShingles(shingles(s, dir))
+      .select(col("doc_id"), posexplode(col("hx")).as(Seq("h", "hv")))
+      .groupBy(col("doc_id"), col("h")).agg(min(col("hv")).as("mh"))
+    val pairs = jaccardPairs(s, dir)
+      .withColumn("true_ppm",
+        expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"))
+    val est = pairs
+      .join(mh.select(col("doc_id").as("doc_a"), col("h"), col("mh").as("ma")), Seq("doc_a"))
+      .join(mh.select(col("doc_id").as("db"), col("h").as("h2"), col("mh").as("mb")),
+        col("doc_b") === col("db") && col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b"), col("true_ppm"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("matches"))
+      .withColumn("est_ppm", expr(s"(matches * 1000000) DIV $NumHashes"))
+    est
+      .withColumn("bucket", expr("least(true_ppm DIV 100000, 9L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("true_ppm")).as("st"), sum(col("est_ppm")).as("se"),
+        sum(abs(col("est_ppm") - col("true_ppm"))).as("sae"))
+      .select(col("bucket").as("true_j_decile"), col("n_pairs"),
+        expr("st DIV n_pairs").as("mean_true_ppm"),
+        expr("se DIV n_pairs").as("mean_est_ppm"),
+        expr("sae DIV n_pairs").as("mean_abs_err_ppm"),
+        expr("""CAST((se - st - pmod(se - st, n_pairs)) DIV n_pairs AS BIGINT)""")
+          .as("mean_bias_ppm"))
+      .orderBy(col("true_j_decile"))
+  }
+
+  private val q175Sql =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+       |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+       |  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |),
+       |jac AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    CAST(floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5)
+       |         AS BIGINT) AS true_ppm
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE floor((CAST(icnt AS DOUBLE) / (za.n + zb.n - icnt)) * 1e6 + 0.5) / 1e6
+       |        >= 0.3
+       |),
+       |hx AS (
+       |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || s) AS hv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
+       |),
+       |mh AS MATERIALIZED (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY doc_id, h),
+       |est AS (
+       |  SELECT j.doc_a, j.doc_b, j.true_ppm,
+       |         (CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |          * 1000000) // $NumHashes AS est_ppm
+       |  FROM jac j
+       |  JOIN mh a ON a.doc_id = j.doc_a
+       |  JOIN mh b ON b.doc_id = j.doc_b AND b.h = a.h
+       |  GROUP BY j.doc_a, j.doc_b, j.true_ppm
+       |)
+       |SELECT least(true_ppm // 100000, 9) AS true_j_decile,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(true_ppm) AS BIGINT) // count(*) AS mean_true_ppm,
+       |       CAST(sum(est_ppm) AS BIGINT) // count(*) AS mean_est_ppm,
+       |       CAST(sum(abs(est_ppm - true_ppm)) AS BIGINT) // count(*)
+       |         AS mean_abs_err_ppm,
+       |       CAST((sum(est_ppm) - sum(true_ppm)
+       |             - ((((sum(est_ppm) - sum(true_ppm)) % count(*)) + count(*))
+       |                % count(*)))
+       |            // count(*) AS BIGINT) AS mean_bias_ppm
+       |FROM est GROUP BY 1 ORDER BY true_j_decile""".stripMargin
 
   // ---------------------------------------------------------------- q27
   /** 16-bit SimHash per document from token md5 nibbles: bit i set iff
@@ -1162,5 +1257,6 @@ object DedupQueries {
     QuerySpec("q137_bloom_dedup_filter", Some(q137Sql), q137),
     QuerySpec("q146_paragraph_dedup", Some(q146Sql), q146),
     QuerySpec("q168_dedup_threshold_curve", Some(q168Sql), q168),
+    QuerySpec("q175_minhash_calibration", Some(q175Sql), q175),
   )
 }
