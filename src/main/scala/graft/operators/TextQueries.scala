@@ -1098,6 +1098,82 @@ object TextQueries {
        |FROM e ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q176
+  /** Shannon-bound storage planner: the unigram entropy H₀ =
+    * Σ (c/N)·log₂(N/c) is the exact lower bound on bits/token any
+    * token-level entropy coder can reach, so N·H₀/8 bytes is the
+    * floor a tokenized-and-coded copy of each source can occupy — the
+    * number that says whether building a compressed token archive of
+    * a 100 TB source is worth it before any coder runs. Per source:
+    * tokens, vocabulary, H₀ in micro-bits/token (exact — every
+    * c·log₂(N/c) term through graft_log2q20, summed in
+    * DECIMAL(38,0)/HUGEINT since c·2²⁰·62 overflows Long on 10¹²-token
+    * sources), the bound in bytes, the raw text bytes, and
+    * bound/raw ppm. q111 gates per-DOC entropy on the coarse 4-class
+    * ladder; this is the corpus-level PRECISE form, and the third
+    * consumer of the Q20 kernel after q163/q164.
+    *
+    * Scale: one map-side-combined (source, token) count, the Q20 log
+    * on vocabulary-scale rows inside codegen, one |S|-row rollup;
+    * raw bytes ride the scan-side n_chars sum. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val h = counts
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("bits", expr("CAST(c AS DECIMAL(38,0)) * graft_log2q20(n, c)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), max(col("n")).as("n_tokens"),
+        sum(col("bits")).as("tb"))
+      .withColumn("h0_microbits", expr(
+        "CAST(tb * 1000000 DIV (CAST(n_tokens AS DECIMAL(38,0)) * 1048576) AS BIGINT)"))
+      .withColumn("bound_bytes", expr("CAST(tb DIV (8 * 1048576) AS BIGINT)"))
+    val raw = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("raw_bytes"))
+    h.join(raw, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("h0_microbits"), col("bound_bytes"), col("raw_bytes"),
+        expr("(bound_bytes * 1000000) DIV raw_bytes").as("bound_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q176Sql = {
+    val logs = graft.functions.Log2Kernel.cteChain(
+      "cn", "lg", Seq(("lx", "n", "c")))
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+       |), c0 AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM t WHERE term <> '' GROUP BY source, term
+       |), cn AS (
+       |  SELECT source, term, c,
+       |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM c0
+       |)$logs, h AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |         CAST(max(n) AS BIGINT) AS n_tokens,
+       |         sum(CAST(c AS HUGEINT) * lx_q20) AS tb
+       |  FROM lg GROUP BY source
+       |), hb AS (
+       |  SELECT source, vocab, n_tokens,
+       |         CAST((tb * 1000000) // (CAST(n_tokens AS HUGEINT) * 1048576)
+       |              AS BIGINT) AS h0_microbits,
+       |         CAST(tb // (8 * 1048576) AS BIGINT) AS bound_bytes
+       |  FROM h
+       |), raw AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS raw_bytes
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT hb.source, hb.n_tokens, hb.vocab, hb.h0_microbits,
+       |       hb.bound_bytes, raw.raw_bytes,
+       |       (hb.bound_bytes * 1000000) // raw.raw_bytes AS bound_ppm
+       |FROM hb JOIN raw ON raw.source = hb.source
+       |ORDER BY hb.source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_token_explode", Some(q20Sql), q20),
     QuerySpec("q21_text_stats", Some(q21Sql), q21),
@@ -1115,5 +1191,6 @@ object TextQueries {
     QuerySpec("q166_burstiness", Some(q166Sql), q166),
     QuerySpec("q167_kn_discounts", Some(q167Sql), q167),
     QuerySpec("q169_loglen_fit", Some(q169Sql), q169),
+    QuerySpec("q176_entropy_bound", Some(q176Sql), q176),
   )
 }

@@ -236,6 +236,41 @@ class ZipfVocabSpec extends SparkSpec {
     assert(r.getAs[Long]("var_log2len_milli") === 1000L)
   }
 
+  test("q176 sf0.001: entropy bound equals the plain-Scala replay") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = srcTexts(dir)
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = run("q176_entropy_bound", dir).collect()
+    assert(got.length === texts.size)
+    got.foreach { r =>
+      val cs = termCounts(texts(r.getAs[String]("source")))
+      val n = cs.sum
+      val tb = cs.map(c => BigInt(c) * Log2Kernel.q20(n, c)).sum
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("vocab") === cs.size.toLong)
+      assert(r.getAs[Long]("h0_microbits") ===
+        (tb * 1000000 / (BigInt(n) * 1048576)).toLong)
+      assert(r.getAs[Long]("bound_bytes") === (tb / (8 * 1048576)).toLong)
+      val raw = chars(r.getAs[String]("source"))
+      assert(r.getAs[Long]("raw_bytes") === raw)
+      assert(r.getAs[Long]("bound_ppm") ===
+        r.getAs[Long]("bound_bytes") * 1000000 / raw)
+    }
+  }
+
+  test("q176 planted uniform-4 vocabulary: exactly 2 bits per token") {
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(16)("aa bb cc dd").mkString(" "), "en", "u4")))
+    val r = run("q176_entropy_bound", dir).collect().head
+    assert(r.getAs[Long]("n_tokens") === 64L)
+    assert(r.getAs[Long]("vocab") === 4L)
+    assert(r.getAs[Long]("h0_microbits") === 2000000L) // log2(4) exactly
+    assert(r.getAs[Long]("bound_bytes") === 16L)       // 64 * 2 / 8
+  }
+
   test("q167 planted skew: D2 goes exactly negative through the floor path") {
     // two-token docs = one bigram each: 10 unique, 1 doubled, 10 tripled
     // -> order-2 counts n1=10, n2=1, n3=10, n4=0, so
