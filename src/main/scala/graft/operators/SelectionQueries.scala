@@ -1063,6 +1063,113 @@ object SelectionQueries {
        |            // (bx * corpus_tokens) AS BIGINT) AS effective_ppm
        |FROM ag ORDER BY budget_x""".stripMargin
 
+  // --------------------------------------------------------------- q173
+  /** Neyman-optimal eval-sample allocation (Neyman 1934 — the survey-
+    * sampling rule every stratified eval set should use instead of
+    * proportional draw): for a fixed budget of K = 1000 audit samples,
+    * allocate n_h ∝ N_h·S_h — stratum size × stratum standard
+    * deviation of the audited metric (doc token length here, the
+    * stand-in for any per-doc cost) — so high-variance sources get
+    * the measurements and uniform sources stop wasting them. Exact
+    * integers end-to-end: per-source variance via the q169 moment
+    * sums (DECIMAL(38,0) for Σx²), S_h as the exact isqrt of the
+    * FLOOR variance, weights N_h·S_h in DECIMAL, the K split by the
+    * shared largest-remainder method, and the proportional allocation
+    * alongside for the comparison a reviewer actually wants. Both
+    * allocations sum to exactly K by construction.
+    *
+    * Scale: one map-side-combined scan to |S| moment rows; all
+    * allocation arithmetic on the |S|-row frame. */
+  private val NeymanK = 1000L
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def lrSplit(raw: String, out: String): DataFrame => DataFrame = df => {
+      val byRem = Window.partitionBy()
+        .orderBy(col(s"${out}_rem").desc, col("source"))
+      df.withColumn(s"${out}_tot", sum(col(raw)).over(whole))
+        .withColumn(s"${out}_b", expr(s"($NeymanK * $raw) DIV ${out}_tot"))
+        .withColumn(s"${out}_rem", expr(s"($NeymanK * $raw) % ${out}_tot"))
+        .withColumn(s"${out}_short",
+          lit(NeymanK) - sum(col(s"${out}_b")).over(whole))
+        .withColumn(s"${out}_rk", row_number().over(byRem).cast("long"))
+        .withColumn(out, col(s"${out}_b") +
+          when(col(s"${out}_rk") <= col(s"${out}_short"), 1L).otherwise(0L))
+    }
+    val m = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sx"),
+        sum(expr("CAST(len AS DECIMAL(38,0)) * len")).as("sxx"))
+      .withColumn("vr", expr(
+        """CAST((n_docs * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |     DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""".stripMargin))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sd", expr(
+        """s0 + (CASE WHEN (s0+1)*(s0+1) <= vr THEN 1 ELSE 0 END)
+          |   - (CASE WHEN s0*s0 > vr THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("w", expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * sd AS DECIMAL(38,0))"))
+    m.transform(lrSplit("w", "neyman_n"))
+      .transform(lrSplit("n_docs", "prop_n"))
+      .select(col("source"), col("n_docs"), col("vr").as("len_var"),
+        col("sd").as("len_sd"), col("neyman_n"), col("prop_n"),
+        (col("neyman_n") - col("prop_n")).as("shift"))
+      .orderBy(col("source"))
+  }
+
+  private val q173Sql = {
+    def lr(src: String, raw: String, out: String) =
+      s"""${out}_al AS (
+         |  SELECT *,
+         |    CAST(($NeymanK * $raw) // CAST(sum($raw) OVER () AS HUGEINT) AS BIGINT)
+         |      AS ${out}_b,
+         |    CAST(($NeymanK * $raw) % CAST(sum($raw) OVER () AS HUGEINT) AS HUGEINT)
+         |      AS ${out}_rem
+         |  FROM $src
+         |), ${out}_tp AS (
+         |  SELECT *, $NeymanK - CAST(sum(${out}_b) OVER () AS BIGINT) AS ${out}_short,
+         |         row_number() OVER (ORDER BY ${out}_rem DESC, source) AS ${out}_rk
+         |  FROM ${out}_al
+         |), ${out}_f AS (
+         |  SELECT * EXCLUDE (${out}_b, ${out}_rem, ${out}_short, ${out}_rk),
+         |         CAST(${out}_b + CASE WHEN ${out}_rk <= ${out}_short THEN 1 ELSE 0 END
+         |              AS BIGINT) AS $out
+         |  FROM ${out}_tp
+         |)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |              AS BIGINT) AS len
+       |  FROM documents
+       |), mo AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len) AS BIGINT) AS sx,
+       |         sum(CAST(len AS HUGEINT) * len) AS sxx
+       |  FROM d GROUP BY source
+       |), vv AS (
+       |  SELECT source, n_docs,
+       |         CAST((n_docs * sxx - CAST(sx AS HUGEINT) * sx)
+       |              // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS vr
+       |  FROM mo
+       |), sq AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) AS s0 FROM vv
+       |), iq AS (
+       |  SELECT source, n_docs, vr,
+       |         s0 + (CASE WHEN (s0+1)*(s0+1) <= vr THEN 1 ELSE 0 END)
+       |            - (CASE WHEN s0*s0 > vr THEN 1 ELSE 0 END) AS sd
+       |  FROM sq
+       |), wf AS (
+       |  SELECT source, n_docs, vr, sd, CAST(n_docs AS HUGEINT) * sd AS w FROM iq
+       |),
+       |${lr("wf", "w", "neyman_n")},
+       |${lr("neyman_n_f", "n_docs", "prop_n")}
+       |SELECT source, n_docs, vr AS len_var, sd AS len_sd,
+       |       neyman_n, prop_n, neyman_n - prop_n AS shift
+       |FROM prop_n_f ORDER BY source""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
@@ -1074,5 +1181,6 @@ object SelectionQueries {
     QuerySpec("q149_ccnet_buckets", Some(q149Sql), q149),
     QuerySpec("q161_temperature_mix", Some(q161Sql), q161),
     QuerySpec("q170_repetition_budget", Some(q170Sql), q170),
+    QuerySpec("q173_neyman_allocation", Some(q173Sql), q173),
   )
 }
