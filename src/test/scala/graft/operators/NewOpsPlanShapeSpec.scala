@@ -249,4 +249,38 @@ class NewOpsPlanShapeSpec extends SparkSpec {
           s"$q must read the cluster_map/pairs artifact blocks")
       }
   }
+
+  test("q171 index sizing: one windowed pass, gaps never collected per term") {
+    val p = finalPlan("q171_index_size_estimate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("collect_list"),
+      "posting gaps must stream through the window, never materialize per term")
+    assert(p.contains("Window"), "lag-gap + df ride one window pass")
+  }
+
+  test("q172 AUC: rank-sum windows, never a positive-by-negative pair join") {
+    val p = finalPlan("q172_gate_auc")
+    assert(!p.contains("CartesianProduct"))
+    // the only non-broadcast join allowed is the artifact-weight
+    // scoring path; the AUC tail itself must be window + aggregate
+    assert(p.contains("Window"), "the negatives-below running sum must be a window")
+    assert(!p.contains("SortMergeJoin"),
+      s"no score-frame self-join may appear:\n$p")
+  }
+
+  test("q173 Neyman: |S|-row allocation arithmetic, no joins at all") {
+    val p = finalPlan("q173_neyman_allocation")
+    assert(!p.contains("Join"), s"q173 must not join:\n$p")
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.forall(_.contains("source#")),
+      s"every hash exchange must key on source (|S|-row frames):\n$p")
+  }
+
+  test("q174/q175 ride the standing pair artifact, no shingle re-derivation") {
+    Seq("q174_transitivity_audit", "q175_minhash_calibration").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q must read artifact blocks")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
 }
