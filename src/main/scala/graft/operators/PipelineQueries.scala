@@ -893,6 +893,109 @@ object PipelineQueries {
        |FROM roll r LEFT JOIN ssh ON ssh.source = r.source
        |ORDER BY r.source""".stripMargin
 
+  // --------------------------------------------------------------- q177
+  /** Context-length ladder: the L-selection table contrasting the two
+    * loader strategies q75/q116 assume one of, at L ∈ {64, 128, 256,
+    * 512} — (a) pad-per-doc (every doc chunked to ⌈len/L⌉ sequences,
+    * final chunk padded: zero cross-doc contamination, real FLOP
+    * waste) vs (b) concat-and-chunk (GPT-style: each source's docs
+    * concatenated in doc_id order and cut every L tokens: near-zero
+    * padding — only each source's final chunk — but every chunk whose
+    * window spans a doc boundary leaks cross-doc attention unless
+    * masked, the q152 channel). Both accountings are exact integers:
+    * padding waste from per-doc arithmetic alone; the contaminated-
+    * chunk count from per-source running token offsets — a doc
+    * CONTRIBUTES contamination iff it starts mid-chunk (offset % L ≠
+    * 0), and distinct such chunks are counted without materializing
+    * chunks. Emits per L: chunks/waste-ppm under (a), chunks, tail
+    * padding, and contaminated-chunk ppm under (b) — read together
+    * with q169's length moments, this IS the context-length decision.
+    *
+    * Scale: the offsets need each source's running token sum — the
+    * ONE sequential ingredient, windowed over the narrow (source,
+    * doc_id, len) projection exactly like q163's rank ladder; the ×4
+    * L-ladder join feeds map-side-combined 4-row aggregates. */
+  private val CtxLadder = Seq(64L, 128L, 256L, 512L)
+
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("len"))
+      .filter(col("len") >= 1L)
+      .withColumn("off", coalesce(sum(col("len")).over(bySrc), lit(0L)))
+    val ladder = CtxLadder.toDF("l")
+    val perDoc = docs.crossJoin(ladder)
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"),
+        sum(expr("(len + l - 1) DIV l")).as("pad_chunks"),
+        sum(expr("((len + l - 1) DIV l) * l - len")).as("pad_tokens"),
+        // concat strategy: a doc starting mid-chunk contaminates the
+        // chunk it starts in; dedup chunk ids per (source, l) is not
+        // needed because at most one doc STARTS in any position —
+        // count distinct contaminated chunks as distinct off DIV l
+        // among mid-chunk starts
+        countDistinct(when(expr("off % l != 0"),
+          concat_ws(":", col("source"), expr("off DIV l"))))
+          .as("contaminated_chunks"))
+    val perSrc = docs.groupBy(col("source")).agg(sum(col("len")).as("stok"))
+      .crossJoin(ladder)
+      .groupBy(col("l"))
+      .agg(sum(expr("(stok + l - 1) DIV l")).as("concat_chunks"),
+        sum(expr("((stok + l - 1) DIV l) * l - stok")).as("concat_tail_pad"))
+    perDoc.join(perSrc, Seq("l"))
+      .select(col("l").as("seq_len"), col("n_docs"), col("total_tokens"),
+        col("pad_chunks"), col("pad_tokens"),
+        expr("(pad_tokens * 1000000) DIV (pad_chunks * l)").as("pad_waste_ppm"),
+        col("concat_chunks"), col("concat_tail_pad"),
+        expr("(contaminated_chunks * 1000000) DIV concat_chunks")
+          .as("contaminated_ppm"))
+      .orderBy(col("seq_len"))
+  }
+
+  private val q177Sql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |              AS BIGINT) AS len
+       |  FROM documents
+       |), o AS MATERIALIZED (
+       |  SELECT source, doc_id, len,
+       |         CAST(COALESCE(sum(len) OVER (PARTITION BY source ORDER BY doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS off
+       |  FROM d WHERE len >= 1
+       |), ls AS (SELECT CAST(unnest([${CtxLadder.mkString(", ")}]) AS BIGINT) AS l),
+       |pd AS (
+       |  SELECT ls.l, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len) AS BIGINT) AS total_tokens,
+       |         CAST(sum((len + ls.l - 1) // ls.l) AS BIGINT) AS pad_chunks,
+       |         CAST(sum(((len + ls.l - 1) // ls.l) * ls.l - len) AS BIGINT)
+       |           AS pad_tokens,
+       |         CAST(count(DISTINCT CASE WHEN off % ls.l <> 0
+       |              THEN source || ':' || CAST(off // ls.l AS VARCHAR) END)
+       |              AS BIGINT) AS contaminated_chunks
+       |  FROM o CROSS JOIN ls GROUP BY ls.l
+       |), ps AS (
+       |  SELECT ls.l,
+       |         CAST(sum((stok + ls.l - 1) // ls.l) AS BIGINT) AS concat_chunks,
+       |         CAST(sum(((stok + ls.l - 1) // ls.l) * ls.l - stok) AS BIGINT)
+       |           AS concat_tail_pad
+       |  FROM (SELECT source, CAST(sum(len) AS BIGINT) AS stok FROM o GROUP BY source)
+       |  CROSS JOIN ls GROUP BY ls.l
+       |)
+       |SELECT pd.l AS seq_len, pd.n_docs, pd.total_tokens, pd.pad_chunks,
+       |       pd.pad_tokens,
+       |       (pd.pad_tokens * 1000000) // (pd.pad_chunks * pd.l) AS pad_waste_ppm,
+       |       ps.concat_chunks, ps.concat_tail_pad,
+       |       (pd.contaminated_chunks * 1000000) // ps.concat_chunks
+       |         AS contaminated_ppm
+       |FROM pd JOIN ps ON ps.l = pd.l
+       |ORDER BY seq_len""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_sequence_packing", Some(q75Sql), q75),
     QuerySpec("q76_mixture_sampling", Some(q76Sql), q76),
@@ -905,5 +1008,6 @@ object PipelineQueries {
     QuerySpec("q116_padding_waste", Some(q116Sql), q116),
     QuerySpec("q117_span_scrub", Some(q117Sql), q117),
     QuerySpec("q162_winnow_fingerprint", Some(q162Sql), q162),
+    QuerySpec("q177_context_ladder", Some(q177Sql), q177),
   )
 }
