@@ -129,13 +129,32 @@ case class Log2Q20(left: Expression, right: Expression) extends BinaryExpression
 
   override def dataType: DataType = LongType
 
+  // contract nulls (see below) can occur even for non-null inputs
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_log2q20"
 
-  override protected def nullSafeEval(num: Any, den: Any): Any =
-    Log2Kernel.q20(num.asInstanceOf[Long], den.asInstanceOf[Long])
+  /** The documented contract — 1 ≤ den ≤ num < 2⁶² — is enforced HERE,
+    * not left to callers: outside it the kernel's exponent loop never
+    * terminates (den ≤ 0) or the shift-subtract yields garbage via a
+    * negative remainder (num < den), and this is a session-registered
+    * SQL function any query can call unguarded. */
+  @inline private def inContract(n: Long, d: Long): Boolean =
+    d >= 1L && n >= d && n < (1L << 62)
+
+  override protected def nullSafeEval(num: Any, den: Any): Any = {
+    val n = num.asInstanceOf[Long]
+    val d = den.asInstanceOf[Long]
+    if (inContract(n, d)) Log2Kernel.q20(n, d) else null
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (n, d) => s"graft.functions.Log2Kernel.q20($n, $d)")
+    nullSafeCodeGen(ctx, ev, (n, d) =>
+      s"""if ($d >= 1L && $n >= $d && $n < (1L << 62)) {
+         |  ${ev.value} = graft.functions.Log2Kernel.q20($n, $d);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Log2Q20 =

@@ -38,11 +38,43 @@ object MultimodalOps {
 
   /** A "decoder" as the real pipeline would hold one: expensive to
     * construct (codec init, model load), reused across a partition.
-    * decode() is the stub boundary: a real build links a codec here. */
+    *
+    * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so
+    * PNG/BMP/GIF byte streams decode to actual row-major RGB pixel
+    * triplets (lossless formats — bit-deterministic across runs).
+    * Audio/video decode remains an honest STUB (no codecs in this
+    * container): those byte streams, and anything ImageIO cannot
+    * parse, fall back to the identity stand-in so the downstream
+    * feature pipeline stays total and deterministic. */
   final class StubDecoder {
-    /** STUB decode: a real implementation would decode pixels/samples.
-      * Deterministic stand-in: interpret raw bytes directly. */
-    def decode(bytes: Array[Byte]): Array[Byte] = bytes
+    /** Decode media bytes: real pixels for ImageIO-readable images,
+      * identity fallback for everything else. */
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (img == null) bytes
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(p) = ((rgb >> 16) & 0xff).toByte
+            out(p + 1) = ((rgb >> 8) & 0xff).toByte
+            out(p + 2) = (rgb & 0xff).toByte
+            p += 3
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
 
     /** 16-dim feature vector: mean of byte values per 16-way stripe —
       * deterministic, content-sensitive, shape-identical to a model

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SparkContext, dataset dir) and reused by every consumer. The full
   * inventory (see SCALE.md's round-8 table for consumers):
   *
-  *   - `shingles` / `lsh_bands` / `simhash32_sigs` — the near-dup
+  *   - `shingles` / `lsh_bands` / `simhash60_sigs` — the near-dup
   *     index substrate (DedupQueries)
   *   - `neardup_pairs` — q26's exact-Jaccard near-dup edge set
   *   - `cluster_map` / `prior_cluster_map` — q54's CC clustering and
@@ -77,23 +77,33 @@ object Artifacts {
   private[operators] def frame(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
     if (!enabled) build
-    else memoized(key(s, dir, s"frame:$name")) {
+    else {
       // session conf wins (runtime-settable — how the spec drives
-      // the store path); env is the operational switch
+      // the store path); env is the operational switch. Resolved
+      // BEFORE memoizing and INCLUDED in the memo key: flipping the
+      // conf after first touch must serve the newly-configured form,
+      // not whatever form happened to build first.
       val configured = s.conf.get("spark.graft.artifactStore",
         sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_STORE", ""))
-      (if (configured.isEmpty) None else Some(configured)) match {
-        case None => build.localCheckpoint(true)
-        case Some(store) =>
+      memoized(key(s, dir, s"frame:$configured:$name")) {
+        if (configured.isEmpty) build.localCheckpoint(true)
+        else {
           val tag = java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8"))
             .take(4).map("%02x".format(_)).mkString
-          val path = s"$store/${tag}_$name"
+          val path = s"$configured/${tag}_$name"
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          // Trust an existing directory only if the parquet committer's
+          // _SUCCESS marker is present: a crashed or concurrent first
+          // build leaves a partial directory that a bare exists() would
+          // accept, silently serving a truncated standing artifact to
+          // every later session. Absent marker ⇒ rebuild (overwrite
+          // clears the partial output atomically via the committer).
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
             build.write.mode("overwrite").parquet(path)
           s.read.parquet(path)
+        }
       }
     }
 

@@ -616,7 +616,7 @@ object DedupQueries {
 
   /** SimHash-60 kernel CTEs (tk → bits → sig → banded → cand → ham),
     * shared by q63Sql and q129Sql. */
-  private val simhash32CtesSql: String = {
+  private val simhash60CtesSql: String = {
     val inList = oddNibbles.map(n => s"'$n'").mkString(",")
     val bitSums = (0 until SimBits)
       .map(i => s"sum(CASE WHEN substr(hx, ${i + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS b$i")
@@ -651,7 +651,7 @@ object DedupQueries {
   }
 
   private val q63Sql: String =
-    s"""WITH $simhash32CtesSql
+    s"""WITH $simhash60CtesSql
        |SELECT doc_a, doc_b, hamming FROM ham ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q71
@@ -980,7 +980,7 @@ object DedupQueries {
   }
 
   private val q129Sql =
-    s"""WITH $simhash32CtesSql,
+    s"""WITH $simhash60CtesSql,
        |sh AS ($shinglesSql),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
        |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),

@@ -172,24 +172,29 @@ object RelationalQueries {
   private def q07(s: SparkSession, dir: String): DataFrame = {
     val cn = Tables.nation(s, dir).select(col("n_nationkey").as("cn_key"), col("n_name").as("cn_name"))
     val sn = Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    // nation NAMES attach AFTER the aggregate (nationkey → name is a
+    // bijection on the 25-row dim): the fact-side pipeline carries two
+    // ints instead of two strings through the explode and hashes int
+    // group keys over ~n²·|res| cells, and two of the six broadcast
+    // stages move to the 625-row aggregate
     val base = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
       .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
-      .select(col("cn_name").as("a"), col("sn_name").as("b"), lineResult.as("res"))
+      .select(col("c_nationkey").as("ak"), col("s_nationkey").as("bk"), lineResult.as("res"))
     base
       .select(explode(array(
-        struct(col("a"), col("b"), col("res")),
-        struct(col("b").as("a"), col("a").as("b"), Wld.flip(col("res")).as("res")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.res").as("res"))
-      .groupBy(col("a"), col("b"))
+        struct(col("ak"), col("bk"), col("res")),
+        struct(col("bk").as("ak"), col("ak").as("bk"), Wld.flip(col("res")).as("res")))).as("p"))
+      .select(col("p.ak").as("ak"), col("p.bk").as("bk"), col("p.res").as("res"))
+      .groupBy(col("ak"), col("bk"))
       .agg(Wld.counts(col("res")).head, Wld.counts(col("res")).tail: _*)
-      .select(Seq(col("a").as("side_a"), col("b").as("side_b")) ++ wldSelect: _*)
+      .join(broadcast(cn), col("ak") === col("cn_key"))
+      .join(broadcast(sn), col("bk") === col("sn_key"))
+      .select(Seq(col("cn_name").as("side_a"), col("sn_name").as("side_b")) ++ wldSelect: _*)
       .orderBy(col("side_a"), col("side_b"))
   }
 

@@ -39,7 +39,7 @@ object RetrievalQueries {
     * brute scan is the q28 recall-oracle shape — production swaps in
     * the IVF/LSH candidate generation (q42/q29) unchanged, because
     * fusion only consumes (id, rank). */
-  private def q94(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def fusedBuild(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "query", "fast")
     // ---- lexical list: BM25 blended score, top-K ----
     val d = Tables.documents(s, dir)
@@ -96,6 +96,19 @@ object RetrievalQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(OutK)
   }
+
+  /** The fused RRF list as a STANDING ARTIFACT (an `OutK`-row
+    * LocalRelation — bounded by the limit, so consumers pay zero scan
+    * jobs): the serving path materializes the fused ranking once and
+    * both q94 (the report) and q143 (the context packer) read it,
+    * instead of each re-running the two corpus-scale retrievals. The
+    * oracle still re-derives everything standalone, so reuse can never
+    * mask a wrong result (ArtifactsSpec pins artifact == fresh build). */
+  private[operators] def fusedRrf(s: SparkSession, dir: String): DataFrame =
+    Artifacts.value(s, dir, "rrf_fused")(Artifacts.local(s, fusedBuild(s, dir)))
+
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    fusedRrf(s, dir).orderBy(col("rrf_score").desc, col("doc_id"))
 
   private val q94Sql =
     s"""WITH d AS (
@@ -157,21 +170,25 @@ object RetrievalQueries {
     * keeps every candidate with its running total, so the report shows
     * both what shipped and what the budget cut.
     *
-    * Exactness: rides q94's integer RRF scores verbatim (same
-    * function, not a copy); token costs and the running total are
-    * BIGINT; the packed flag is one comparison against B = 512.
+    * Exactness: rides q94's integer RRF scores verbatim — it reads
+    * the SAME `rrf_fused` standing artifact q94 serves from (the
+    * oracle re-derives the fused list inline, so artifact reuse can
+    * never mask a wrong result); token costs and the running total
+    * are BIGINT; the packed flag is one comparison against B = 512.
     *
-    * Scale: the fused list is ≤ 20 rows by construction — the
-    * single-partition rank window is free; token counts come from one
-    * narrow projection of the corpus joined BY the broadcast 20-row
-    * list (the corpus never shuffles). */
+    * Scale: the fused list is ≤ 20 rows by construction and a
+    * LocalRelation here — the single-partition rank window is free;
+    * token counts come from one narrow projection of the corpus
+    * joined BY the broadcast 20-row list (the corpus never shuffles,
+    * and the two corpus-scale retrievals run once per corpus, not
+    * once per downstream consumer). */
   private val CtxBudget = 512L
 
   private def q143(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val w = Window.orderBy(col("rrf_score").desc, col("doc_id"))
-    toks.join(broadcast(q94(s, dir)), Seq("doc_id"))
+    toks.join(broadcast(fusedRrf(s, dir)), Seq("doc_id"))
       .withColumn("ctx_rank", row_number().over(w).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col("ctx_rank"), col("doc_id"), col("rrf_score"),

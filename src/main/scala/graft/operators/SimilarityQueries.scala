@@ -632,13 +632,24 @@ object SimilarityQueries {
     * vector's min squared distance to the prior centers, i.e. the
     * k-center objective after step−1 centers.
     *
-    * Scale: each round broadcasts ONE center vector into a scan of
-    * the persisted code frame and collects one argmax row (the q80 /
-    * trainCore fixed-point pattern) — K rounds, zero vector-vector
-    * joins. At 100 TB the standard accelerations (batch several
-    * centers per pass; prune with q42's cells) drop in without
-    * changing the greedy semantics. */
+    * Scale: centers are BATCHED per pass — one scan computes every
+    * row's exact min distance to ALL picked centers (a ≤ K·d-long
+    * literal in the plan; no joins) and TakeOrders a C-row candidate
+    * pool under the selection's total order (mind DESC, vec_id ASC).
+    * The driver then greedily picks SEVERAL centers from the pool:
+    * minds only shrink as centers are added, so every non-pool row is
+    * forever bounded by the pool cutoff, and a locally-updated
+    * candidate strictly above the cutoff is provably the true global
+    * argmax (the first pick after a fresh scan is exact even at the
+    * cutoff — the pool's (mind, vec_id) order already resolved its
+    * ties). Typically 2 scans replace the K−1 sequential rounds of
+    * the naive loop — at 100 TB that is the whole game, since each
+    * round is a full corpus scan — and the selections are
+    * bit-identical to exact greedy (a prune, not an approximation):
+    * the unrolled-exact oracle and the spec's naive replay both pin
+    * it. */
   private val KCenters = 8
+  private val KCenterPool = 64 // candidate pool per scan
 
   private def q155(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -646,27 +657,69 @@ object SimilarityQueries {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
         .as("q"))
-      .persist()
-    try {
-      base.count()
-      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      var centerId = base.agg(min(col("vec_id"))).head().getLong(0)
-      picked += ((1L, centerId, 0L))
-      var cur = base.withColumn("mind", lit(Long.MaxValue))
-      for (step <- 2 to KCenters) {
-        val cvec = base.filter(col("vec_id") === centerId).select(col("q").as("cq"))
-        cur = cur.crossJoin(broadcast(cvec))
-          .withColumn("mind", least(col("mind"), expr(
-            """aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),
-              |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)))
-          .drop("cq")
-        val nxt = cur.orderBy(col("mind").desc, col("vec_id"))
-          .select(col("vec_id"), col("mind")).head()
-        centerId = nxt.getLong(0)
-        picked += ((step.toLong, centerId, nxt.getLong(1)))
+    // NOT persisted: the batched selection touches the frame 2-3 times
+    // total (seed + 1-2 candidate scans) — at corpus scale you re-read
+    // the columnar source rather than pin N vectors in executor memory
+    locally {
+      def sq(a: Array[Long], b: Array[Long]): Long = {
+        var s2 = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+        s2
+      }
+      // seed: lowest vec_id (deterministic; radius 0 by definition)
+      val seed = base.orderBy(col("vec_id")).select(col("vec_id"), col("q")).head()
+      val centers = scala.collection.mutable.ArrayBuffer[Array[Long]](
+        seed.getSeq[Long](1).toArray)
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+        (1L, seed.getLong(0), 0L))
+      while (picked.length < KCenters) {
+        // ONE scan against ALL current centers, then a C-row TakeOrdered
+        val cLit = centers.map(_.mkString("array(", "L,", "L)"))
+          .mkString("array(", ",", ")")
+        val cand = base
+          .withColumn("mind", expr(
+            s"""aggregate(transform($cLit, c ->
+               |  aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),
+               |            CAST(0 AS BIGINT), (acc, x) -> acc + x)),
+               |CAST(${Long.MaxValue} AS BIGINT), (m, x) -> least(m, x))""".stripMargin))
+          .orderBy(col("mind").desc, col("vec_id"))
+          .limit(KCenterPool)
+          .select(col("vec_id"), col("mind"), col("q"))
+          .collect()
+        val wholeCorpus = cand.length < KCenterPool
+        val cutoff = if (wholeCorpus) Long.MinValue else cand.last.getLong(1)
+        val ids = cand.map(_.getLong(0))
+        val minds = cand.map(_.getLong(1))
+        val vecs = cand.map(_.getSeq[Long](2).toArray)
+        // local greedy: valid while the winner's updated mind stays
+        // STRICTLY above the cutoff (a tie could hide a smaller
+        // outside vec_id); the scan's FIRST pick is exact even at the
+        // cutoff, which also guarantees ≥1 pick per scan
+        var scanPicks = 0
+        var go = true
+        while (picked.length < KCenters && go) {
+          var bi = 0
+          var i = 1
+          while (i < ids.length) {
+            if (minds(i) > minds(bi) ||
+                (minds(i) == minds(bi) && ids(i) < ids(bi))) bi = i
+            i += 1
+          }
+          if (!wholeCorpus && scanPicks > 0 && minds(bi) <= cutoff) go = false
+          else {
+            picked += ((picked.length + 1L, ids(bi), minds(bi)))
+            centers += vecs(bi)
+            scanPicks += 1
+            i = 0
+            while (i < ids.length) {
+              minds(i) = math.min(minds(i), sq(vecs(i), vecs(bi)))
+              i += 1
+            }
+          }
+        }
       }
       picked.toSeq.toDF("step", "vec_id", "radius_sq").orderBy(col("step"))
-    } finally base.unpersist()
+    }
   }
 
   private val q155Sql = {
@@ -751,38 +804,59 @@ object SimilarityQueries {
     * cross-engine equality.
     *
     * Scale: the Gram matrix is one map-side-combined d²-cell
-    * aggregate (N·d² multiply-adds scan-side; d² = 4096 cells
-    * regardless of N) — a bounded artifact like q99's LM, so the
+    * aggregate — each row's 64×64 outer product flattens scan-side
+    * into (cell, product) pairs that partial-aggregate to d² = 4096
+    * cells per partition before any exchange (N·d² multiply-adds
+    * total, cells bounded regardless of N; no join, no shuffle of
+    * vector rows) — a bounded artifact like q99's LM, so the
     * driver-side 12-step iteration is O(d²) on 4096 longs, and the
-    * direction broadcasts back as a d-row frame for the projection
-    * pass. Two corpus scans total (Gram, then project). */
+    * direction broadcasts back as a d-array literal for the
+    * projection pass. Two passes over the persisted code frame (raw
+    * moments — n, per-dim sums and raw Gram in one 4161-cell
+    * aggregate, centered exactly driver-side — then project), all
+    * shuffle-free on the vector side. */
   private val AbttIters = 12
 
+  /** q156's raw-moment frame — ONE scan for n, the per-dim sums AND
+    * the raw Gram: the per-row 64×64 outer product flattens row-major
+    * (idx = j*64 + k) with the raw values appended at 4096..4159 and
+    * a count cell at 4160, then everything partial-aggregates
+    * map-side into 4161 cells before the (only) exchange. The former
+    * shape self-joined the exploded frame on vec_id, shuffling N·d
+    * rows pre-aggregate, plus two more full actions for n and the
+    * means (plan pinned join-free/one-scan in NewOpsPlanShapeSpec). */
+  private[operators] def abttMoments(arr: DataFrame): DataFrame =
+    arr.select(posexplode(expr(
+        """concat(flatten(transform(q, a -> transform(q, b -> a * b))),
+          |q, array(CAST(1 AS BIGINT)))""".stripMargin))
+        .as(Seq("idx", "p")))
+      .groupBy(col("idx")).agg(sum(col("p")).as("g"))
+
   private def q156(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
+    val arr = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("label"),
-        posexplode(expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
-          .as(Seq("i", "val")))
+        expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("q"))
       .persist()
     try {
-      ex.count()
-      val n = ex.agg(countDistinct(col("vec_id"))).head().getLong(0)
-      // per-dim mean, symmetric truncated division
-      val meanRows = ex.groupBy(col("i")).agg(sum(col("val")).as("sv"))
-        .select(col("i"),
-          (signum(col("sv")).cast("long") * expr(s"abs(sv) DIV $n")).as("m"))
+      val cells = abttMoments(arr)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val mLit = (0 until 64).map(meanRows.getOrElse(_, 0L))
-      val mArr = mLit.mkString("array(", "L,", "L)")
-      val cv = ex.select(col("vec_id"), col("label"), col("i"),
-        (col("val") - expr(s"element_at($mArr, i + 1)")).as("cv"))
-      // exact integer Gram — d^2 bounded cells
-      val gram = cv.select(col("vec_id"), col("i").as("j"), col("cv").as("a"))
-        .join(cv.select(col("vec_id"), col("i").as("k"), col("cv").as("b")),
-          Seq("vec_id"))
-        .groupBy(col("j"), col("k")).agg(sum(col("a") * col("b")).as("g"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val n = cells.getOrElse(4160, 1L)
+      val sums = Array.tabulate(64)(j => cells.getOrElse(4096 + j, 0L))
+      // per-dim mean, symmetric truncated division
+      val m = sums.map(sv => java.lang.Long.signum(sv).toLong * (math.abs(sv) / n))
+      val mArr = m.mkString("array(", "L,", "L)")
+      val cva = arr.select(col("vec_id"), col("label"),
+        expr(s"zip_with(q, $mArr, (x, m) -> x - m)").as("cv"))
+      // exact centered Gram from the raw moments (all integer, so the
+      // identity Σ(x_j−m_j)(x_k−m_k) = G_raw − m_j·S_k − m_k·S_j
+      // + n·m_j·m_k holds EXACTLY — m is the integer truncated mean,
+      // not a rounded estimate)
+      val gram = (for (j <- 0 until 64; k <- 0 until 64) yield {
+        val graw = cells.getOrElse(j * 64 + k, 0L)
+        (j, k) -> (graw - m(j) * sums(k) - m(k) * sums(j) + n * m(j) * m(k))
+      }).toMap
       // driver power iteration, max-abs renormalized each step
       var v = Array.fill(64)(1000L)
       for (_ <- 1 to AbttIters) {
@@ -796,11 +870,12 @@ object SimilarityQueries {
       // per-vec projection energy divides by ||v||^2 BEFORE the label
       // sum: dot^2 alone fits 64-bit per row, but a label-summed dot^2
       // would overflow at a few hundred vectors
-      val perVec = cv
-        .withColumn("vv", expr(s"element_at($vArr, i + 1)"))
-        .groupBy(col("label"), col("vec_id"))
-        .agg(sum(col("cv") * col("vv")).as("dot"),
-          sum(col("cv") * col("cv")).as("nsq"))
+      val perVec = cva
+        .select(col("label"), col("vec_id"),
+          expr(s"""aggregate(zip_with(cv, $vArr, (a, b) -> a * b),
+                  |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("dot"),
+          expr("""aggregate(transform(cv, x -> x * x),
+                 |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("nsq"))
         .withColumn("dot2n", expr(s"(dot * dot) DIV $vnorm"))
       perVec.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -810,7 +885,7 @@ object SimilarityQueries {
           col("var_total"), col("var_top"))
         .withColumn("explained_ppm", expr("(var_top * 1000000) DIV var_total"))
         .orderBy(col("label"))
-    } finally ex.unpersist()
+    } finally arr.unpersist()
   }
 
   private val q156Sql = {

@@ -42,6 +42,22 @@ class Log2Q20Spec extends SparkSpec {
     assert(byDen === byDen.sorted.reverse)
   }
 
+  test("contract is enforced: out-of-domain inputs yield NULL, not a hang or garbage") {
+    // den <= 0 used to spin the exponent loop forever; num < den used to
+    // return garbage via a negative remainder — the expression now
+    // nullifies anything outside 1 <= den <= num < 2^62 (both the
+    // interpreted and codegen paths)
+    val bad = Seq((5L, 0L), (5L, -3L), (3L, 7L), (0L, 1L), (-8L, 2L),
+      (1L << 62, 1L), (Long.MaxValue, 2L))
+    val rows = bad.toDF("num", "den")
+      .selectExpr("graft_log2q20(num, den) AS r").collect()
+    assert(rows.forall(_.isNullAt(0)), "every out-of-contract input must be NULL")
+    // boundary values stay in-domain
+    val ok = Seq((1L, 1L), ((1L << 62) - 1, 1L), (7L, 7L)).toDF("num", "den")
+      .selectExpr("graft_log2q20(num, den) AS r").collect()
+    assert(ok.forall(!_.isNullAt(0)))
+  }
+
   test("native expression equals the scalar kernel through codegen") {
     val viaSql = grid.toDF("num", "den")
       .selectExpr("graft_log2q20(num, den)").collect().map(_.getLong(0)).toSeq

@@ -16,6 +16,33 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(a.map(_.kind).distinct.sorted === Seq("audio", "image", "video"))
   }
 
+  test("decode is REAL for images: a 2x2 PNG decodes to its known RGB pixels") {
+    // fixture built by the JDK's own encoder — decode must invert it
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0x102030)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val decoded = new StubDecoder().decode(png)
+    // row-major RGB triplets, NOT the raw container bytes
+    assert(decoded.toSeq.map(_ & 0xff) === Seq(
+      0xff, 0, 0, /**/ 0, 0xff, 0, /**/ 0, 0, 0xff, /**/ 0x10, 0x20, 0x30))
+    // BMP goes through the same real path
+    val baos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", baos2))
+    assert(new StubDecoder().decode(baos2.toByteArray).toSeq === decoded.toSeq)
+  }
+
+  test("decode falls back to the identity stub for non-image byte streams") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    assert(new StubDecoder().decode(garbage).toSeq === garbage.toSeq)
+    val textish = "BM plain words that are not a bitmap header".getBytes("UTF-8")
+    assert(new StubDecoder().decode(textish).toSeq === textish.toSeq)
+  }
+
   test("extractFeatures yields 16-dim embeddings, deterministic across runs") {
     val f1 = extractFeatures(spark, media).collect().sortBy(_.media_id)
     val f2 = extractFeatures(spark, media).collect().sortBy(_.media_id)

@@ -104,6 +104,93 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("rrf_fused artifact equals a fresh inline hybrid fusion") {
+    val art = RetrievalQueries.fusedRrf(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val fresh = RetrievalQueries.fusedBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+    // bounded-by-construction contract of the LocalRelation path
+    assert(art.length <= 20)
+  }
+
+  test("winnow_fp artifact equals a fresh inline fingerprint pass") {
+    val art = PipelineQueries.winnowFp(spark, dir)
+      .orderBy(col("doc_id"), col("sel_pos")).collect().toSeq
+    val fresh = PipelineQueries
+      .winnowFingerprints(PipelineQueries.spanDocs(spark, dir))
+      .orderBy(col("doc_id"), col("sel_pos")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+  }
+
+  test("disk store: a partial directory without _SUCCESS is rebuilt, not trusted") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("artpart_data").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("artpart").toString
+    Seq(
+      ("alpha bravo charlie delta echo foxtrot golf hotel india juliet", 0L),
+      ("alpha bravo charlie delta echo foxtrot golf hotel india kilo", 1L))
+      .map { case (t, i) => (i, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    spark.conf.set("spark.graft.artifactStore", storeDir)
+    try {
+      val first = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(first.nonEmpty)
+      // simulate a crashed first build: drop the committer's marker and
+      // a data file from the stored artifact directory
+      val artDir = new java.io.File(storeDir).listFiles()
+        .filter(_.getName.endsWith("_neardup_pairs")).head
+      artDir.listFiles().filter(f =>
+        f.getName == "_SUCCESS" || f.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete()))
+      Artifacts.reset()
+      val second = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(second === first,
+        "missing _SUCCESS must trigger a rebuild, not serve the truncated dir")
+      assert(new java.io.File(artDir, "_SUCCESS").exists())
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset()
+    }
+  }
+
+  test("flipping the store conf after first touch re-resolves (memo keys on store)") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("artflip_data").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("artflip").toString
+    Seq(
+      ("alpha bravo charlie delta echo foxtrot golf hotel india juliet", 0L),
+      ("alpha bravo charlie delta echo foxtrot golf hotel india kilo", 1L))
+      .map { case (t, i) => (i, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    try {
+      // first touch WITHOUT a store: localCheckpoint form
+      val inMem = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(new java.io.File(storeDir).listFiles().forall(_ == null),
+        "no store configured yet — nothing may be written")
+      // flip the conf WITHOUT resetting: the next touch must build the
+      // store-backed form (previously the stale memo entry kept serving
+      // the checkpoint form for the rest of the context)
+      spark.conf.set("spark.graft.artifactStore", storeDir)
+      val stored = DedupQueries.jaccardPairs(spark, corpusDir)
+        .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+      assert(stored === inMem)
+      assert(new java.io.File(storeDir).listFiles()
+        .exists(_.getName.endsWith("_neardup_pairs")),
+        "store-backed artifact directory must exist after the conf flip")
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset()
+    }
+  }
+
   test("artifacts are memoized and survive catalog.clearCache") {
     val a = CorpusQueries.clusterMap(spark, dir)
     val n = a.count()

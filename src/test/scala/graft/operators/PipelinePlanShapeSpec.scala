@@ -195,14 +195,24 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the spread exchange (tgt + token array computed once per doc) must survive:\n$p")
   }
 
-  test("q94 hybrid rrf: both retrievals are TakeOrdered, fusion never shuffles the corpus") {
+  test("q94 hybrid rrf: serves the rrf_fused artifact; the BUILDER TakeOrders both retrievals") {
+    // the registered query reads the OutK-row LocalRelation artifact —
+    // zero corpus scans after first touch
     val p = finalPlan("q94_hybrid_rrf")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"modality top-K must plan per-partition heaps, not a global sort:\n$p")
-    assert(!p.contains("CartesianProduct"))
-    // the only windows are the rank assignments over the ≤K retrieved
-    // lists (bounded by the limit, not the corpus)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LocalTableScan"),
+      s"q94 must serve from the fused-list LocalRelation artifact:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no corpus rescan per consumer — that is the artifact's point:\n$p")
+    // the standalone builder (what first touch runs, and what the
+    // oracle mirrors) keeps the scale shape: per-partition heaps for
+    // both modality top-Ks, no cartesian, broadcast-only joins
+    val b = RetrievalQueries.fusedBuild(spark, dir)
+    b.collect()
+    val bp = b.queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"modality top-K must plan per-partition heaps, not a global sort:\n$bp")
+    assert(!bp.contains("CartesianProduct"))
+    assert(bp.contains("BroadcastHashJoin") || bp.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q95 k-anonymity: risky-QI list reaches the exposure pass by broadcast") {
@@ -259,15 +269,40 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"per-query top-10 must use the rank-limit pushdown, not full window sorts:\n$p")
   }
 
-  test("q162 winnowing: selection windows are doc-partitioned, no join on the corpus scan") {
+  test("q162 winnowing: selection is array-side in the doc row — no Window, no corpus join") {
     val p = finalPlan("q162_winnow_fingerprint")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
-    // every Window in the executed plan must be keyed by doc_id — the
-    // winnow selection can never fall into a single global partition
-    val winLines = p.split("\n").filter(_.contains("windowspecdefinition"))
-    assert(winLines.nonEmpty, "the rightmost-min selection must be a Window")
-    winLines.foreach { l =>
-      assert(l.contains("doc_id"), s"winnow window must partition by doc_id: $l")
-    }
+    // the fingerprint INDEX build runs entirely inside the doc row
+    // (hash → sliding struct-min → array_distinct): nothing may
+    // shuffle, sort or join before the selected sample explodes
+    val fp = PipelineQueries.winnowFp(spark, dir)
+    fp.collect()
+    val fpPlan = PipelineQueries
+      .winnowFingerprints(PipelineQueries.spanDocs(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("windowspecdefinition"),
+      s"winnow selection must not plan a Window operator:\n$fpPlan")
+    assert(!fpPlan.contains("Join"), s"no join in the index build:\n$fpPlan")
+    assert(!fpPlan.contains("Sort"), s"no sort in the index build:\n$fpPlan")
+  }
+
+  test("q156 abtt: the raw-moment aggregate is one scan, join-free, map-side combined") {
+    val arr = graft.Tables.spread(
+        graft.Tables.embeddings(spark, dir),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("q"))
+    val m = SimilarityQueries.abttMoments(arr)
+    m.collect()
+    val p = m.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"),
+      s"the Gram must come from the outer-product aggregate, not a vec_id self-join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus pass claimed, $scans scans found:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the 4161-cell aggregate must partial-aggregate map-side:\n$p")
   }
 }
