@@ -56,23 +56,30 @@ object Bench {
     // the full plan users actually execute and discards rows executor-side.
     // optional args = query-name filter (dev tool: time a subset)
     val wanted = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
-      .map { case (name, fn) =>
+    // SPARK_GRAFT_AQE (the A/B knob) overrides every per-spec flag;
+    // otherwise each QuerySpec chooses (aqe=false only where two full
+    // A/B pairs showed the adaptive re-optimization latency is pure
+    // floor for that plan — see QuerySpec.aqe)
+    val aqeEnv = sys.env.get("SPARK_GRAFT_AQE")
+    val results = QueryCatalog.all.sortBy(_.name)
+      .filter(sp => wanted.isEmpty || wanted.contains(sp.name))
+      .map { sp =>
       // SPARK_GRAFT_BENCH_REPS: dev knob for long sweeps (100× replica
       // runs don't need min-of-3 — the heavy kernels dwarf host noise)
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      spark.conf.set("spark.sql.adaptive.enabled",
+        aqeEnv.getOrElse(sp.aqe.toString))
       val times = (1 to reps).map { _ =>
         // each timed run pays its own persists: CacheManager matches
         // canonicalized plans, so without this a second run would
         // silently reuse the first run's cached intermediates
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        try { sp.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      sp.name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -13,11 +13,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               rounded doubles, integer sums cast identically on both
   *               sides (DuckDB sum(int) is HUGEINT → always CAST AS BIGINT
   *               in the oracle SQL).
+  * @param aqe    whether the bench runs this query with adaptive execution.
+  *               Default true (AQE's runtime coalescing wins at scale and
+  *               on most of the catalog). Set false ONLY for queries whose
+  *               plans have nothing to adapt — no skew, no join AQE could
+  *               re-strategize, bounded shuffles — where the measured
+  *               per-stage re-optimization latency is pure floor at bench
+  *               scale (both directions A/B'd twice at sf0.1, r9; flagged
+  *               queries won by >80 ms in BOTH pairs). Correctness runs
+  *               (Verify) ignore the flag: results are identical either
+  *               way, this is a latency-only knob.
   */
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
     fn: (SparkSession, String) => DataFrame,
+    aqe: Boolean = true,
 )
 
 /** Parquet table loaders for the driver-generated testdata

@@ -1073,10 +1073,10 @@ object BpeQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_bpe_merges", Some(q91Sql), q91),
     QuerySpec("q92_bpe_tokenize", Some(q92Sql), q92),
-    QuerySpec("q102_bpe_packing", Some(q102Sql), q102),
+    QuerySpec("q102_bpe_packing", Some(q102Sql), q102, aqe = false),
     QuerySpec("q115_bpe_fertility", Some(q115Sql), q115),
     QuerySpec("q148_wordpiece_drift", Some(q148Sql), q148),
-    QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151),
+    QuerySpec("q151_unigram_viterbi", Some(q151Sql), q151, aqe = false),
     QuerySpec("q152_pack_contamination", Some(q152Sql), q152),
     QuerySpec("q153_dedup_packing", Some(q153Sql), q153),
     QuerySpec("q158_budget_curve", Some(q158Sql), q158),

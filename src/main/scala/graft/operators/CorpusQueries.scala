@@ -1539,7 +1539,7 @@ object CorpusQueries {
     QuerySpec("q124_ngram_novelty", Some(q124Sql), q124),
     QuerySpec("q128_cluster_sizes", Some(q128Sql), q128),
     QuerySpec("q131_datasheet", Some(q131Sql), q131),
-    QuerySpec("q132_source_jsd", Some(q132Sql), q132),
+    QuerySpec("q132_source_jsd", Some(q132Sql), q132, aqe = false),
     QuerySpec("q135_source_minhash", Some(q135Sql), q135),
     QuerySpec("q142_softdedup_weights", Some(q142Sql), q142),
     QuerySpec("q159_incremental_clusters", Some(q159Sql), q159),

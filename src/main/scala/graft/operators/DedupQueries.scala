@@ -1255,7 +1255,7 @@ object DedupQueries {
     QuerySpec("q106_lsh_precision", Some(q106Sql), q106),
     QuerySpec("q129_simhash_curve", Some(q129Sql), q129),
     QuerySpec("q137_bloom_dedup_filter", Some(q137Sql), q137),
-    QuerySpec("q146_paragraph_dedup", Some(q146Sql), q146),
+    QuerySpec("q146_paragraph_dedup", Some(q146Sql), q146, aqe = false),
     QuerySpec("q168_dedup_threshold_curve", Some(q168Sql), q168),
     QuerySpec("q175_minhash_calibration", Some(q175Sql), q175),
   )

@@ -920,7 +920,7 @@ object EventQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q30_tumbling_window", Some(q30Sql), q30),
     QuerySpec("q31_sliding_window", Some(q31Sql), q31),
-    QuerySpec("q32_session_window", Some(q32Sql), q32),
+    QuerySpec("q32_session_window", Some(q32Sql), q32, aqe = false),
     QuerySpec("q33_range_join", Some(q33Sql), q33),
     QuerySpec("q34_stateful_dedup", Some(q34Sql), q34),
     QuerySpec("q61_funnel_depth", Some(q61Sql), q61),
@@ -928,9 +928,9 @@ object EventQueries {
     QuerySpec("q67_transition_matrix", Some(q67Sql), q67),
     QuerySpec("q73_top_paths", Some(q73Sql), q73),
     QuerySpec("q74_hll_sketch_rollup", Some(q74Sql), q74),
-    QuerySpec("q85_histogram_drift", Some(q85Sql), q85),
+    QuerySpec("q85_histogram_drift", Some(q85Sql), q85, aqe = false),
     QuerySpec("q86_scd2_intervals", Some(q86Sql), q86),
-    QuerySpec("q88_psi_drift", Some(q88Sql), q88),
+    QuerySpec("q88_psi_drift", Some(q88Sql), q88, aqe = false),
     QuerySpec("q89_jsd_drift", Some(q89Sql), q89),
     QuerySpec("q107_pruned_window", Some(q107Sql), q107),
     QuerySpec("q133_ks_drift", Some(q133Sql), q133),

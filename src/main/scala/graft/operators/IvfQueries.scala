@@ -503,6 +503,6 @@ object IvfQueries {
     QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
     QuerySpec("q72_semantic_dedup", Some(q72Sql), q72),
     QuerySpec("q123_cluster_margin", Some(q123Sql), q123),
-    QuerySpec("q157_label_noise", Some(q157Sql), q157),
+    QuerySpec("q157_label_noise", Some(q157Sql), q157, aqe = false),
   )
 }

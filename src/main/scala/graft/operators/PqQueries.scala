@@ -654,6 +654,6 @@ object PqQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q96_pq_adc", Some(q96Sql), q96),
     QuerySpec("q98_ivfpq_search", Some(q98Sql), q98),
-    QuerySpec("q101_pq_recall", Some(q101Sql), q101),
+    QuerySpec("q101_pq_recall", Some(q101Sql), q101, aqe = false),
   )
 }

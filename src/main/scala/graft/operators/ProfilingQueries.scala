@@ -916,7 +916,7 @@ object ProfilingQueries {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q46_distribution_rank", Some(q46Sql), q46),
+    QuerySpec("q46_distribution_rank", Some(q46Sql), q46, aqe = false),
     QuerySpec("q47_fuzzy_levenshtein", Some(q47Sql), q47),
     QuerySpec("q48_ordered_array_agg", Some(q48Sql), q48),
     QuerySpec("q49_profile", Some(q49Sql), q49),
@@ -927,7 +927,7 @@ object ProfilingQueries {
     QuerySpec("q95_k_anonymity", Some(q95Sql), q95),
     QuerySpec("q121_feature_corr", Some(q121Sql), q121),
     QuerySpec("q127_l_diversity", Some(q127Sql), q127),
-    QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136),
+    QuerySpec("q136_cms_heavy_hitters", Some(q136Sql), q136, aqe = false),
     QuerySpec("q139_length_outliers", Some(q139Sql), q139),
     QuerySpec("q140_t_closeness", Some(q140Sql), q140),
     QuerySpec("q154_dp_release", Some(q154Sql), q154),

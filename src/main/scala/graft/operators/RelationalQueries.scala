@@ -470,11 +470,11 @@ object RelationalQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_global_summary", Some(q01Sql), q01),
     QuerySpec("q02_wld_agg", Some(q02Sql), q02),
-    QuerySpec("q03_filter_project", Some(q03Sql), q03),
+    QuerySpec("q03_filter_project", Some(q03Sql), q03, aqe = false),
     QuerySpec("q04_star_join", Some(q04Sql), q04),
     QuerySpec("q05_rule_classify", Some(q05Sql), q05),
     QuerySpec("q06_share_of_total", Some(q06Sql), q06),
-    QuerySpec("q07_symmetric_matchups", Some(q07Sql), q07),
+    QuerySpec("q07_symmetric_matchups", Some(q07Sql), q07, aqe = false),
     QuerySpec("q08_topk_revenue", Some(q08Sql), q08),
     QuerySpec("q09_window_recency", Some(q09Sql), q09),
     QuerySpec("q10_anti_join", Some(q10Sql), q10),

@@ -1174,7 +1174,7 @@ object SelectionQueries {
     QuerySpec("q93_dsir_select", Some(q93Sql), q93),
     QuerySpec("q99_ppl_filter", Some(q99Sql), q99),
     QuerySpec("q105_token_budget", Some(q105Sql), q105),
-    QuerySpec("q112_curriculum_phases", Some(q112Sql), q112),
+    QuerySpec("q112_curriculum_phases", Some(q112Sql), q112, aqe = false),
     QuerySpec("q114_unimax_mix", Some(q114Sql), q114),
     QuerySpec("q144_doremi_reweight", Some(q144Sql), q144),
     QuerySpec("q145_token_cap", Some(q145Sql), q145),

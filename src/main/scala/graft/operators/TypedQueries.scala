@@ -74,6 +74,6 @@ object TypedQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_pivot", Some(q50Sql), q50),
-    QuerySpec("q51_typed_mapgroups", Some(q51Sql), q51),
+    QuerySpec("q51_typed_mapgroups", Some(q51Sql), q51, aqe = false),
   )
 }

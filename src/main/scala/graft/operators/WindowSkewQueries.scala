@@ -250,7 +250,7 @@ object WindowSkewQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q43_percentiles", Some(q43Sql), q43),
-    QuerySpec("q44_window_suite", Some(q44Sql), q44),
+    QuerySpec("q44_window_suite", Some(q44Sql), q44, aqe = false),
     QuerySpec("q45_skew_salted", Some(q45Sql), q45),
     QuerySpec("q53_approx_percentile", Some(q53Sql), q53),
   )

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{ClassifierQueries, SelectionQueries}
+import graft.streaming.{GramStream, PackingStream, QualityStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Dev scratch: drive the streaming layer at replica scale (SCALE.md's
+  * streaming appendix). Shards the 10× documents/embeddings replicas
+  * into a multi-file source dir, then runs three representative
+  * Structured Streaming jobs as rate-limited file-source streams
+  * (maxFilesPerTrigger) and reports per-stream throughput, micro-batch
+  * count, and state-store size from StreamingQueryProgress:
+  *
+  *  - QualityStream.score — STATELESS scoring (frozen LM + NB + entropy
+  *    gate): the no-state-store baseline, throughput = scan + scalar
+  *    ladder work.
+  *  - GramStream.directions — single-key flatMapGroupsWithState with a
+  *    d²-long additive state (the heaviest per-row state update).
+  *  - PackingStream.assignPacks — per-bucket Long state (the smallest
+  *    possible state, shuffle-by-bucket per batch).
+  */
+object ScratchStream10x {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/tmp_sf1"
+    val shards = if (args.length > 1) args(1).toInt else 16
+    val filesPerTrigger = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("stream10x").toString
+    // shard the replica tables so the file source yields real
+    // micro-batches (source setup — not part of any measured stream)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      .repartition(shards).write.mode("overwrite").parquet(s"$work/docs")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("q"))
+      .repartition(shards).write.mode("overwrite").parquet(s"$work/vecs")
+
+    def run(name: String)(start: => StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
+      val query = start
+      query.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = query.recentProgress
+      val rows = progs.map(_.numInputRows).sum
+      val batches = progs.count(_.numInputRows > 0)
+      val state = progs.reverse.flatMap(_.stateOperators).headOption
+        .map(s => s"rows=${s.numRowsTotal} mem=${s.memoryUsedBytes}B")
+        .getOrElse("none (stateless)")
+      query.stop()
+      println(f"STREAM $name: rows=$rows batches=$batches wall=$secs%.1f s " +
+        f"throughput=${rows / secs}%.0f rows/s state[$state]")
+    }
+
+    // frozen models from the replica's own batch artifacts (the lambda
+    // split: batch trains, stream scores)
+    val model = {
+      val (c2, c1, v) = SelectionQueries.bigramLm(spark, dir)
+      val (w, prior) = ClassifierQueries.fitNb(spark, dir)
+      QualityStream.QualityModel(c2, c1, v, SelectionQueries.PplFlagMnat, w, prior)
+    }
+
+    run("quality(stateless)") {
+      val in = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$work/docs").as[QualityStream.DocIn]
+      QualityStream.score(spark, in).writeStream.format("noop")
+        .option("checkpointLocation", s"$work/cp_quality").start()
+    }
+
+    run("gram(d2-state)") {
+      val in = spark.readStream
+        .schema("vec_id LONG, q ARRAY<LONG>")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$work/vecs").as[GramStream.Vec]
+      GramStream.directions(spark, in).writeStream.format("noop")
+        .option("checkpointLocation", s"$work/cp_gram").start()
+    }
+
+    run("packing(bucket-state)") {
+      val in = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$work/docs")
+        .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .as[PackingStream.DocTok]
+      PackingStream.assignPacks(spark, in).writeStream.format("noop")
+        .option("checkpointLocation", s"$work/cp_packing").start()
+    }
+
+    spark.stop()
+  }
+}
