@@ -75,7 +75,7 @@ object ScratchStream10x {
         .schema("doc_id LONG, source STRING, text STRING")
         .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(s"$work/docs").as[QualityStream.DocIn]
-      QualityStream.score(spark, in).writeStream.format("noop")
+      QualityStream.score(spark, in, model).writeStream.format("noop")
         .option("checkpointLocation", s"$work/cp_quality").start()
     }
 
