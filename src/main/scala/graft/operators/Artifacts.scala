@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SparkContext, dataset dir) and reused by every consumer. The full
   * inventory (see SCALE.md's round-8 table for consumers):
   *
-  *   - `shingles` / `lsh_bands` / `simhash60_sigs` — the near-dup
-  *     index substrate (DedupQueries)
+  *   - `shingles` / `minhash_wide` / `lsh_bands` / `simhash60_sigs`
+  *     — the near-dup index substrate (DedupQueries)
   *   - `neardup_pairs` — q26's exact-Jaccard near-dup edge set
   *   - `cluster_map` / `prior_cluster_map` — q54's CC clustering and
   *     q159's pre-ingest standing input (CorpusQueries)
@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (SelectionQueries / ClassifierQueries)
   *   - `pq_model` / `ivfpq_model` / `ivf_index` — the ANN index state
   *     (PqQueries / IvfQueries)
+  *   - `rrf_fused` — the hybrid-retrieval fused list (RetrievalQueries,
+  *     q94 + q143)
+  *   - `winnow_fp` — the MOSS winnowing fingerprint index
+  *     (PipelineQueries, q162)
   *
   * Why: seven registered queries (q97/q109/q128/q142/q150/q152/q153)
   * consume the clustering and each re-derived the full shingle → pair

@@ -104,12 +104,17 @@ object DedupQueries {
         md5(concat(lit(h.toString), lit(":"), col("s")))): _*))
   }
 
-  private def bandsOf(sh: DataFrame): DataFrame = {
-    val hashed = hashedShingles(sh)
-    val mh = hashed.groupBy(col("doc_id")).agg(
+  /** Per-doc 16-component minhash vector (WIDE) + shingle count — the
+    * one shingle-scale aggregate both the band signatures and q175's
+    * long-format estimates derive from (16 parallel min-aggregates,
+    * map-side combined, one 16-column shuffle per doc). */
+  private def wideMinhashOf(sh: DataFrame): DataFrame =
+    hashedShingles(sh).groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
       (0 until NumHashes).map(h =>
         min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
+
+  private def bandsFrom(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
       val items = (0 until RowsPerBand).map { r =>
         val h = b * RowsPerBand + r
@@ -121,6 +126,17 @@ object DedupQueries {
       .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("p"))
       .select(col("doc_id"), col("n"), col("p.band").as("band"), col("p.bh").as("bh"))
   }
+
+  private def bandsOf(sh: DataFrame): DataFrame = bandsFrom(wideMinhashOf(sh))
+
+  /** The wide minhash table as a STANDING ARTIFACT: at corpus scale
+    * the shingle-scale min-aggregate runs ONCE and both consumers
+    * (the lsh_bands builder and q175's calibration) read doc-scale
+    * rows. The prior q175 re-derived its long-format minhashes by
+    * exploding every (shingle × 16) row per run — 110 s of the 100×
+    * warm sweep for what is a doc-scale posexplode off this frame. */
+  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "minhash_wide")(wideMinhashOf(shingles(s, dir)))
 
   /** Distinct candidate pairs (doc_a < doc_b) from a persisted +
     * materialized bands frame: the band-bucket equi-self-join. */
@@ -138,7 +154,7 @@ object DedupQueries {
     * materialization, so concurrent scan stages can never race a cold
     * cache into re-running the 16-wide min-md5 aggregate). */
   private def bandSigs(s: SparkSession, dir: String): DataFrame =
-    Artifacts.frame(s, dir, "lsh_bands")(bandsOf(shingles(s, dir)))
+    Artifacts.frame(s, dir, "lsh_bands")(bandsFrom(minhashWide(s, dir)))
 
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
@@ -430,9 +446,11 @@ object DedupQueries {
     * (the pair set is the standing artifact, bounded by candidacy),
     * map-side combined per pair then per decile. */
   private def q175(s: SparkSession, dir: String): DataFrame = {
-    val mh = hashedShingles(shingles(s, dir))
-      .select(col("doc_id"), posexplode(col("hx")).as(Seq("h", "hv")))
-      .groupBy(col("doc_id"), col("h")).agg(min(col("hv")).as("mh"))
+    // long format off the standing WIDE table: doc-scale ×K rows —
+    // the shingle-scale work happened once, in the artifact build
+    val mh = minhashWide(s, dir)
+      .select(col("doc_id"), posexplode(array(
+        (0 until NumHashes).map(h => col(s"mh$h")): _*)).as(Seq("h", "mh")))
     val pairs = jaccardPairs(s, dir)
       .withColumn("true_ppm",
         expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"))
