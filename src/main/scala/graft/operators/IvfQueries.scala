@@ -338,8 +338,13 @@ object IvfQueries {
     *
     * Scale: vectors × broadcast(K centroids) — one map-side pass over
     * the corpus, no vector-vector pairs anywhere (classic silhouette's
-    * N² is exactly what this centroid form avoids); the per-cell
-    * aggregate map-side-combines to K rows. */
+    * N² is exactly what this centroid form avoids); the (vec, cell)
+    * partial aggregate collapses the K rows per vector BEFORE the
+    * exchange, so only N rows shuffle. Compute is N·K flops map-side,
+    * and with the kFor √N rule K grows as √N — this query is in the
+    * same documented N^1.5 class as q72/q157/q98 (measured 198× wall
+    * at the 100× replica where K went 36 → 354; the exchange stays
+    * N rows). */
   private val BoundaryMargin = 0.05
 
   private def q123(s: SparkSession, dir: String): DataFrame = {
