@@ -42,10 +42,12 @@ object MultimodalOps {
     * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so
     * PNG/BMP/GIF byte streams decode to actual row-major RGB pixel
     * triplets (lossless formats — bit-deterministic across runs).
-    * Audio/video decode remains an honest STUB (no codecs in this
-    * container): those byte streams, and anything ImageIO cannot
-    * parse, fall back to the identity stand-in so the downstream
-    * feature pipeline stays total and deterministic. */
+    * AUDIO decode is REAL for WAV: `javax.sound.sampled` (also in the
+    * JDK) parses the RIFF/WAVE container to raw PCM sample bytes.
+    * VIDEO decode remains an honest STUB (no codecs in this
+    * container): video byte streams, and anything the JDK decoders
+    * cannot parse, fall back to the identity stand-in so the
+    * downstream feature pipeline stays total and deterministic. */
   final class StubDecoder {
     // never spill ImageInputStreams to temp files — decode is in the
     // per-row hot path and the payloads are already in memory
@@ -63,9 +65,17 @@ object MultimodalOps {
         (b(0) == 'B' && b(1) == 'M') ||
         (b(0) == 0xff.toByte && b(1) == 0xd8.toByte))
 
+    /** RIFF/WAVE container sniff (same per-row discipline as images). */
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
     /** Decode media bytes: real pixels for ImageIO-readable images,
-      * identity fallback for everything else. */
+      * real PCM samples for WAV audio, identity fallback for
+      * everything else. */
     def decode(bytes: Array[Byte]): Array[Byte] = {
+      if (looksLikeWav(bytes)) return decodeWav(bytes)
       val img =
         if (!looksLikeImage(bytes)) null
         else
@@ -93,6 +103,23 @@ object MultimodalOps {
         out
       }
     }
+
+    /** WAV → raw PCM sample bytes through the JDK's sampled-audio
+      * stack; malformed RIFF (or a text payload that happens to start
+      * with the magic) falls back to identity via the catch. */
+    private def decodeWav(bytes: Array[Byte]): Array[Byte] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = ais.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+          val pcm = out.toByteArray
+          if (pcm.isEmpty) bytes else pcm
+        } finally ais.close()
+      } catch { case _: Throwable => bytes }
 
     /** 16-dim feature vector: mean of byte values per 16-way stripe —
       * deterministic, content-sensitive, shape-identical to a model

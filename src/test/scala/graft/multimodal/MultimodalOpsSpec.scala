@@ -36,6 +36,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(new StubDecoder().decode(baos2.toByteArray).toSeq === decoded.toSeq)
   }
 
+  test("decode is REAL for WAV audio: a PCM fixture decodes to its known samples") {
+    import javax.sound.sampled._
+    // 16-bit mono little-endian PCM, 8 frames of known samples
+    val pcm = Array[Byte](0, 0, 1, 0, -1, 127, 0, -128, 42, 0, 0, 42, 7, 7, -7, -7)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(wav.length > pcm.length, "container adds RIFF/fmt headers")
+    // decode must strip the container and return the raw samples
+    assert(new StubDecoder().decode(wav).toSeq === pcm.toSeq)
+  }
+
   test("decode falls back to the identity stub for non-image byte streams") {
     val garbage = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     assert(new StubDecoder().decode(garbage).toSeq === garbage.toSeq)
