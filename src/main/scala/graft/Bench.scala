@@ -89,7 +89,9 @@ object Bench {
     // truncated it (BENCH_r08.json "parsed": null) — ALSO write it to a
     // file the driver can read whole, and print it LAST (after
     // spark.stop()) so no shutdown logging trails the parseable line
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // relative default (resolves under the launch cwd) — a hardcoded
+    // absolute path wrote outside the working tree on foreign checkouts
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

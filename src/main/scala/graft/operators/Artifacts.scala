@@ -73,13 +73,19 @@ object Artifacts {
     *
     * With `SPARK_GRAFT_ARTIFACT_STORE=<path>` set, the artifact is
     * additionally DISK-BACKED: first build writes
-    * `<path>/<dirHash>_<name>` as parquet and every later session
-    * (not just this one) reads the standing table instead of
+    * `<path>/<dirHash>_<name>_v<version>` as parquet and every later
+    * session (not just this one) reads the standing table instead of
     * re-deriving — the literal production shape, where the cluster
     * map / index / signature tables live in the warehouse between
-    * runs (ArtifactsSpec pins store round-trip == fresh build). */
-  private[operators] def frame(s: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
+    * runs (ArtifactsSpec pins store round-trip == fresh build).
+    *
+    * `version` is the BUILDER version: the store path embeds it, so a
+    * semantics change to a builder that keeps the artifact name must
+    * bump its call-site version — old store entries then simply stop
+    * matching instead of silently serving stale pre-change parquet to
+    * every later session (r9 ADVICE). */
+  private[operators] def frame(s: SparkSession, dir: String, name: String,
+      version: Int = 1)(build: => DataFrame): DataFrame =
     if (!enabled) build
     else {
       // session conf wins (runtime-settable — how the spec drives
@@ -87,29 +93,51 @@ object Artifacts {
       // BEFORE memoizing and INCLUDED in the memo key: flipping the
       // conf after first touch must serve the newly-configured form,
       // not whatever form happened to build first.
-      val configured = s.conf.get("spark.graft.artifactStore",
-        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_STORE", ""))
-      memoized(key(s, dir, s"frame:$configured:$name")) {
+      val configured = storePath(s)
+      memoized(key(s, dir, s"frame:$configured:${name}_v$version")) {
         if (configured.isEmpty) build.localCheckpoint(true)
-        else {
-          val tag = java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8"))
-            .take(4).map("%02x".format(_)).mkString
-          val path = s"$configured/${tag}_$name"
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          // Trust an existing directory only if the parquet committer's
-          // _SUCCESS marker is present: a crashed or concurrent first
-          // build leaves a partial directory that a bare exists() would
-          // accept, silently serving a truncated standing artifact to
-          // every later session. Absent marker ⇒ rebuild (overwrite
-          // clears the partial output atomically via the committer).
-          if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-            build.write.mode("overwrite").parquet(path)
-          s.read.parquet(path)
-        }
+        else s.read.parquet(storedPath(s, dir, s"${name}_v$version")(build))
       }
     }
+
+  private def storePath(s: SparkSession): String =
+    s.conf.get("spark.graft.artifactStore",
+      sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_STORE", ""))
+
+  /** Ensure `<store>/<dirHash>_<tagged>` holds a committed build and
+    * return that path. Writes go to a session-unique temp directory
+    * first and are RENAMED into place: the final path appears
+    * atomically (local FS / HDFS rename), so a concurrent second
+    * session never observes a half-written directory — at worst it
+    * sees no `_SUCCESS` yet and rebuilds into its own temp dir, and
+    * the loser of the rename race just deletes its temp output. */
+  private def storedPath(s: SparkSession, dir: String, tagged: String)(
+      build: => DataFrame): String = {
+    val store = storePath(s)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val path = s"$store/${tag}_$tagged"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Trust an existing directory only if the parquet committer's
+    // _SUCCESS marker is present: a crashed first build leaves a
+    // partial directory that a bare exists() would accept, silently
+    // serving a truncated standing artifact to every later session.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path.tmp-${s.sparkContext.applicationId}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // a no-_SUCCESS target can only be a dead partial — clear it so
+      // rename lands; if another session committed in the meantime,
+      // keep theirs and drop ours (first-wins, same as the memo)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
+          (fs.exists(target) && !fs.delete(target, true)) ||
+          !fs.rename(tmp, target))
+        fs.delete(tmp, true)
+    }
+    path
+  }
 
   /** get → build OUTSIDE the map → putIfAbsent. NOT computeIfAbsent:
     * artifact builders routinely request OTHER artifacts (cluster_map

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * documents.text is treated as an opaque media payload (each char's
   * codepoint mod 256 = one byte — engine-independent, unlike UTF-8
   * encoding details), flowed through the REAL multimodal machinery:
-  * MediaRow schema → per-partition StubDecoder (decoder constructed once
+  * MediaRow schema → per-partition MediaDecoder (decoder constructed once
   * per partition, the expensive-codec pattern) → 16-dim stripe-mean
   * features → featureTable → q28-style cosine top-k over a sampled
   * query set. Media bytes never shuffle: features are extracted
   * map-side and only (vec_id, 16 floats) flows into the join.
   *
-  * The stub decoder is deterministic, so the WHOLE pipeline is
+  * The DuckDB twin models decode as IDENTITY, which is exact because
+  * no corpus payload passes the kind-gated container sniffs (decode
+  * attempts only the declared modality's container, and the synthetic
+  * text payloads parse as none of them — MultimodalOpsSpec pins the
+  * invariant per corpus row at sf0.001), so the WHOLE pipeline is
   * replicable in DuckDB SQL (list comprehensions over codepoints) and
   * the result is hash-matched, not rows-only. Cross-engine float note:
   * stripe means are computed in double and cast to float on both sides

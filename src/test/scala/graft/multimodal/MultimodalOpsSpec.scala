@@ -26,14 +26,17 @@ class MultimodalOpsSpec extends SparkSpec {
     val baos = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "png", baos))
     val png = baos.toByteArray
-    val decoded = new StubDecoder().decode(png)
+    val decoded = new MediaDecoder().decode("image", png)
     // row-major RGB triplets, NOT the raw container bytes
     assert(decoded.toSeq.map(_ & 0xff) === Seq(
       0xff, 0, 0, /**/ 0, 0xff, 0, /**/ 0, 0, 0xff, /**/ 0x10, 0x20, 0x30))
     // BMP goes through the same real path
     val baos2 = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "bmp", baos2))
-    assert(new StubDecoder().decode(baos2.toByteArray).toSeq === decoded.toSeq)
+    assert(new MediaDecoder().decode("image", baos2.toByteArray).toSeq === decoded.toSeq)
+    // kind gating: the same PNG bytes under a non-image kind stay opaque
+    assert(new MediaDecoder().decode("audio", png).toSeq === png.toSeq)
+    assert(new MediaDecoder().decode("text", png).toSeq === png.toSeq)
   }
 
   test("decode is REAL for WAV audio: a PCM fixture decodes to its known samples") {
@@ -48,14 +51,98 @@ class MultimodalOpsSpec extends SparkSpec {
     val wav = baos.toByteArray
     assert(wav.length > pcm.length, "container adds RIFF/fmt headers")
     // decode must strip the container and return the raw samples
-    assert(new StubDecoder().decode(wav).toSeq === pcm.toSeq)
+    assert(new MediaDecoder().decode("audio", wav).toSeq === pcm.toSeq)
+    // kind gating: the same WAV bytes under kind=image stay opaque
+    assert(new MediaDecoder().decode("image", wav).toSeq === wav.toSeq)
+  }
+
+  /** Minimal MJPEG-in-AVI fixture: a RIFF/AVI container with an hdrl
+    * LIST (skipped by the walker) and a movi LIST holding one `00dc`
+    * chunk per JPEG frame, sizes little-endian, chunks even-padded. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def solidJpeg(rgb: Int, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  /** RGB triplets the JDK JPEG decoder itself produces for the frame —
+    * the self-consistent expected value (JPEG is lossy, so the target
+    * is what the decoder round-trips, not the pre-encode constants). */
+  private def rgbTwin(jpeg: Array[Byte]): Seq[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val out = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+        c <- Seq(16, 8, 0)) yield ((img.getRGB(x, y) >> c) & 0xff).toByte
+    out
+  }
+
+  test("decode is REAL for video: MJPEG-in-AVI frames decode to per-frame RGB") {
+    val jpegs = Seq(solidJpeg(0xc04020), solidJpeg(0x2040c0), solidJpeg(0x808080))
+    val avi = mjpegAvi(jpegs)
+    val dec = new MediaDecoder()
+    // the chunk walk finds exactly the three frame payloads
+    assert(dec.aviFramePayloads(avi).map(_.toSeq) === jpegs.map(_.toSeq))
+    // decode = concatenated per-frame RGB from the JDK JPEG decoder
+    assert(dec.decode("video", avi).toSeq === jpegs.flatMap(rgbTwin))
+    // kind gating: the same AVI bytes under kind=image stay opaque
+    assert(dec.decode("image", avi).toSeq === avi.toSeq)
+    // non-AVI video payloads keep the identity fallback
+    val notAvi = "plain video-ish bytes".getBytes("UTF-8")
+    assert(dec.decode("video", notAvi).toSeq === notAvi.toSeq)
+    // a frame-less AVI (empty movi) falls back to identity too
+    val noFrames = mjpegAvi(Seq(Array[Byte](1, 2, 3))) // non-JPEG payload
+    assert(dec.decode("video", noFrames).toSeq === noFrames.toSeq)
+  }
+
+  test("sampleFrames extracts REAL every-k RGB frames from AVI payloads") {
+    import spark.implicits._
+    val jpegs = (0 until 5).map(i => solidJpeg(0x102030 * (i + 1)))
+    val avi = mjpegAvi(jpegs)
+    val rows = Seq(MediaRow(7L, "video", avi, 4, 4, 0, 5000L)).toDS()
+    val frames = sampleFrames(spark, rows, everyK = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    frames.foreach { r =>
+      val i = r.getInt(1)
+      assert(r.getAs[Array[Byte]]("frame_bytes").toSeq === rgbTwin(jpegs(i)))
+    }
   }
 
   test("decode falls back to the identity stub for non-image byte streams") {
     val garbage = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
-    assert(new StubDecoder().decode(garbage).toSeq === garbage.toSeq)
+    assert(new MediaDecoder().decode("image", garbage).toSeq === garbage.toSeq)
     val textish = "BM plain words that are not a bitmap header".getBytes("UTF-8")
-    assert(new StubDecoder().decode(textish).toSeq === textish.toSeq)
+    assert(new MediaDecoder().decode("image", textish).toSeq === textish.toSeq)
+  }
+
+  test("q52 invariant: no corpus payload decodes non-identically (oracle models identity)") {
+    val dec = new MediaDecoder()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+    docs.foreach { r =>
+      val text = r.getString(1)
+      val bytes = Array.tabulate[Byte](text.length)(i => (text.charAt(i).toInt & 0xff).toByte)
+      val kind = Seq("image", "audio", "video")((r.getLong(0) % 3).toInt)
+      assert(dec.decode(kind, bytes).toSeq === bytes.toSeq,
+        s"doc ${r.getLong(0)} decoded non-identically as $kind")
+    }
   }
 
   test("extractFeatures yields 16-dim embeddings, deterministic across runs") {

@@ -87,7 +87,7 @@ class ArtifactsSpec extends SparkSpec {
       assert(first.nonEmpty, "the two alpha... docs must be a near-dup pair")
       // the standing table must exist on disk
       val stored = new java.io.File(storeDir).listFiles()
-        .filter(_.getName.endsWith("_neardup_pairs"))
+        .filter(_.getName.endsWith("_neardup_pairs_v1"))
       assert(stored.length === 1, "one parquet artifact dir expected")
       // a NEW session-equivalent (memo cleared) with DIFFERENT current
       // corpus content must still serve the STORED artifact — proof the
@@ -143,7 +143,7 @@ class ArtifactsSpec extends SparkSpec {
       // simulate a crashed first build: drop the committer's marker and
       // a data file from the stored artifact directory
       val artDir = new java.io.File(storeDir).listFiles()
-        .filter(_.getName.endsWith("_neardup_pairs")).head
+        .filter(_.getName.endsWith("_neardup_pairs_v1")).head
       artDir.listFiles().filter(f =>
         f.getName == "_SUCCESS" || f.getName.endsWith(".parquet"))
         .foreach(f => assert(f.delete()))
@@ -183,8 +183,36 @@ class ArtifactsSpec extends SparkSpec {
         .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
       assert(stored === inMem)
       assert(new java.io.File(storeDir).listFiles()
-        .exists(_.getName.endsWith("_neardup_pairs")),
+        .exists(_.getName.endsWith("_neardup_pairs_v1")),
         "store-backed artifact directory must exist after the conf flip")
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset()
+    }
+  }
+
+  test("disk store: a builder-version bump stops matching the old entry and rebuilds") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("artver_data").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("artver").toString
+    Seq((0L, "a b c"), (1L, "d e f"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    spark.conf.set("spark.graft.artifactStore", storeDir)
+    try {
+      def build(v: String) = Artifacts.frame(spark, corpusDir, "verprobe",
+        version = if (v == "old") 1 else 2) {
+        Seq((v, 1L)).toDF("semantics", "n")
+      }
+      assert(build("old").select("semantics").head().getString(0) === "old")
+      Artifacts.reset()
+      // same name, bumped version: must NOT serve the v1 parquet
+      assert(build("new").select("semantics").head().getString(0) === "new")
+      val names = new java.io.File(storeDir).listFiles().map(_.getName).sorted
+      assert(names.exists(_.endsWith("_verprobe_v1")) &&
+        names.exists(_.endsWith("_verprobe_v2")), names.mkString(","))
+      // and no temp directory is left behind by the rename-commit path
+      assert(!names.exists(_.contains(".tmp-")), names.mkString(","))
     } finally {
       spark.conf.unset("spark.graft.artifactStore")
       Artifacts.reset()
