@@ -147,16 +147,34 @@ object EventQueries {
 
   // ---------------------------------------------------------------- q33
   /** Non-equi range join ⊕: pairs of events by the same user within 10
-    * minutes. The equi component (user_id) keys the shuffle; the range
-    * predicate filters within partitions — scale-safe (never a cross
-    * join across users). */
+    * minutes — the BANDED rewrite of the interval join engines without
+    * an IEJoin run (DuckDB's operator; Spark has none). Each side gets
+    * a 10-minute time bucket; since 0 < ts_b − ts_a ≤ 10 min forces
+    * bucket_b ∈ {bucket_a, bucket_a+1}, the left side probes those two
+    * buckets (a 2× explode of narrow rows) and the join is pure EQUI on
+    * (user, bucket) — each qualifying pair matches exactly one probe
+    * (b's bucket is a single value), so no dedup is needed, and the
+    * exact range predicate filters the bucket-mates.
+    *
+    * Scale: the round-≤9 form was equi on user_id alone with the range
+    * predicate as a within-partition theta filter — safe but O(per-user
+    * events²) per user; the band key bounds the theta work to one
+    * 10-minute bucket's population per probe AND spreads hot users over
+    * time (the (user, bucket) key is finer than user, so a bursty user
+    * no longer lands on one reducer). */
+  private val BandSec = 600L
+
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables.events(s, dir).select(
-      col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
-    val b = Tables.events(s, dir).select(
-      col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    val ev = Tables.events(s, dir)
+    val a = ev.select(
+        col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+      .withColumn("bka", expr(s"unix_seconds(ts_a) DIV $BandSec"))
+      .withColumn("bkt", explode(array(col("bka"), col("bka") + 1L)))
+    val b = ev.select(
+        col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+      .withColumn("bktb", expr(s"unix_seconds(ts_b) DIV $BandSec"))
     a.join(b,
-        col("user_id") === col("user_b") &&
+        col("user_id") === col("user_b") && col("bkt") === col("bktb") &&
           (col("ts_b") > col("ts_a") ||
             (col("ts_b") === col("ts_a") && col("id_b") > col("id_a"))) &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))

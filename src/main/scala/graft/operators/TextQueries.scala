@@ -643,51 +643,106 @@ object TextQueries {
        |  FROM ex
        |)""".stripMargin
 
-  private def q163(s: SparkSession, dir: String): DataFrame =
-    heapsFit(s, Tables.spread(Tables.documents(s, dir), col("doc_id"))
+  /** Per-source ingest spine as a STANDING ARTIFACT: (source, doc_id,
+    * rk = dense per-source ingest rank, tok = token count) — the
+    * narrow corpus-order substrate every growth/length statistic
+    * reads. The rank window runs ONCE per corpus here (over the
+    * narrow projection, never token arrays) instead of once per
+    * consumer query. */
+  private[operators] def docSpine(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_spine")(docSpineBuild(s, dir))
+
+  /** The spine builder, exposed so TextGatesPlanShapeSpec can pin the
+    * narrow-rank-window discipline on the BUILD plan (the token
+    * counting projects text away BEFORE the per-source sort). */
+  private[operators] def docSpineBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("source"), col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("t")))
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+  }
+
+  /** Per-source vocabulary as a STANDING ARTIFACT: (source, term,
+    * c = collection frequency, fd = first-appearance doc_id) — ONE
+    * (source, term)-keyed shuffle serves the growth fit (q163 needs
+    * fd), the Zipf fit (q164 needs c ranks) and the Good-Turing audit
+    * (q165 needs the c histogram), which each re-ran the explode +
+    * count from scratch before round 10. Vocabulary-scale state;
+    * corpus-scale only on the map side. */
+  private[operators] def srcVocab(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "src_vocab") {
+      Tables.spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("source"), col("doc_id"), explode(toks).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("fd"))
+    }
+
+  /** The per-source vocabulary GROWTH CURVE at the HeapsC checkpoint
+    * ladder — (source, crk, d, nn, v), bounded (≤ HeapsC·|S| rows), as
+    * a store-backed LocalRelation: the curve is corpus state (the
+    * q43-pctFrame precedent) and the registered q163 just fits it, so
+    * its warm plan is literals + one aggregate. */
+  private[operators] def growthCurve(s: SparkSession, dir: String): DataFrame =
+    Artifacts.localFrame(s, dir, "heaps_growth")(
+      growthFrom(s, docSpine(s, dir), srcVocab(s, dir)))
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    fitGrowth(growthCurve(s, dir))
 
   /** The q163 kernel over a (source, doc_id, t) frame — factored so
     * the spec can feed planted closed- vs open-vocabulary corpora and
-    * check the fitted β orders them.
-    *
-    * The per-source rank is monotone in doc_id, so rank ≤ crk is
-    * doc_id ≤ (the crk-th smallest doc_id) — the ONE window in the
-    * plan therefore runs only to translate the 8-rung rank ladder
-    * into doc_id THRESHOLDS (8·|S| rows), and every corpus-side
-    * consumer joins raw doc_ids against that tiny frame. No rank
-    * column is ever attached to corpus rows, so the window subtree
-    * is built once instead of once per consumer (the first-cut shape
-    * recomputed scan+window ~5×: 3.2 s → this at sf0.1). */
+    * check the fitted β orders them. Derives the spine + vocab frames
+    * inline; the registered q163 reads the standing artifacts. */
   private[operators] def heapsFit(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spine = docs
+      .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val vocab = docs
+      .select(col("source"), col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("fd"))
+    fitGrowth(growthFrom(s, spine, vocab))
+  }
+
+  /** Growth-curve derivation off the spine/vocab frames. The rank
+    * ladder translates to doc_id thresholds with a FILTER on the
+    * spine's standing rank (rk = crk) — no window anywhere in this
+    * plan; cumulative token/vocab values at the ≤ HeapsC checkpoints
+    * are conditional aggregates against the tiny threshold frame. */
+  private def growthFrom(s: SparkSession, spine: DataFrame, vocab: DataFrame): DataFrame = {
     import s.implicits._
-    val dF = docs.groupBy(col("source")).agg(count(lit(1)).as("d"))
+    val dF = spine.groupBy(col("source")).agg(count(lit(1)).as("d"))
     val ladder = dF.crossJoin((1L to HeapsC).toDF("c"))
       .select(col("source").as("lsrc"), col("d"),
         greatest(lit(1L), expr(s"(d * c) DIV $HeapsC")).as("crk"))
       .distinct()
-    val cps = docs.select(col("source"), col("doc_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val cps = spine
       .join(ladder, col("source") === col("lsrc") && col("rk") === col("crk"))
       .select(col("lsrc").as("csrc"), col("crk"), col("d"),
         col("doc_id").as("cdoc"))
-    val npt = docs
-      .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("tok"))
-      .join(cps, col("source") === col("csrc") && col("doc_id") <= col("cdoc"))
+    val npt = spine
+      .join(cps, col("source") === col("csrc") && col("rk") <= col("crk"))
       .groupBy(col("csrc"), col("crk"), col("d")).agg(sum(col("tok")).as("nn"))
-    val vpt = docs
-      .select(col("source"), col("doc_id"), explode(col("t")).as("term"))
-      .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("fd"))
+    val vpt = vocab
       .join(cps, col("source") === col("csrc") && col("fd") <= col("cdoc"))
       .groupBy(col("csrc").as("vsrc"), col("crk").as("vrk"))
       .agg(count(lit(1)).as("v"))
-    val pts = npt
+    npt
       .join(vpt, col("csrc") === col("vsrc") && col("crk") === col("vrk"), "left")
       .select(col("csrc").as("source"), col("crk"), col("d"), col("nn"),
         coalesce(col("v"), lit(0L)).as("v"))
+  }
+
+  /** The exact Q20 log-log fit + totals over a growth curve. */
+  private def fitGrowth(curve: DataFrame): DataFrame = {
+    val pts = curve
       .filter(col("nn") >= 1L && col("v") >= 1L)
       .withColumn("x", expr("graft_log2q20(nn, 1L)"))
       .withColumn("y", expr("graft_log2q20(v, 1L)"))
@@ -768,10 +823,7 @@ object TextQueries {
 
   private def q164(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, dir)
-      .select(col("source"), explode(toks).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val counts = srcVocab(s, dir) // standing (source, term, c) artifact
     val byFreq = Window.partitionBy(col("source"))
       .orderBy(col("c").desc, col("term"))
     val pts = counts
@@ -834,10 +886,7 @@ object TextQueries {
     * vocabulary-scale state — then a |S|-row aggregate. The cheapest
     * query shape after q147's. */
   private def q165(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("source"), explode(toks).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    srcVocab(s, dir) // standing (source, term, c) artifact
       .groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),

@@ -69,20 +69,40 @@ class TextGatesPlanShapeSpec extends SparkSpec {
       "the doc frame must never shuffle to meet the bin-phase map")
   }
 
-  test("q163 heaps fit: native log kernel, no cartesian, narrow rank windows") {
+  test("q163 heaps fit: native log kernel, no cartesian, zero windows/scans warm") {
     val p = executedPlan("q163_heaps_law")
-    assert(p.contains("graft_log2q20"),
+    // the registered fit consumes the growth-curve LocalRelation, so
+    // Catalyst legally folds the ≤8·|S| graft_log2q20 calls to literals
+    // at optimization time (ConvertToLocalRelation) — the kernel pin
+    // therefore runs against the GENERIC (non-artifact) fit plan:
+    val generic = TextQueries.heapsFit(spark,
+      graft.Tables.documents(spark, dir).select(
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "filter(split(text, ' '), x -> x <> '')").as("t")))
+      .queryExecution.executedPlan.toString
+    assert(generic.contains("graft_log2q20"),
       "the Q20 log must run as the native codegen expression")
     assert(!p.contains("CartesianProduct"),
       s"the checkpoint cross must broadcast the 8-row ladder:\n$p")
-    // every per-source rank window sorts the NARROW (source, doc_id)
-    // projection — token arrays must never pass through the rank sort
-    val winIn = p.split("\n").sliding(2).collect {
+    // round 10: the per-source rank window and both corpus scans live
+    // in the doc_spine / src_vocab / heaps_growth STANDING ARTIFACTS —
+    // the registered fit consumes the growth-curve LocalRelation, so
+    // its own plan must contain no window and no corpus scan at all
+    assert(!p.contains("Window ["),
+      s"rank window must live in the doc_spine artifact build, not the fit plan:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("text#"),
+      s"the fit must read the growth-curve literals, not re-scan documents:\n$p")
+    // the rank-window discipline itself is pinned on the ARTIFACT build
+    val spinePlan = TextQueries.docSpineBuild(spark, dir)
+      .queryExecution.executedPlan.toString
+    val winIn = spinePlan.split("\n").sliding(2).collect {
       case Array(w, nxt) if w.contains("Window [row_number()") => nxt
     }.toSeq
-    assert(winIn.nonEmpty)
-    winIn.foreach(l => assert(!l.contains("text#") && !l.contains("t#"),
-      s"rank window input must be narrow:\n$l"))
+    assert(winIn.nonEmpty, s"doc_spine build must rank via one window:\n$spinePlan")
+    winIn.foreach(l => assert(!l.contains("text#"),
+      s"rank window input must be narrow (no text column):\n$l"))
   }
 
   test("q164 zipf: rank window runs over the count aggregate, never doc rows") {
