@@ -256,14 +256,27 @@ object BpeQueries {
     * replay of the K merges); only the bounded merge table and piece
     * inventory reach the driver. */
   private[operators] def trained(s: SparkSession, dir: String): TrainedBpe =
-    Artifacts.value(s, dir, "bpe_trained") {
+    Artifacts.storedValue(s, dir, "bpe_trained") {
       var pieces: Seq[String] = null
       val merges = trainCore(vocab(s, dir), MergeSteps) { finalSeg =>
         pieces = finalSeg.select(explode(col("syms")).as("p")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
       }
       TrainedBpe(merges, pieces)
-    }
+    }(t => { // lossless (part, i, s1, s2, v) codec for the trained table
+      import s.implicits._
+      (t.merges.map { case (st, a, b, f) => ("m", st, a, b, f) } ++
+        t.pieces.zipWithIndex.map { case (p, i) => ("p", i.toLong, p, "", 0L) })
+        .toDF("part", "i", "s1", "s2", "v")
+    },
+      df => {
+        val rows = df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        TrainedBpe(
+          rows.filter(_._1 == "m").sortBy(_._2)
+            .map(r => (r._2, r._3, r._4, r._5)).toSeq,
+          rows.filter(_._1 == "p").sortBy(_._2).map(_._3).toSeq)
+      })
 
   /** The full (w, n_tok) token dictionary as a DISTRIBUTED standing
     * artifact: the learned merge folds applied once per distinct

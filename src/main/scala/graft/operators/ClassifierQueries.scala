@@ -80,8 +80,11 @@ object ClassifierQueries {
     * queries broadcast literal rows with zero fit jobs. */
   private def nbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Artifacts.value(s, dir, "nb_model") {
-      val (weights, prior) = fitFrames(s, dir)
-      (Artifacts.local(s, weights), Artifacts.local(s, prior))
+      // lazy: when BOTH store entries exist, the fit never runs; a
+      // cold store derives once and writes both standing tables
+      lazy val fit = fitFrames(s, dir)
+      (Artifacts.localFrame(s, dir, "nb_weights")(fit._1),
+        Artifacts.localFrame(s, dir, "nb_prior")(fit._2))
     }
 
   /** The fit as LAZY frames: (weights — B rows (b, w), prior — one

@@ -108,20 +108,25 @@ object IvfQueries {
   }
 
   /** The built index as a STANDING ARTIFACT ([[Artifacts]]): k-means
-    * is corpus state — q42/q72/q123/q157 (+ the coreset/noise family)
-    * all search the SAME index, and each re-running the full
+    * is corpus state — q39/q42/q72/q123/q157 (+ the coreset/noise
+    * family) all search the SAME index, and each re-running the full
     * Lloyd-iteration build per query was ~0.5 s of identical work.
-    * Assignments are local-checkpointed (corpus-sized, executor-side);
-    * centroids collapse to a K-row LocalRelation. [[writeIndex]] keeps
-    * the fresh build — exporting is exactly the standing-artifact
-    * write path. */
+    * Assignments are a corpus-sized frame artifact (checkpointed, or
+    * a store parquet table); centroids collapse to a K-row
+    * LocalRelation — both DISK-BACKED since round 10, so a warm
+    * session never re-trains (r9 verdict #6). [[writeIndex]] keeps
+    * the explicit cell-partitioned export path. */
   private[operators] def index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Artifacts.value(s, dir, "ivf_index") {
-      val (assigned, centroids) = buildIndex(s, dir)
-      val a = assigned.localCheckpoint(true)
-      val c = Artifacts.local(s, centroids)
-      assigned.unpersist()
-      centroids.unpersist()
+      // one buildIndex serves both pieces on a cold store; a warm
+      // store (or warm memo) never trains at all
+      var built: Option[(DataFrame, DataFrame)] = None
+      def build: (DataFrame, DataFrame) = built.getOrElse {
+        val b = buildIndex(s, dir); built = Some(b); b
+      }
+      val a = Artifacts.frame(s, dir, "ivf_assigned")(build._1)
+      val c = Artifacts.localFrame(s, dir, "ivf_centroids")(build._2)
+      built.foreach { case (ba, bc) => ba.unpersist(); bc.unpersist() }
       (a, c)
     }
 

@@ -105,7 +105,7 @@ object RetrievalQueries {
     * oracle still re-derives everything standalone, so reuse can never
     * mask a wrong result (ArtifactsSpec pins artifact == fresh build). */
   private[operators] def fusedRrf(s: SparkSession, dir: String): DataFrame =
-    Artifacts.value(s, dir, "rrf_fused")(Artifacts.local(s, fusedBuild(s, dir)))
+    Artifacts.localFrame(s, dir, "rrf_fused")(fusedBuild(s, dir))
 
   private def q94(s: SparkSession, dir: String): DataFrame =
     fusedRrf(s, dir).orderBy(col("rrf_score").desc, col("doc_id"))

@@ -233,8 +233,12 @@ object SelectionQueries {
   private def lmModel(
       s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
     Artifacts.value(s, dir, "bigram_lm") {
-      val (_, c2t, c1t, vt) = lmFrames(s, dir)
-      (Artifacts.local(s, c2t), Artifacts.local(s, c1t), vt.head().getLong(0))
+      // lazy: a warm store serves all three standing tables without
+      // ever running the fit; a cold store derives once, writes three
+      lazy val f = lmFrames(s, dir)
+      (Artifacts.localFrame(s, dir, "lm_bigrams")(f._2),
+        Artifacts.localFrame(s, dir, "lm_contexts")(f._3),
+        Artifacts.localFrame(s, dir, "lm_vocab")(f._4).head().getLong(0))
     }
 
   /** The trained LM as collected artifacts (bigram counts, context

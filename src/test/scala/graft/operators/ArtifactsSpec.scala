@@ -249,6 +249,50 @@ class ArtifactsSpec extends SparkSpec {
     assert(qh === qhExpected)
   }
 
+  test("stored VALUE kinds round-trip the store losslessly (PQ, IVF-PQ, BPE, IVF index, rrf)") {
+    def deep3(a: Array[Array[Array[Long]]]) = a.map(_.map(_.toSeq).toSeq).toSeq
+    val storeDir = java.nio.file.Files.createTempDirectory("artval").toString
+    spark.conf.set("spark.graft.artifactStore", storeDir)
+    try {
+      Artifacts.reset()
+      // first session: trains + writes the standing tables
+      val (cent1, pan1) = PqQueries.pqModel(spark, dir)
+      val (co1, fi1, q01) = PqQueries.ivfpqModel(spark, dir)
+      val bpe1 = BpeQueries.trained(spark, dir)
+      val (asg1, c1) = IvfQueries.index(spark, dir)
+      val asgRows1 = asg1.orderBy(col("vec_id")).collect().toSeq
+      val cRows1 = c1.orderBy(col("cell")).collect().toSeq
+      val rrf1 = RetrievalQueries.fusedRrf(spark, dir)
+        .orderBy(col("doc_id")).collect().toSeq
+      val stored = new java.io.File(storeDir).listFiles().map(_.getName)
+      Seq("pq_model", "ivfpq_model", "bpe_trained", "ivf_assigned",
+        "ivf_centroids", "rrf_fused").foreach(n =>
+        assert(stored.exists(_.contains(s"_${n}_v")), s"$n missing from store"))
+      // second "session" (memo cleared): everything must DECODE from
+      // the store — and decode bit-identically to the fresh build
+      Artifacts.reset()
+      val (cent2, pan2) = PqQueries.pqModel(spark, dir)
+      assert(deep3(cent2) === deep3(cent1))
+      assert(pan2.map { case (id, a) => (id, a.toSeq) }.toSeq ===
+        pan1.map { case (id, a) => (id, a.toSeq) }.toSeq)
+      val (co2, fi2, q02) = PqQueries.ivfpqModel(spark, dir)
+      assert(deep3(co2) === deep3(co1))
+      assert(deep3(fi2) === deep3(fi1))
+      assert(q02.toSeq === q01.toSeq)
+      val bpe2 = BpeQueries.trained(spark, dir)
+      assert(bpe2.merges === bpe1.merges)
+      assert(bpe2.pieces === bpe1.pieces)
+      val (asg2, c2) = IvfQueries.index(spark, dir)
+      assert(asg2.orderBy(col("vec_id")).collect().toSeq === asgRows1)
+      assert(c2.orderBy(col("cell")).collect().toSeq === cRows1)
+      assert(RetrievalQueries.fusedRrf(spark, dir)
+        .orderBy(col("doc_id")).collect().toSeq === rrf1)
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset()
+    }
+  }
+
   test("artifacts are memoized and survive catalog.clearCache") {
     val a = CorpusQueries.clusterMap(spark, dir)
     val n = a.count()
