@@ -26,15 +26,22 @@ object ScratchStream10x {
     val dir = if (args.nonEmpty) args(0) else "/root/repo/tmp_sf1"
     val shards = if (args.length > 1) args(1).toInt else 16
     val filesPerTrigger = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder().master("local[32]")
+    // arg 4 = state-store provider: "rocksdb" (the production disk-backed
+    // store — the round-10 100× protocol) or default HDFS-backed memory
+    val rocks = args.length > 3 && args(3) == "rocksdb"
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    if (rocks) builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    println(s"STREAMCFG dir=$dir shards=$shards filesPerTrigger=$filesPerTrigger " +
+      s"stateStore=${if (rocks) "rocksdb" else "hdfs-memory"}")
     val work = java.nio.file.Files.createTempDirectory("stream10x").toString
     // shard the replica tables so the file source yields real
     // micro-batches (source setup — not part of any measured stream)
