@@ -443,11 +443,19 @@ object IvfQueries {
       col("label").as("a_label"), col("v").as("avv"), col("nrm").as("an"))
     val b = av.select(col("vec_id").as("bid"), col("cell"),
       col("label").as("b_label"), col("v").as("bv"), col("nrm").as("bn"))
+    // window partitioned by (cell, aid), not aid alone: aid determines
+    // cell, so the groups are identical — but the pair stream leaves
+    // the cell-equi join already hash-partitioned by cell, and
+    // HashPartitioning(cell) SATISFIES ClusteredDistribution(cell, aid)
+    // (subset rule), so the N²/K-row pair stream is never re-exchanged
+    // for the ranking: only a per-partition sort runs (the exchange
+    // was ~14 GB at the 100× replica)
     val winners = a.join(b, Seq("cell")).filter(col("aid") =!= col("bid"))
       .withColumn("sim",
         Det.rate(VectorMath.cosine(s, "avv", "bv", col("an"), col("bn"))))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("aid")).orderBy(col("sim").desc, col("bid"))))
+        Window.partitionBy(col("cell"), col("aid"))
+          .orderBy(col("sim").desc, col("bid"))))
       .filter(col("rn") <= NoiseVoteK)
       .groupBy(col("aid"), col("a_label"), col("b_label"))
       .agg(count(lit(1)).as("votes"))
