@@ -38,6 +38,31 @@ class IvfSpec extends SparkSpec {
       (1L to rows.length).toSeq))
   }
 
+  test("q157 plan: the pair stream is never re-exchanged for the neighbor ranking") {
+    // the r10 fix: the top-10 window partitions on (cell, aid), so the
+    // cell-equi join's HashPartitioning(cell) satisfies the clustering
+    // requirement (subset rule) and the ~N²/K pair rows sort LOCALLY —
+    // an exchange here was ~14 GB at the 100× replica
+    val df = SparkEntry.queries("q157_label_noise")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit [cell"),
+      s"expected the rank-limit pushdown over (cell, aid):\n$p")
+    // physical plans print children after parents: the segment from
+    // the (cell, aid) pair window down to the cell join is the pair
+    // stream — NOTHING in it may exchange (the later vote/confusion
+    // windows on post-agg rows legitimately hash on aid, so the pin
+    // is scoped, not blanket)
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("windowspecdefinition(cell"))
+    val joinIdx = lines.indexWhere(_.contains("Join "), winIdx)
+    assert(winIdx >= 0 && joinIdx > winIdx, s"plan shape changed:\n$p")
+    val between = lines.slice(winIdx, joinIdx)
+    assert(!between.exists(_.contains("Exchange")),
+      s"the pair stream must sort locally, not re-exchange:\n${between.mkString("\n")}")
+  }
+
   test("q42 recall vs brute force is meaningfully above random") {
     val ivf = SparkEntry.queries("q42_cosine_ivf")(spark, dir).collect()
       .groupBy(_.getAs[Long]("qid"))
