@@ -434,29 +434,53 @@ object IvfQueries {
     * confusion rollup is |labels|² rows with q12's zero-fill. */
   private val NoiseVoteK = 10
 
+  /** Packing width for (sim, bid) → one BIGINT: 21 high bits carry the
+    * µ-rounded similarity shifted to [0, 2·10⁶], 42 low bits carry the
+    * bit-complemented neighbor id, so `packed DESC` == `(sim DESC,
+    * bid ASC)` as one integer comparison. Ids must stay < 2⁴² (≈4.4
+    * · 10¹²; the 100× replica tops out at ~10⁹). */
+  private val PackBits = 42
+
   private def q157(s: SparkSession, dir: String): DataFrame = {
     val (assigned, _) = index(s, dir)
     val lab = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val av = assigned.join(lab, Seq("vec_id"))
-    val a = av.select(col("vec_id").as("aid"), col("cell"),
-      col("label").as("a_label"), col("v").as("avv"), col("nrm").as("an"))
-    val b = av.select(col("vec_id").as("bid"), col("cell"),
-      col("label").as("b_label"), col("v").as("bv"), col("nrm").as("bn"))
-    // window partitioned by (cell, aid), not aid alone: aid determines
-    // cell, so the groups are identical — but the pair stream leaves
-    // the cell-equi join already hash-partitioned by cell, and
-    // HashPartitioning(cell) SATISFIES ClusteredDistribution(cell, aid)
-    // (subset rule), so the N²/K-row pair stream is never re-exchanged
-    // for the ranking: only a per-partition sort runs (the exchange
-    // was ~14 GB at the 100× replica)
+    val a = assigned.join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("aid"), col("cell"),
+        col("label").as("a_label"), col("v").as("avv"), col("nrm").as("an"))
+    // the b side carries no label: only the packed (sim, bid) survives
+    // the top-k selection, and labels join back on the ≤ 10·N winners
+    val b = assigned.select(col("vec_id").as("bid"), col("cell"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    // Top-10-neighbor selection WITHOUT a window: the row_number form
+    // needed the whole ~N²/K pair stream SORTED per partition (the
+    // exchange was already elided — the cell-equi join's
+    // HashPartitioning(cell) satisfies the (cell, aid) clustering by
+    // the subset rule, and the same rule keeps THIS aggregate
+    // exchange-free — but the sort itself measured ~30 s of q157's
+    // 41 s at the 100× replica). graft_topk (native bounded top-k
+    // aggregate, O(k) state per vector) selects the identical rows in
+    // one O(rows) hash-agg pass over the packed (sim, bid) longs.
+    // The fallback threshold must exceed groups-per-task (default 128
+    // would fall back to sort-based aggregation and reintroduce the
+    // sort); 1M keys ≈ 150 MB of 10-long buffers, and past it the
+    // sort-based fallback is the correct spill path anyway.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
+    val mask = (1L << PackBits) - 1
     val winners = a.join(b, Seq("cell")).filter(col("aid") =!= col("bid"))
       .withColumn("sim",
         Det.rate(VectorMath.cosine(s, "avv", "bv", col("an"), col("bn"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cell"), col("aid"))
-          .orderBy(col("sim").desc, col("bid"))))
-      .filter(col("rn") <= NoiseVoteK)
+      .withColumn("packed",
+        (expr("CAST(floor(sim * 1e6 + 0.5) AS BIGINT)") + lit(1000000L)) *
+          lit(1L << PackBits) + (lit(mask) - col("bid")))
+      .groupBy(col("cell"), col("aid"), col("a_label"))
+      .agg(expr(s"graft_topk(packed, $NoiseVoteK)").as("top"))
+      .select(col("aid"), col("a_label"), explode(col("top")).as("pk"))
+      .select(col("aid"), col("a_label"),
+        (lit(mask) - (col("pk") % lit(1L << PackBits))).as("bid"))
+      .join(lab.select(col("vec_id").as("bid"), col("label").as("b_label")),
+        Seq("bid"))
       .groupBy(col("aid"), col("a_label"), col("b_label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(

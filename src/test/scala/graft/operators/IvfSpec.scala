@@ -38,29 +38,37 @@ class IvfSpec extends SparkSpec {
       (1L to rows.length).toSeq))
   }
 
-  test("q157 plan: the pair stream is never re-exchanged for the neighbor ranking") {
-    // the r10 fix: the top-10 window partitions on (cell, aid), so the
-    // cell-equi join's HashPartitioning(cell) satisfies the clustering
-    // requirement (subset rule) and the ~N²/K pair rows sort LOCALLY —
-    // an exchange here was ~14 GB at the 100× replica
+  test("q157 plan: the pair stream is never exchanged OR sorted for the neighbor ranking") {
+    // the r10 shape: top-10 selection runs as the native graft_topk
+    // bounded aggregate grouped on (cell, aid, a_label) — the cell-equi
+    // join's HashPartitioning(cell) satisfies the clustering
+    // requirement (subset rule) so the ~N²/K pair stream is never
+    // re-exchanged, and the hash aggregate replaces the row_number
+    // window's per-partition SORT (an exchange here was ~14 GB and the
+    // sort ~30 s at the 100× replica)
     val df = SparkEntry.queries("q157_label_noise")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(p.contains("WindowGroupLimit [cell"),
-      s"expected the rank-limit pushdown over (cell, aid):\n$p")
+    assert(p.contains("graft_topk"),
+      s"expected the native bounded top-k aggregate:\n$p")
     // physical plans print children after parents: the segment from
-    // the (cell, aid) pair window down to the cell join is the pair
-    // stream — NOTHING in it may exchange (the later vote/confusion
-    // windows on post-agg rows legitimately hash on aid, so the pin
+    // the top-k aggregate down to the cell join is the pair stream —
+    // nothing in it may exchange or sort (later vote/confusion
+    // operators on post-agg rows legitimately hash on aid, so the pin
     // is scoped, not blanket)
+    // the PARTIAL aggregate collapses each task's pairs to O(groups·k)
+    // buffers, so any exchange between partial and final is bounded
+    // and legitimate; the pin is on the segment BELOW the partial
+    // aggregate — the raw pair stream — which must reach it straight
+    // from the join with no exchange and no sort
     val lines = p.split("\n")
-    val winIdx = lines.indexWhere(_.contains("windowspecdefinition(cell"))
-    val joinIdx = lines.indexWhere(_.contains("Join "), winIdx)
-    assert(winIdx >= 0 && joinIdx > winIdx, s"plan shape changed:\n$p")
-    val between = lines.slice(winIdx, joinIdx)
-    assert(!between.exists(_.contains("Exchange")),
-      s"the pair stream must sort locally, not re-exchange:\n${between.mkString("\n")}")
+    val aggIdx = lines.indexWhere(_.contains("partial_graft_topk"))
+    val joinIdx = lines.indexWhere(_.contains("Join "), aggIdx)
+    assert(aggIdx >= 0 && joinIdx > aggIdx, s"plan shape changed:\n$p")
+    val between = lines.slice(aggIdx, joinIdx)
+    assert(!between.exists(l => l.contains("Exchange") || l.contains("Sort ")),
+      s"the pair stream must hash-aggregate in place:\n${between.mkString("\n")}")
   }
 
   test("q42 recall vs brute force is meaningfully above random") {
