@@ -75,7 +75,9 @@ object Bench {
         // silently reuse the first run's cached intermediates
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { sp.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        try sp.withConfs(spark) {
+          sp.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }

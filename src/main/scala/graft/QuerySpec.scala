@@ -23,13 +23,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               queries won by >80 ms in BOTH pairs). Correctness runs
   *               (Verify) ignore the flag: results are identical either
   *               way, this is a latency-only knob.
+  * @param confs  session confs this query's EXECUTION needs (applied by
+  *               the harnesses around the run, previous values restored
+  *               after). For runtime-settable knobs that must not leak to
+  *               the rest of a long-lived session — e.g. q157 raises the
+  *               object-agg sort-fallback threshold past its groups-per-
+  *               task, which would be a memory-safety regression for every
+  *               OTHER object aggregate (collect_list buffers…) if left
+  *               set. Execution is lazy, so the query fn itself cannot
+  *               scope these. Correctness never depends on them.
   */
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
     fn: (SparkSession, String) => DataFrame,
     aqe: Boolean = true,
-)
+    confs: Map[String, String] = Map.empty,
+) {
+
+  /** Run `body` with [[confs]] applied, restoring prior values after —
+    * the scoping helper Verify/Bench/specs share. */
+  def withConfs[T](spark: SparkSession)(body: => T): T = {
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
 
 /** Parquet table loaders for the driver-generated testdata
   * (/root/repo/TESTDATA.md). One parquet file per table.

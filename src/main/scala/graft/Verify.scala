@@ -17,13 +17,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => wanted.isEmpty || wanted.contains(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    QueryCatalog.all
+      .filter(sp => wanted.isEmpty || wanted.contains(sp.name))
+      .foreach { sp =>
+      // per-spec execution confs (QuerySpec.confs) scope around the
+      // run and restore after — results never depend on them
+      try sp.withConfs(spark) {
+        sp.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${sp.name}")
+      }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ${sp.name} failed: ${e.getMessage}")
       }
       // queries that persist intermediates (IVF centroids, LSH shingle
       // tables) must not stack cached blocks across a 51-query session

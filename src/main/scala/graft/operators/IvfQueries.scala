@@ -461,12 +461,11 @@ object IvfQueries {
     // 41 s at the 100× replica). graft_topk (native bounded top-k
     // aggregate, O(k) state per vector) selects the identical rows in
     // one O(rows) hash-agg pass over the packed (sim, bid) longs.
-    // The fallback threshold must exceed groups-per-task (default 128
-    // would fall back to sort-based aggregation and reintroduce the
-    // sort); 1M keys ≈ 150 MB of 10-long buffers, and past it the
-    // sort-based fallback is the correct spill path anyway.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 20).toString)
+    // The object-agg fallback threshold must exceed groups-per-task
+    // (the 128-key default would fall back to sort-based aggregation
+    // and reintroduce the sort) — set per-run via QuerySpec.confs, NOT
+    // here: execution is lazy and a session-wide set would weaken the
+    // memory-safety fallback of every OTHER object aggregate.
     val mask = (1L << PackBits) - 1
     val winners = a.join(b, Seq("cell")).filter(col("aid") =!= col("bid"))
       .withColumn("sim",
@@ -545,6 +544,11 @@ object IvfQueries {
     QuerySpec("q42_cosine_ivf", Some(q42Sql), q42),
     QuerySpec("q72_semantic_dedup", Some(q72Sql), q72),
     QuerySpec("q123_cluster_margin", Some(q123Sql), q123),
-    QuerySpec("q157_label_noise", Some(q157Sql), q157, aqe = false),
+    QuerySpec("q157_label_noise", Some(q157Sql), q157, aqe = false,
+      // graft_topk groups-per-task must fit the object-agg hash map
+      // (1M keys ≈ 150 MB of 10-long buffers; past it the sort-based
+      // fallback is the correct spill path)
+      confs = Map("spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        -> (1 << 20).toString)),
   )
 }
