@@ -30,11 +30,13 @@ object FloorProbe {
       } catch { case _: Throwable => () }
     }
     args.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      (1 to 4).foreach { i =>
+      // through the spec so per-query execution confs apply (and are
+      // restored), matching what Verify/Bench measure
+      val sp = QueryCatalog.byName(name)
+      (1 to 4).foreach { i => sp.withConfs(spark) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
+        val df = sp.fn(spark, sfDir)
         val qe = df.queryExecution
         qe.analyzed
         val t1 = System.nanoTime()
@@ -47,7 +49,7 @@ object FloorProbe {
         println(f"FLOOR $name run$i analyze=${(t1 - t0) / 1e6}%.0fms " +
           f"optimize=${(t2 - t1) / 1e6}%.0fms plan=${(t3 - t2) / 1e6}%.0fms " +
           f"exec=${(t4 - t3) / 1e6}%.0fms total=${(t4 - t0) / 1e6}%.0fms")
-      }
+      }}
     }
     spark.stop()
   }

@@ -14,7 +14,10 @@ object PlanAudit {
       "q03_filter_project", "q04_star_join", "q08_topk_revenue", "q28_cosine_topk")
     names.foreach { n =>
       println(s"########## $n ##########")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // through the spec so per-query execution confs shape the
+      // audited plan exactly as they shape the benched one
+      val sp = QueryCatalog.byName(n)
+      sp.withConfs(spark)(sp.fn(spark, dir).explain("formatted"))
     }
     spark.stop()
   }

@@ -15,15 +15,20 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).agg(org.apache.spark.sql.functions.sum("id")).collect()
     args.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // through the spec so per-query execution confs apply (and are
+      // restored), matching what Verify/Bench measure
+      val sp = QueryCatalog.byName(name)
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        sp.withConfs(spark) {
+          sp.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
         (System.nanoTime() - t0) / 1e9
       }
       println(f"QTIME $name best=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
-      if (sys.env.contains("QTIME_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      if (sys.env.contains("QTIME_EXPLAIN"))
+        sp.withConfs(spark)(sp.fn(spark, sfDir).explain("formatted"))
     }
     spark.stop()
   }

@@ -45,6 +45,16 @@ object SparkEntry {
 
 /** All registered query specs, grouped by operator family. */
 object QueryCatalog {
+
+  /** Resolve one spec by its registered name. Auxiliary drivers
+    * (QTime / FloorProbe / PlanAudit / ScratchTime) MUST go through
+    * this + [[QuerySpec.withConfs]] rather than the bare name→fn map:
+    * a spec's execution confs (e.g. q157's object-agg sort-fallback
+    * threshold) are applied by Verify/Bench, and a probe that skips
+    * them measures a different plan than the recorded numbers. */
+  def byName(name: String): QuerySpec =
+    all.find(_.name == name).getOrElse(throw new NoSuchElementException(
+      s"no registered query named '$name'"))
   def all: Seq[QuerySpec] =
     operators.RelationalQueries.specs ++
       operators.TextQueries.specs ++

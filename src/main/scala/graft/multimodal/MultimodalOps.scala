@@ -189,7 +189,15 @@ object MultimodalOps {
           } else if (inMovi && isFrameId(id) && size > 0 && dataEnd > dataStart) {
             frames += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
           }
-          off = dataStart + size.toInt + (size.toInt & 1) // even-pad
+          // advance in LONG arithmetic: size is an unsigned 32-bit field,
+          // so a crafted 0xFFFFFFF8 would wrap `size.toInt` to a zero (or
+          // negative) step and the walk would re-read the same chunk
+          // forever — an executor-task hang no NonFatal catch can stop.
+          // In Long the offset strictly increases by ≥ 8 per chunk, so
+          // termination is structural; an overrunning size just clamps
+          // to `end` (same truncated-tail behavior as dataEnd above).
+          val next = dataStart.toLong + size + (size & 1L) // even-pad
+          off = if (next > end) end else next.toInt
         }
       }
       walk(12, b.length, inMovi = false) // skip RIFF size + 'AVI '

@@ -120,23 +120,36 @@ object Artifacts {
     val path = s"$store/${tag}_$tagged"
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     // Trust an existing directory only if the parquet committer's
     // _SUCCESS marker is present: a crashed first build leaves a
     // partial directory that a bare exists() would accept, silently
     // serving a truncated standing artifact to every later session.
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    if (committed(target)) path
+    else {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$path.tmp-${s.sparkContext.applicationId}")
       build.write.mode("overwrite").parquet(tmp.toString)
       // a no-_SUCCESS target can only be a dead partial — clear it so
       // rename lands; if another session committed in the meantime,
       // keep theirs and drop ours (first-wins, same as the memo)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
-          (fs.exists(target) && !fs.delete(target, true)) ||
-          !fs.rename(tmp, target))
-        fs.delete(tmp, true)
+      if (!committed(target) &&
+          (!fs.exists(target) || fs.delete(target, true)))
+        fs.rename(tmp, target)
+      // Re-verify the commit actually landed before handing the path
+      // out: an undeletable dead partial or a failed rename would
+      // otherwise serve truncated parquet — the exact failure the
+      // _SUCCESS check exists to prevent. Fall back to our own
+      // complete tmp build (it carries its own _SUCCESS) so this
+      // session still reads correct data; the dead target is left for
+      // the next session's retry. Fail loudly only when neither
+      // directory holds a complete build.
+      if (committed(target)) { fs.delete(tmp, true); path }
+      else if (committed(tmp)) tmp.toString
+      else throw new IllegalStateException(
+        s"artifact store commit failed: no complete build at $path or $tmp")
     }
-    path
   }
 
   /** get → build OUTSIDE the map → putIfAbsent. NOT computeIfAbsent:
@@ -187,11 +200,17 @@ object Artifacts {
     }
 
   /** Memoized driver-side value (e.g. a learned merge table — bounded
-    * by construction; never corpus-scale data). */
+    * by construction; never corpus-scale data). The resolved store
+    * path is part of the memo key even though `value` itself never
+    * touches the store: composites wrapped in `value` (ivf_index,
+    * nb_model, bigram_lm) hold inner frame/localFrame results whose
+    * keys include it, so flipping `spark.graft.artifactStore` after
+    * first touch must re-resolve the composition, not serve the
+    * previously-configured one (r10 ADVICE). */
   private[operators] def value[T <: AnyRef](
       s: SparkSession, dir: String, name: String)(build: => T): T =
     if (!enabled) build
-    else memoized(key(s, dir, s"value:$name"))(build)
+    else memoized(key(s, dir, s"value:${storePath(s)}:$name"))(build)
 
   /** Memoized driver-side value that is DISK-BACKED when the store is
     * configured: the first build writes `encode(v)` as the standing

@@ -17,13 +17,13 @@ object ScratchTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).agg(org.apache.spark.sql.functions.sum("id")).collect()
     names.foreach { name =>
-      val sp = QueryCatalog.all.find(_.name == name).get
-      (1 to 5).foreach { i =>
+      val sp = QueryCatalog.byName(name)
+      (1 to 5).foreach { i => sp.withConfs(spark) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         sp.fn(spark, dir).write.mode("overwrite").format("noop").save()
         println(f"[scratch] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+      }}
     }
     spark.stop()
   }

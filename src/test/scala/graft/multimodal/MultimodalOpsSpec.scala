@@ -111,6 +111,35 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(dec.decode("video", noFrames).toSeq === noFrames.toSeq)
   }
 
+  test("AVI walk terminates on crafted size fields (no executor hang)") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dec = new MediaDecoder()
+    // a chunk whose unsigned size is 0xFFFFFFF8 made the old int-wrapped
+    // advance exactly 0 — the walk re-read the same chunk forever (an
+    // executor hang no NonFatal catch can interrupt). Also probe the
+    // odd-pad twin 0xFFFFFFF7 and a mid-range back-jumping value.
+    for (size <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0x80000000L, 0xFFFFFFFFL)) {
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "junk".getBytes("US-ASCII") ++ le32(size) ++ new Array[Byte](32)
+      val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+      // must return (identity fallback), not loop: payloads are empty
+      assert(dec.aviFramePayloads(avi).isEmpty)
+      assert(dec.decode("video", avi).toSeq === avi.toSeq)
+    }
+    // same crafted size on a frame chunk inside a movi LIST: the walk
+    // must terminate after the (truncated-tail) extraction, and the
+    // non-JPEG payload keeps the identity fallback
+    val inner = "00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++ new Array[Byte](16)
+    val moviBody = "movi".getBytes("US-ASCII") ++ inner
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(moviBody.length.toLong) ++ moviBody
+    val body2 = "AVI ".getBytes("US-ASCII") ++ movi
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(body2.length.toLong) ++ body2
+    assert(dec.aviFramePayloads(avi2).length <= 1)
+    assert(dec.decode("video", avi2).toSeq === avi2.toSeq)
+  }
+
   test("sampleFrames extracts REAL every-k RGB frames from AVI payloads") {
     import spark.implicits._
     val jpegs = (0 until 5).map(i => solidJpeg(0x102030 * (i + 1)))

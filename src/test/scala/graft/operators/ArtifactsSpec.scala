@@ -191,6 +191,30 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("value memo re-resolves when the store conf flips (composite keys include store)") {
+    // composites wrapped in Artifacts.value (ivf_index, nb_model,
+    // bigram_lm) hold inner frame results whose memo keys include the
+    // resolved store; the outer value key must too, or flipping the
+    // conf after first touch serves the previously-resolved composition
+    val storeDir = java.nio.file.Files.createTempDirectory("artvalflip").toString
+    var builds = 0
+    def get(): String =
+      Artifacts.value(spark, "/tmp/valflip_probe", "valflip_probe") {
+        builds += 1; s"build$builds"
+      }
+    try {
+      assert(get() === "build1")
+      assert(get() === "build1", "same config: memoized")
+      spark.conf.set("spark.graft.artifactStore", storeDir)
+      assert(get() === "build2", "store flip must re-resolve the value")
+      spark.conf.unset("spark.graft.artifactStore")
+      assert(get() === "build1", "the no-store form is still memoized")
+    } finally {
+      spark.conf.unset("spark.graft.artifactStore")
+      Artifacts.reset()
+    }
+  }
+
   test("disk store: a builder-version bump stops matching the old entry and rebuilds") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("artver_data").toString
