@@ -428,7 +428,7 @@ object PipelineQueries {
     * 0-based token positions, [st, en) half-open, islands DISJOINT by
     * construction (the gaps-and-islands merge). Shared by q90 (profile)
     * and q117 (scrub) so the two agree on what a duplicated span IS. */
-  private def dupIslands(docs: DataFrame): DataFrame = {
+  private[operators] def dupIslands(docs: DataFrame): DataFrame = {
     val wins = docs.filter(size(col("t")) >= SpanW)
       .select(col("doc_id"),
         posexplode(expr(
@@ -458,9 +458,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("st"), col("en"))
   }
 
+  /** The island table as a STANDING ARTIFACT: q90 and q117 each
+    * re-ran the full window-hash pipeline (rolling md5 over every
+    * token position → 16-byte-hash shuffle → two doc-partitioned
+    * windows) to re-derive the SAME disjoint island set — 27 + 27 s
+    * at the 100× replica, the #2 warm cost after the gram explodes.
+    * The islands are corpus state (narrow: doc_id + two longs,
+    * bounded by n_tokens/W rows per doc and in practice far fewer),
+    * so they are built once per dataset; the registered consumers
+    * keep only their own scan-side work (q90: the per-source rollup
+    * over doc token counts; q117: the text scrub + fingerprint). */
+  private[operators] def dupIslandsFrame(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "dup_islands")(dupIslands(spanDocs(s, dir)))
+
   private def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(s, dir)
-    val spans = dupIslands(docs)
+    val spans = dupIslandsFrame(s, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("en") - col("st")).as("dup_tokens"))
     docs.select(col("doc_id"), col("source"), col("n_tokens"))
@@ -703,7 +716,7 @@ object PipelineQueries {
     * (few) island structs against the text scan. */
   private def q117(s: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(s, dir)
-    val spans = dupIslands(docs)
+    val spans = dupIslandsFrame(s, dir)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("st"), col("en"))).as("spans"),
         sum(col("en") - col("st")).as("dup_tokens"))

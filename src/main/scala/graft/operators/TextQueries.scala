@@ -410,6 +410,58 @@ object TextQueries {
        |ORDER BY ks.k""".stripMargin
 
   // ---------------------------------------------------------------- q134
+  /** The per-(source, n, gram) count table for n = 1..3 as a STANDING
+    * ARTIFACT — the substrate of the n-gram-statistics family. q134
+    * (diversity) and q167 (Kneser-Ney discounts) each ran the IDENTICAL
+    * flattened three-order gram explode over the whole corpus: at the
+    * 100× replica those were the top two warm lines (35 + 33 s of pure
+    * repeated scan work). The count table is corpus state exactly like
+    * [[srcVocab]] — gram-VOCABULARY-scale rows (Heaps-bounded, far
+    * below token count), corpus-scale only on the build's map side —
+    * so it is built once per dataset and every consumer reads rollups.
+    *
+    * Each doc emits all three gram lengths from one split via a
+    * flattened array-of-structs (guarded per length — sequence(0,
+    * size-n) on a short doc would RUN BACKWARDS and fabricate grams),
+    * then ONE shuffle keyed (source, n, gram) with map-side combine.
+    * Tokens are the non-empty whitespace tokens (the [[docSpine]] /
+    * q118 / q167 convention; q134 historically split raw — identical
+    * on any corpus without empty tokens, and its oracle now states the
+    * filtered form explicitly). */
+  private[operators] val gramStructsExpr: String = (1 to 3).map { n =>
+    s"if(size(t) >= $n, transform(sequence(0, size(t)-$n), " +
+      s"i -> struct($n as n, concat_ws(' ', slice(t, i+1, $n)) as g)), " +
+      "cast(array() as array<struct<n: int, g: string>>))"
+  }.mkString("flatten(array(", ", ", "))")
+
+  private[operators] def gramCounts(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "gram_counts")(gramCountsBuild(s, dir))
+
+  /** The builder, exposed so the plan spec can pin the one-exchange
+    * discipline on the BUILD plan (the registered consumers read the
+    * artifact and must not scan the corpus at all). */
+  private[operators] def gramCountsBuild(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .select(col("source"), explode(expr(gramStructsExpr)).as("x"))
+      .groupBy(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Shared oracle CTE: the same (source, n, gram) → count table. */
+  private val gramCountsSql = {
+    def arm(n: Int) =
+      s"""SELECT source, $n AS n,
+         |       unnest(list_transform(generate_series(0, len(t)-$n),
+         |              i -> array_to_string(list_slice(t, i+1, i+$n), ' '))) AS g
+         |FROM t WHERE len(t) >= $n""".stripMargin
+    s"""t AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM documents),
+       |g AS (${(1 to 3).map(arm).mkString("\n", "\nUNION ALL\n", "\n")}),
+       |gc AS (SELECT source, n, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM g GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   /** Per-source distinct-n-gram diversity (n = 1, 2, 3) — the
     * "distinct-n" corpus-diversity block of a dataset card (the
     * corpus-level form of generation diversity metrics; low distinct-2/
@@ -419,43 +471,26 @@ object TextQueries {
     * top-K vocabulary — none measures within-source bigram/trigram
     * repetition, which is where template spam concentrates.
     *
-    * One corpus scan: each doc emits all three gram lengths from one
-    * cached split via a flattened array-of-structs (guarded per length
-    * — sequence(0, size-n) on a short doc would RUN BACKWARDS and
-    * fabricate grams), then ONE shuffle keyed (source, n, gram) feeds
-    * both the total and the distinct count (partial-distinct two-phase
-    * agg; vocab-scale state, corpus-scale only in the map side).
+    * Reads the [[gramCounts]] standing artifact: total = Σc and
+    * distinct = row count per (source, n) — the (source, n, gram) key
+    * makes countDistinct a plain count, so the rollup is one map-side-
+    * combined aggregate over vocabulary-scale rows, no corpus scan.
     * distinct_ppm = 10⁶·distinct div total, exact integers. */
-  private def q134(s: SparkSession, dir: String): DataFrame = {
-    val gramStructs = (1 to 3).map { n =>
-      s"if(size(t) >= $n, transform(sequence(0, size(t)-$n), " +
-        s"i -> struct($n as n, concat_ws(' ', slice(t, i+1, $n)) as g)), " +
-        "cast(array() as array<struct<n: int, g: string>>))"
-    }.mkString("flatten(array(", ", ", "))")
-    Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("source"), split(col("text"), " ").as("t"))
-      .select(col("source"), explode(expr(gramStructs)).as("x"))
-      .groupBy(col("source"), col("x.n").as("n"))
-      .agg(count(lit(1)).as("total_grams"),
-        countDistinct(col("x.g")).as("distinct_grams"))
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    gramCounts(s, dir)
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
       .withColumn("distinct_ppm",
         expr("distinct_grams * 1000000L DIV total_grams"))
       .orderBy(col("source"), col("n"))
-  }
 
-  private val q134Sql = {
-    def arm(n: Int) =
-      s"""SELECT source, $n AS n,
-         |       unnest(list_transform(generate_series(0, len(t)-$n),
-         |              i -> array_to_string(list_slice(t, i+1, i+$n), ' '))) AS g
-         |FROM t WHERE len(t) >= $n""".stripMargin
-    s"""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-       |g AS (${(1 to 3).map(arm).mkString("\n", "\nUNION ALL\n", "\n")})
-       |SELECT source, n, count(*) AS total_grams,
-       |       count(DISTINCT g) AS distinct_grams,
-       |       count(DISTINCT g) * 1000000 // count(*) AS distinct_ppm
-       |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin
-  }
+  private val q134Sql =
+    s"""WITH $gramCountsSql
+       |SELECT source, n, CAST(sum(c) AS BIGINT) AS total_grams,
+       |       CAST(count(*) AS BIGINT) AS distinct_grams,
+       |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS distinct_ppm
+       |FROM gc GROUP BY 1, 2 ORDER BY source, n""".stripMargin
 
   // --------------------------------------------------------------- q147
   /** Gopher-rule rejection matrix (Rae et al. 2021 §A.1.1, the
@@ -987,26 +1022,21 @@ object TextQueries {
     * consumes a smoother, this measures the corpus statistics that
     * FIT one.
     *
-    * Scale: one flattened three-order gram explode (q134's guarded
-    * struct move) into a map-side-combined (n, gram) count, then the
-    * count-of-counts collapse to 3 rows — gram-vocabulary-scale
-    * state, corpus-scale only on the map side. */
+    * Scale: reads the [[gramCounts]] standing artifact — the corpus
+    * explode ran once at artifact-build time; what remains is one
+    * vocabulary-scale (n, gram) re-aggregate (a gram occurring in
+    * several sources sums its per-source counts — count multisets are
+    * additive, so the global count table is a rollup of the per-source
+    * one), then the count-of-counts collapse to 3 rows. */
   private def q167(s: SparkSession, dir: String): DataFrame = {
-    val gramStructs = (1 to 3).map { n =>
-      s"if(size(t) >= $n, transform(sequence(0, size(t)-$n), " +
-        s"i -> struct($n as n, concat_ws(' ', slice(t, i+1, $n)) as g)), " +
-        "cast(array() as array<struct<n: int, g: string>>))"
-    }.mkString("flatten(array(", ", ", "))")
     def dmilli(numExpr: String, denExpr: String, guard: String) =
       s"""CASE WHEN $guard THEN CAST(
          |  (CAST($numExpr AS DECIMAL(38,0)) * 1000
          |   - pmod(CAST($numExpr AS DECIMAL(38,0)) * 1000, $denExpr))
          |  DIV ($denExpr) AS BIGINT) END""".stripMargin
-    Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-      .select(explode(expr(gramStructs)).as("x"))
-      .groupBy(col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("c"))
+    gramCounts(s, dir)
+      .groupBy(col("n"), col("g"))
+      .agg(sum(col("c")).as("c"))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("distinct_grams"), sum(col("c")).as("total_grams"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
@@ -1030,21 +1060,13 @@ object TextQueries {
   }
 
   private val q167Sql = {
-    def arm(n: Int) =
-      s"""SELECT $n AS n,
-         |       unnest(list_transform(generate_series(0, len(t)-$n),
-         |              i -> array_to_string(list_slice(t, i+1, i+$n), ' '))) AS g
-         |FROM t WHERE len(t) >= $n""".stripMargin
     def dmilli(num: String, den: String, guard: String) =
       s"""CASE WHEN $guard THEN CAST(
          |  ((($num)::HUGEINT * 1000) - ((((($num)::HUGEINT * 1000) % ($den)) + ($den)) % ($den)))
          |  // ($den) AS BIGINT) END""".stripMargin
-    s"""WITH t AS (
-       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |  FROM documents
-       |), g AS (${(1 to 3).map(arm).mkString("\n", "\nUNION ALL\n", "\n")}),
+    s"""WITH $gramCountsSql,
        |c AS (
-       |  SELECT n, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY n, g
+       |  SELECT n, g, CAST(sum(c) AS BIGINT) AS c FROM gc GROUP BY n, g
        |), cc AS (
        |  SELECT n, CAST(count(*) AS BIGINT) AS distinct_grams,
        |         CAST(sum(c) AS BIGINT) AS total_grams,

@@ -44,6 +44,37 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("gram_counts artifact equals a fresh inline gram-count derivation") {
+    val art = TextQueries.gramCounts(spark, dir)
+      .orderBy(col("source"), col("n"), col("g")).collect().toSeq
+    val fresh = TextQueries.gramCountsBuild(spark, dir)
+      .orderBy(col("source"), col("n"), col("g")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+    // substrate invariant the q134/q167 rollups rely on: (source, n,
+    // gram) is a KEY — distinct-gram counts are plain row counts
+    assert(art.map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .distinct.size === art.size)
+  }
+
+  test("dup_islands artifact equals a fresh inline island derivation") {
+    val art = PipelineQueries.dupIslandsFrame(spark, dir)
+      .orderBy(col("doc_id"), col("st")).collect().toSeq
+    val fresh = PipelineQueries.dupIslands(PipelineQueries.spanDocs(spark, dir))
+      .orderBy(col("doc_id"), col("st")).collect().toSeq
+    assert(art.nonEmpty, "testdata must contain cross-doc duplicated spans")
+    assert(art === fresh)
+    // disjointness — the structural contract q117's kept-token
+    // identity (kept = n_tokens − dup) depends on
+    art.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val spans = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq((_, en1), (st2, _)) => assert(st2 > en1, s"overlap: $spans")
+        case _ => ()
+      }
+    }
+  }
+
   test("bpe ntok dictionary artifact == full segmentation ground truth") {
     val words = graft.Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))

@@ -105,7 +105,7 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"explicit-count spread missing from the simhash kernel:\n$p")
   }
 
-  test("q90 dup spans: algorithmic shuffles carry hashes/ids, never text or token arrays") {
+  test("dup_islands build: algorithmic shuffles carry hashes/ids, never text or token arrays") {
     // The earlier form of this test grepped Exchange HEADER lines, which
     // print partitioning expressions, not the shuffled columns — it
     // passed vacuously. This version inspects each exchange's actual
@@ -113,13 +113,15 @@ class PipelinePlanShapeSpec extends SparkSpec {
     // bench-only Tables.spread repartition (REPARTITION_BY_NUM) DOES
     // move raw rows by design (scans arrive pre-partitioned at scale —
     // see Tables.spread); the claim is about the ALGORITHM's hash
-    // shuffles (wh dedup/window, doc-partitioned span merge, source
-    // rollup): those must only ever carry hash/position/id/count
-    // columns.
+    // shuffles (wh dedup/window, doc-partitioned span merge): those
+    // must only ever carry hash/position/id/count columns. Since round
+    // 11 the window-hash pipeline lives in the dup_islands ARTIFACT
+    // build (q90/q117 both read it), so the discipline is pinned on
+    // the builder plan.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-    val df = graft.QueryCatalog.all.find(_.name == "q90_dup_spans").get.fn(spark, dir)
+    val df = PipelineQueries.dupIslands(PipelineQueries.spanDocs(spark, dir))
     df.collect()
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -146,6 +148,23 @@ class PipelinePlanShapeSpec extends SparkSpec {
       assert(bad.isEmpty,
         s"algorithmic exchange must not carry text/token arrays, got ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
     }
+  }
+
+  test("q90/q117 warm plans read the dup_islands artifact — no window-hash recompute") {
+    // the rolling-hash explode + wh shuffle + gaps-and-islands windows
+    // ran once, in the artifact build; the registered consumers keep
+    // only their own scan-side work (q90: per-source rollup; q117:
+    // text scrub + fingerprint) — no Window may appear in either plan
+    val p90 = finalPlan("q90_dup_spans")
+    assert(!p90.contains("Window"),
+      s"q90 must read the island artifact, not re-merge spans:\n$p90")
+    assert(!p90.contains(" wh#"),
+      s"no window-hash column may survive into q90's warm plan:\n$p90")
+    val p117 = finalPlan("q117_span_scrub")
+    assert(!p117.contains("Window"),
+      s"q117 must read the island artifact, not re-merge spans:\n$p117")
+    assert(!p117.contains(" wh#"),
+      s"no window-hash column may survive into q117's warm plan:\n$p117")
   }
 
   test("q92 tokenize: the corpus joins the token dictionary by broadcast") {

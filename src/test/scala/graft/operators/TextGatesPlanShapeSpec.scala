@@ -105,6 +105,31 @@ class TextGatesPlanShapeSpec extends SparkSpec {
       s"rank window input must be narrow (no text column):\n$l"))
   }
 
+  test("q134/q167 warm plans read the gram_counts artifact — no corpus scan") {
+    // the three-order gram explode ran once, in the artifact build;
+    // the registered consumers are vocabulary-scale rollups
+    val p134 = executedPlan("q134_ngram_diversity")
+    assert(!p134.contains("FileScan") && !p134.contains("text#"),
+      s"q134 must read the gram_counts artifact, not re-scan documents:\n$p134")
+    val p167 = executedPlan("q167_kn_discounts")
+    assert(!p167.contains("FileScan") && !p167.contains("text#"),
+      s"q167 must read the gram_counts artifact, not re-scan documents:\n$p167")
+    // build discipline: ONE (source, n, gram)-keyed hash exchange with
+    // map-side partial counts, plus only the explicit spread
+    val b = TextQueries.gramCountsBuild(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashEx = b.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.count(!_.contains("REPARTITION_BY_NUM")) === 1,
+      s"exactly one keyed exchange may feed the gram count:\n$b")
+    // the struct-field keys print as _groupingexpression aliases of
+    // x.n / x.g; the exchange must carry source plus both of them
+    assert(hashEx.exists(l => l.contains("source#") &&
+        l.sliding("_groupingexpression".length).count(_ == "_groupingexpression") >= 2),
+      s"the exchange must key on (source, n, g):\n$b")
+    assert(b.contains("partial_count"),
+      s"the gram count must map-side combine before the exchange:\n$b")
+  }
+
   test("q164 zipf: rank window runs over the count aggregate, never doc rows") {
     val p = executedPlan("q164_zipf_slope")
     assert(p.contains("graft_log2q20"))
