@@ -26,12 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object Md5KeyedKernel {
 
   private val MaxKeys = 64
-  private val prefixes: Array[Array[Byte]] =
+  private[functions] val prefixes: Array[Array[Byte]] =
     (0 until MaxKeys).map(h => s"$h:".getBytes("UTF-8")).toArray
-  private val hexBytes = "0123456789abcdef".getBytes("US-ASCII")
+  private[functions] val hexBytes = "0123456789abcdef".getBytes("US-ASCII")
   // MessageDigest is stateful and not thread-safe; one per executor
   // thread, reset per hash, lives for the task's lifetime.
-  private val localMd =
+  private[functions] val localMd =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 

@@ -1225,23 +1225,35 @@ object CorpusQueries {
   /** The S×64 per-source MinHash signature frame as a STANDING
     * ARTIFACT — the mergeable dataset-level sketch a crawl audit
     * maintains across snapshots; 64 digests per distinct gram is the
-    * dominant (linear) term of q135, paid once per dataset. */
+    * dominant (linear) term of q135, paid once per dataset.
+    *
+    * The 64 parallel minima ride ONE native bounded aggregate
+    * ([[graft.functions.MinHashHex]], O(64×16 bytes) of state per
+    * group, map-side combined): the composed builtin form — 64 hex
+    * strings + an array per gram feeding 64 string-min buffer updates
+    * — allocated its way to 180–245 s of cold first-touch at the 100×
+    * replica, and the digest arithmetic itself is a small fraction of
+    * that. Values are pinned byte-identical to the builtin chain (and
+    * the oracle's min(md5(h || ':' || g))) by MinHashHexSpec; sessions
+    * without GraftExtensions keep the builtin fallback. */
   private def srcMinhashSigs(s: SparkSession, dir: String): DataFrame =
     Artifacts.frame(s, dir, "src_minhash_sigs") {
       val sg = srcGrams8(s, dir)
-      val hashed =
-        if (s.catalog.functionExists("graft_md5_keyed"))
-          sg.withColumn("hx", expr(s"graft_md5_keyed(g, $SrcHashes)"))
-        else
-          sg.withColumn("hx", array((0 until SrcHashes).map(h =>
-            md5(concat(lit(h.toString), lit(":"), col("g")))): _*))
-      val wide = hashed.groupBy(col("source")).agg(
-        min(element_at(col("hx"), 1)).as("mh0"),
-        (1 until SrcHashes).map(h =>
-          min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
-      wide.select(col("source"), explode(array((0 until SrcHashes).map(h =>
-          struct(lit(h).as("h"), col(s"mh$h").as("m"))): _*)).as("p"))
-        .select(col("source"), col("p.h").as("h"), col("p.m").as("m"))
+      if (s.catalog.functionExists("graft_minhash_hex"))
+        sg.groupBy(col("source"))
+          .agg(expr(s"graft_minhash_hex(g, $SrcHashes)").as("mhx"))
+          .select(col("source"), posexplode(col("mhx")).as(Seq("h", "m")))
+      else {
+        val hashed = sg.withColumn("hx", array((0 until SrcHashes).map(h =>
+          md5(concat(lit(h.toString), lit(":"), col("g")))): _*))
+        val wide = hashed.groupBy(col("source")).agg(
+          min(element_at(col("hx"), 1)).as("mh0"),
+          (1 until SrcHashes).map(h =>
+            min(element_at(col("hx"), h + 1)).as(s"mh$h")): _*)
+        wide.select(col("source"), explode(array((0 until SrcHashes).map(h =>
+            struct(lit(h).as("h"), col(s"mh$h").as("m"))): _*)).as("p"))
+          .select(col("source"), col("p.h").as("h"), col("p.m").as("m"))
+      }
     }
 
   private def q135(s: SparkSession, dir: String): DataFrame = {

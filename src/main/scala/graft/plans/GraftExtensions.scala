@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, TopKLongs}
+import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, MinHashHex, TopKLongs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_log2q20"),
       new ExpressionInfo(classOf[Log2Q20].getName, "graft_log2q20"),
       (children: Seq[Expression]) => Log2Q20(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_hex"),
+      new ExpressionInfo(classOf[MinHashHex].getName, "graft_minhash_hex"),
+      (children: Seq[Expression]) =>
+        MinHashHex(children(0), intLit("graft_minhash_hex", "n", children(1)))
+          .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKLongs].getName, "graft_topk"),
