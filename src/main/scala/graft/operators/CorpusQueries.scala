@@ -567,20 +567,45 @@ object CorpusQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |WHERE len(t) >= 8""".stripMargin
 
+  /** Per-doc distinct 8-gram DIGESTS as a STANDING ARTIFACT — the
+    * corpus-scale explode q55 (decontamination) and q124 (novelty)
+    * share; each ran it privately (the #6/#9 warm lines at the 100×
+    * replica). Same 60-bit md5-prefix digest as [[srcGrams8]]: the
+    * downstream membership joins shuffle/broadcast 8-byte longs
+    * instead of ~50-byte gram strings, both engines derive the digest
+    * identically so parity is structural, and at ≥10⁹ grams the
+    * documented widening is a second digest column. Rows are
+    * (doc_id, gh) with gh carrying the per-doc STRING-distinct
+    * multiplicity (no re-distinct on the digest — both engines agree
+    * by construction). */
+  private[graft] def docGrams8Frame(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_grams8")(docGrams8Build(s, dir))
+
+  private[graft] def docGrams8Build(s: SparkSession, dir: String): DataFrame =
+    grams8(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint").as("gh"))
+
+  private val docGrams8Sql =
+    s"""SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+       |FROM ($grams8Sql)""".stripMargin
+
   /** Benchmark decontamination: docs with doc_id % 50 = 0 form the
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 8-grams appear anywhere in the benchmark set, flagged at
     * ≥ 5%. The benchmark fingerprint set is tiny relative to the corpus
     * (that is the real-world shape too) so it broadcasts: the training
-    * side never shuffles. */
+    * side never shuffles. Both sides read the [[docGrams8Frame]]
+    * standing artifact (shared with q124) — digests, never gram
+    * strings, move through the join. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
-    val g = grams8(s, dir).persist()
-    val bench = g.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    val g = docGrams8Frame(s, dir)
+    val bench = g.filter(col("doc_id") % 50 === 0).select(col("gh")).distinct()
     val train = g.filter(col("doc_id") % 50 =!= 0)
     // ONE aggregation: broadcast-left-join the (distinct) benchmark
     // fingerprints as a membership flag, count total and hit shingles in
     // the same hash agg — no second pass, no agg-agg join
-    train.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+    train.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
@@ -591,12 +616,12 @@ object CorpusQueries {
   }
 
   private val q55Sql =
-    s"""WITH g AS ($grams8Sql),
-       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
-       |train AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+    s"""WITH g AS ($docGrams8Sql),
+       |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, gh FROM g WHERE doc_id % 50 <> 0),
        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
        |hits AS (SELECT t.doc_id, count(*) AS n_hit
-       |         FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+       |         FROM train t JOIN bench b ON t.gh = b.gh GROUP BY t.doc_id)
        |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
        |  floor((CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles) * 1e6 + 0.5) / 1e6
        |    AS contamination,
@@ -1312,14 +1337,14 @@ object CorpusQueries {
     * INTO the one training scan, the surviving (doc, gram) hits are
     * de-duplicated AFTER that join (bounded by |held grams|, not by
     * train size), and only that small hit frame aggregates. No distinct
-    * over the training grams anywhere. */
+    * over the training grams anywhere. Both sides read the
+    * [[docGrams8Frame]] standing artifact (shared with q55). */
   private def q124(s: SparkSession, dir: String): DataFrame = {
-    val g = grams8(s, dir).persist()
-    g.count() // held broadcast + train scan race the cold cache otherwise
+    val g = docGrams8Frame(s, dir)
     val held = g.filter(col("doc_id") % 50 === 0)
-    val hits = g.filter(col("doc_id") % 50 =!= 0).select(col("g"))
-      .join(broadcast(held), Seq("g"))
-      .select(col("doc_id"), col("g")).distinct()
+    val hits = g.filter(col("doc_id") % 50 =!= 0).select(col("gh"))
+      .join(broadcast(held), Seq("gh"))
+      .select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     held.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       // hits is bounded by |held docs| — broadcast, so the per-doc merge
@@ -1335,12 +1360,12 @@ object CorpusQueries {
   }
 
   private val q124Sql =
-    s"""WITH g AS ($grams8Sql),
-       |held AS (SELECT doc_id, g FROM g WHERE doc_id % 50 = 0),
+    s"""WITH g AS ($docGrams8Sql),
+       |held AS (SELECT doc_id, gh FROM g WHERE doc_id % 50 = 0),
        |hits AS (
        |  SELECT doc_id, count(*) AS n_hit FROM (
-       |    SELECT DISTINCT h.doc_id, h.g
-       |    FROM held h JOIN g t ON t.g = h.g AND t.doc_id % 50 <> 0)
+       |    SELECT DISTINCT h.doc_id, h.gh
+       |    FROM held h JOIN g t ON t.gh = h.gh AND t.doc_id % 50 <> 0)
        |  GROUP BY doc_id),
        |tot AS (SELECT doc_id, count(*) AS n_grams FROM held GROUP BY doc_id)
        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,

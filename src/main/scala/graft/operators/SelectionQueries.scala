@@ -256,11 +256,25 @@ object SelectionQueries {
       v)
   }
 
-  /** Per-doc NLL frame (source, doc_id, nll, nbg) — the spec asserts
+  /** Per-doc NLL frame (source, doc_id, nll, nbg) as a STANDING
+    * ARTIFACT: corpus-scale but NARROW (4 columns, one row per doc —
+    * the same contract as `dup_islands`), and exactly reproducible
+    * because the ladder weights are integers (no float partial-sum
+    * order dependence). Seven registered queries score under it
+    * (q99/q112/q120/q130/q144/q149/q150); before this each re-ran the
+    * full corpus bigram explode + LM broadcast join — the dominant
+    * repeated linear scan left after gram_counts/dup_islands
+    * (r10 verdict #5: q149's 2.2× was this substrate, not its own
+    * bounded-bin tail). Build discipline pinned in
+    * PipelinePlanShapeSpec; artifact == inline in ArtifactsSpec. */
+  private[graft] def docNll(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_nll")(docNllBuild(s, dir))
+
+  /** The one corpus-scoring pass behind [[docNll]] — the spec asserts
     * the ladder arithmetic and the planted-junk flagging on this.
     * Scoring joins the LM artifact's LocalRelations broadcast-side;
-    * only the corpus-side bigram explode is per-query work. */
-  private[graft] def docNll(s: SparkSession, dir: String): DataFrame = {
+    * the corpus-side bigram explode runs once per dataset. */
+  private[graft] def docNllBuild(s: SparkSession, dir: String): DataFrame = {
     val (c2t, c1t, v) = lmModel(s, dir)
     val bg = corpusBigrams(s, dir)
     bg.join(broadcast(c2t), Seq("w1", "w2"), "left")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{ClassifierQueries, SelectionQueries}
-import graft.streaming.{GramStream, PackingStream, QualityStream}
+import graft.streaming.{CentroidStream, GramStream, PackingStream, QualityStream, SpanStream}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -20,6 +20,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    d²-long additive state (the heaviest per-row state update).
   *  - PackingStream.assignPacks — per-bucket Long state (the smallest
   *    possible state, shuffle-by-bucket per batch).
+  *  - SpanStream.dupWindows — per-window-hash flatMapGroupsWithState:
+  *    the LARGEST state of the 17 streams (one row per first-seen
+  *    hash — positions until established, then a constant tombstone).
+  *    The standing corpus index is the base sf0.1 corpus (bounded
+  *    broadcast, the lambda split's "yesterday's corpus"); duplication
+  *    pressure comes from the replica's own within-shard dup families.
+  *  - CentroidStream.updates — K×(count + d sums) state, constant in
+  *    stream length; reference centroids are the first K streamed
+  *    vectors (deterministic; the state/throughput measurement does
+  *    not depend on centroid quality).
   */
 object ScratchStream10x {
   def main(args: Array[String]): Unit = {
@@ -105,6 +115,45 @@ object ScratchStream10x {
         .as[PackingStream.DocTok]
       PackingStream.assignPacks(spark, in).writeStream.format("noop")
         .option("checkpointLocation", s"$work/cp_packing").start()
+    }
+
+    // standing corpus index over the BASE corpus (bounded: ~250k
+    // hashes at sf0.1) — setup, not part of the measured stream
+    val spanIdx = SpanStream.corpusIndex(
+      Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"), col("text")), 10)
+    run("span(hash-state)") {
+      val in = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$work/docs")
+        .select(col("doc_id"), col("text"))
+        .as[SpanStream.DocText]
+      SpanStream.dupWindows(spark, in, spanIdx, 10).writeStream.format("noop")
+        .option("checkpointLocation", s"$work/cp_span").start()
+    }
+
+    // reference centroids: the first K streamed vectors, K = √N (the
+    // batch index's cell count rule) — kilobyte closure, like prod
+    val refCentroids = {
+      val n = spark.read.parquet(s"$work/vecs").count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt / 2)
+      spark.read.parquet(s"$work/vecs").orderBy(col("vec_id")).limit(k)
+        .collect().zipWithIndex.map { case (r, i) =>
+          CentroidStream.Centroid(i,
+            r.getAs[Seq[Long]]("q").map(_.toDouble / 1000.0))
+        }.toSeq
+    }
+    println(s"STREAMCFG centroids K=${refCentroids.length} d=${refCentroids.head.cv.length}")
+    run("centroid(KxD-state)") {
+      val in = spark.readStream
+        .schema("vec_id LONG, q ARRAY<LONG>")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$work/vecs")
+        .select(col("vec_id"), expr("transform(q, x -> CAST(x AS DOUBLE) / 1000.0)").as("v"))
+        .as[CentroidStream.Vec]
+      CentroidStream.updates(spark, in, refCentroids).writeStream.format("noop")
+        .option("checkpointLocation", s"$work/cp_centroid").start()
     }
 
     spark.stop()

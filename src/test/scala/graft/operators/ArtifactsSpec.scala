@@ -75,6 +75,31 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("doc_grams8 artifact equals a fresh inline gram-digest derivation") {
+    val art = CorpusQueries.docGrams8Frame(spark, dir)
+      .orderBy(col("doc_id"), col("gh")).collect().toSeq
+    val fresh = CorpusQueries.docGrams8Build(spark, dir)
+      .orderBy(col("doc_id"), col("gh")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+    // the q55/q124 membership semantics need per-doc digest uniqueness
+    // (string-distinct grams map to distinct 60-bit digests here)
+    assert(art.map(r => (r.getLong(0), r.getLong(1))).distinct.size === art.size)
+  }
+
+  test("doc_nll artifact equals a fresh inline scoring pass") {
+    val art = SelectionQueries.docNll(spark, dir)
+      .orderBy(col("source"), col("doc_id")).collect().toSeq
+    val fresh = SelectionQueries.docNllBuild(spark, dir)
+      .orderBy(col("source"), col("doc_id")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+    // substrate invariants the seven consumers rely on: doc_id is a
+    // KEY, and the ladder weights are exact integers (nbg ≥ 1, nll ≥ 0)
+    assert(art.map(_.getAs[Long]("doc_id")).distinct.size === art.size)
+    assert(art.forall(r => r.getAs[Long]("nbg") >= 1L && r.getAs[Long]("nll") >= 0L))
+  }
+
   test("bpe ntok dictionary artifact == full segmentation ground truth") {
     val words = graft.Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))

@@ -136,9 +136,13 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q144 doremi: the LM model frames broadcast; no cartesian anywhere") {
+  test("q144 doremi: reads the doc_nll artifact — no inline re-score, no cartesian") {
+    // the LM-broadcast discipline lives in the docNll BUILDER
+    // (PipelinePlanShapeSpec); the registered consumer is a
+    // |S|-row rollup of the standing per-doc NLL artifact
     val p = finalPlan("q144_doremi_reweight")
-    assert(p.contains("BroadcastHashJoin"), "c2/c1 model tables must broadcast")
+    assert(!p.contains("FileScan") && !p.contains("graft_ln_small"),
+      s"q144 must read the doc_nll artifact, not re-score the corpus:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -176,9 +180,10 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q150 quality survivors: model frames broadcast, no cartesian") {
+  test("q150 quality survivors: quality joins in from the doc_nll artifact, no cartesian") {
     val p = finalPlan("q150_quality_survivor")
-    assert(p.contains("BroadcastHashJoin"), "LM model tables must broadcast")
+    assert(!p.contains("graft_ln_small"),
+      s"q150 must read the doc_nll artifact, not re-score the corpus:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -250,14 +250,30 @@ class PipelinePlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q99 perplexity: the LM meets the corpus by broadcast only") {
-    val p = finalPlan("q99_ppl_filter")
+  test("q99 perplexity: the LM meets the corpus by broadcast only (doc_nll build)") {
+    // the discipline lives in the docNll BUILDER — the registered
+    // consumers read the standing doc_nll artifact instead of
+    // re-scoring (see the scan-free pin below)
+    val df = SelectionQueries.docNllBuild(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),
       s"bigram/context count tables must broadcast into the scoring scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus must never shuffle to meet the model:\n$p")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"the spread exchange under the bigram explode must survive AQE:\n$p")
+  }
+
+  test("docNll consumers read the doc_nll artifact — no corpus re-score") {
+    // q99 is the cheapest pure consumer: its warm plan must be a
+    // per-source rollup of the artifact, never a documents scan
+    val p99 = finalPlan("q99_ppl_filter")
+    assert(!p99.contains("FileScan") && !p99.contains("text#"),
+      s"q99 must read the doc_nll artifact, not re-scan documents:\n$p99")
+    val p149 = finalPlan("q149_ccnet_buckets")
+    assert(!p149.contains("FileScan") && !p149.contains("text#"),
+      s"q149 must read the doc_nll artifact, not re-scan documents:\n$p149")
   }
 
   test("q100 nb classifier: one lazy plan — model meets the corpus by broadcast only") {
