@@ -832,25 +832,40 @@ object PipelineQueries {
     * re-derives the index inline, so reuse can never mask a wrong
     * result (ArtifactsSpec pins artifact == fresh build). */
   private[operators] def winnowFp(s: SparkSession, dir: String): DataFrame =
-    Artifacts.frame(s, dir, "winnow_fp")(winnowFingerprints(spanDocs(s, dir)))
+    // v2: the index rows carry `sh` (1 = the fingerprint hash is
+    // selected by ≥2 distinct docs). Cross-doc sharing is a property
+    // OF the index, so it is computed once at build time — q162's DAG
+    // references the index on two output branches and re-derived the
+    // shared set per branch before this (two distinct+agg subtrees in
+    // one plan)
+    Artifacts.frame(s, dir, "winnow_fp", version = 2) {
+      // shared ⟺ ≥2 distinct docs select the hash ⟺ min(doc) ≠
+      // max(doc) within the hash — ONE sel_h-keyed window pass, no
+      // self-join, no second fingerprint fold
+      val byH = Window.partitionBy(col("sel_h"))
+      winnowFingerprints(spanDocs(s, dir))
+        .withColumn("sh",
+          (min(col("doc_id")).over(byH) =!= max(col("doc_id")).over(byH))
+            .cast("long"))
+    }
 
   private def q162(s: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(s, dir)
     val fp = winnowFp(s, dir)
-    val perDoc = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val sharedH = fp.select(col("doc_id"), col("sel_h")).distinct()
-      .groupBy(col("sel_h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("sel_h"))
-    val sharedFp = fp.join(sharedH, Seq("sel_h"))
-    val perDocShared = sharedFp.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    val perSrcShared = sharedFp.groupBy(col("source"))
+    // ONE doc-keyed aggregate carries both per-doc counts — the former
+    // shape ran two separate doc_id aggregates (total + shared) and
+    // joined each into the doc frame, an exchange pair + join stage
+    // this form retires (q162 is floor-bound at sf0.1: the win is
+    // stage count, not bytes)
+    val perDoc = fp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("sh") === 1L, 1L).otherwise(0L)).as("n_shared"))
+    val perSrcShared = fp.filter(col("sh") === 1L).groupBy(col("source"))
       .agg(countDistinct(col("sel_h")).as("shared_fp_hashes"))
     docs.select(col("doc_id"), col("source"),
         when(col("n_tokens") >= WinnowK + WinnowW - 1,
           col("n_tokens") - WinnowK + 1).otherwise(0L).as("n_pos"))
       .join(perDoc, Seq("doc_id"), "left")
-      .join(perDocShared, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_pos") === 0L, 1L).otherwise(0L)).as("n_short_docs"),

@@ -171,14 +171,25 @@ class ArtifactsSpec extends SparkSpec {
     assert(art.length <= 20)
   }
 
-  test("winnow_fp artifact equals a fresh inline fingerprint pass") {
+  test("winnow_fp artifact equals a fresh inline fingerprint pass (incl. shared flag)") {
     val art = PipelineQueries.winnowFp(spark, dir)
       .orderBy(col("doc_id"), col("sel_pos")).collect().toSeq
-    val fresh = PipelineQueries
+    val fp = PipelineQueries
       .winnowFingerprints(PipelineQueries.spanDocs(spark, dir))
-      .orderBy(col("doc_id"), col("sel_pos")).collect().toSeq
+      .collect().toSeq
+    // independent driver-side derivation of the v2 shared flag:
+    // sh = 1 ⟺ the hash is selected by ≥ 2 distinct docs
+    val docsPerH = fp.groupBy(_.getAs[String]("sel_h"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).distinct.size).toMap
+    val fresh = fp.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("sel_h"), r.getAs[Long]("sel_pos"),
+        if (docsPerH(r.getAs[String]("sel_h")) >= 2) 1L else 0L))
+      .sortBy(t => (t._1, t._4))
     assert(art.nonEmpty)
-    assert(art === fresh)
+    assert(art.exists(_.getAs[Long]("sh") == 1L),
+      "testdata must contain cross-doc shared fingerprints")
+    assert(art.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3), r.getAs[Long]("sh"))) === fresh)
   }
 
   test("disk store: a partial directory without _SUCCESS is rebuilt, not trusted") {
