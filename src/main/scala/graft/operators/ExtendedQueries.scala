@@ -46,10 +46,21 @@ object ExtendedQueries {
 
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
-        size(array_distinct(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).cast("long").as("n_uniq_bpe"))
+      .select(col("doc_id"),
+        // transform-over-singleton is the `let` idiom (winnow kernel
+        // scaladoc): the regex runs ONCE per doc — two bare
+        // regexp_extract_all projections would each re-scan the text
+        // (CollapseProject inlines per reference), doubling the one
+        // kernel this query is made of
+        // Spark SQL string literals are backslash-escaping: \s must
+        // arrive at the regex engine intact, so the embedded literal
+        // doubles it (the DuckDB oracle's dialect does not escape)
+        expr(s"""element_at(transform(
+           |  array(regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)),
+           |  a -> struct(CAST(size(a) AS BIGINT) AS n,
+           |              CAST(size(array_distinct(a)) AS BIGINT) AS u)), 1)"""
+          .stripMargin).as("s"))
+      .select(col("doc_id"), col("s.n").as("n_bpe_tokens"), col("s.u").as("n_uniq_bpe"))
       .orderBy(col("doc_id"))
 
   private val q37Sql =

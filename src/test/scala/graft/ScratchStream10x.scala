@@ -140,8 +140,11 @@ object ScratchStream10x {
       val k = math.max(4, math.sqrt(n.toDouble).toInt / 2)
       spark.read.parquet(s"$work/vecs").orderBy(col("vec_id")).limit(k)
         .collect().zipWithIndex.map { case (r, i) =>
+          // Row array columns come back as mutable ArraySeq — convert
+          // before the immutable-Seq-typed case class
           CentroidStream.Centroid(i,
-            r.getAs[Seq[Long]]("q").map(_.toDouble / 1000.0))
+            r.getAs[scala.collection.Seq[Long]]("q").iterator
+              .map(_.toDouble / 1000.0).toSeq)
         }.toSeq
     }
     println(s"STREAMCFG centroids K=${refCentroids.length} d=${refCentroids.head.cv.length}")
