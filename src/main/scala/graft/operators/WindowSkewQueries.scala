@@ -162,7 +162,8 @@ object WindowSkewQueries {
     * guarantee is checkable. For each (group, p) we compute the fraction
     * of rows strictly below / at-or-below the approximate value and
     * assert p lies within [frac_lt − ε, frac_le + ε] (ε = 0.01 ≫ the
-    * 1/accuracy = 1e-4 guarantee; frac_le−frac_lt absorbs the
+    * 1/accuracy = 1e-3 guarantee at accuracy = 1000 — a 10× contract
+    * margin; frac_le−frac_lt absorbs the
     * discrete-value mass at the quantile). The emitted row carries the
     * EXACT interpolated percentile (both engines compute it identically)
     * plus the bound boolean, so DuckDB's side is `true` and any

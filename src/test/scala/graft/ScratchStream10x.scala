@@ -39,6 +39,10 @@ object ScratchStream10x {
     // arg 4 = state-store provider: "rocksdb" (the production disk-backed
     // store — the round-10 100× protocol) or default HDFS-backed memory
     val rocks = args.length > 3 && args(3) == "rocksdb"
+    // arg 5 = BASE corpus dir for the SpanStream standing index — must
+    // match the corpus the replica in `dir` was scaled from (previously
+    // hardcoded to sf0.1, which silently mixed corpora for other dirs)
+    val baseDir = if (args.length > 4) args(4) else "/root/testdata/sf0.1"
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,7 +54,8 @@ object ScratchStream10x {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    println(s"STREAMCFG dir=$dir shards=$shards filesPerTrigger=$filesPerTrigger " +
+    println(s"STREAMCFG dir=$dir baseDir=$baseDir shards=$shards " +
+      s"filesPerTrigger=$filesPerTrigger " +
       s"stateStore=${if (rocks) "rocksdb" else "hdfs-memory"}")
     val work = java.nio.file.Files.createTempDirectory("stream10x").toString
     // shard the replica tables so the file source yields real
@@ -120,7 +125,7 @@ object ScratchStream10x {
     // standing corpus index over the BASE corpus (bounded: ~250k
     // hashes at sf0.1) — setup, not part of the measured stream
     val spanIdx = SpanStream.corpusIndex(
-      Tables.documents(spark, "/root/testdata/sf0.1")
+      Tables.documents(spark, baseDir)
         .select(col("doc_id"), col("text")), 10)
     run("span(hash-state)") {
       val in = spark.readStream

@@ -85,6 +85,22 @@ class ArtifactsSpec extends SparkSpec {
     // the q55/q124 membership semantics need per-doc digest uniqueness
     // (string-distinct grams map to distinct 60-bit digests here)
     assert(art.map(r => (r.getLong(0), r.getLong(1))).distinct.size === art.size)
+    // GLOBAL collision-rate assertion for the 60-bit md5-prefix digest:
+    // q55/q124 join on gh, so a cross-gram collision silently inflates
+    // contamination/novelty in BOTH engines (parity is structural, not
+    // semantic). At 60 bits the birthday expectation stays ≪ 1 up to
+    // ~10⁸ distinct grams; the scaladoc documents a second digest
+    // column as the widening past ~10⁹. This pins zero collisions over
+    // the full test corpus gram vocabulary.
+    val coll = CorpusQueries.grams8Of(
+        graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .agg(countDistinct(col("g")).as("ng"),
+        countDistinct(conv(substring(md5(col("g")), 1, 15), 16, 10)
+          .cast("bigint")).as("nh"))
+      .head()
+    assert(coll.getLong(0) === coll.getLong(1),
+      s"60-bit gram-digest collision: ${coll.getLong(0)} distinct grams " +
+        s"vs ${coll.getLong(1)} distinct digests")
   }
 
   test("doc_nll artifact equals a fresh inline scoring pass") {
