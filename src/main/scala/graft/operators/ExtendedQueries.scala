@@ -44,14 +44,28 @@ object ExtendedQueries {
     * semantics are identical in Java regex (Spark) and RE2 (DuckDB). */
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  private def q37(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
+  /** Per-doc regex-token counts as a STANDING ARTIFACT — the regex
+    * kernel is the single most expensive per-doc map pass at the 100×
+    * replica (q37 was the top warm line at ~20 s: the corpus re-ran
+    * the extraction every query). One build pass produces the narrow
+    * (doc_id, source, n_bpe_tokens, n_uniq_bpe) frame — the
+    * [[TextQueries.gramCounts]] / doc_grams8 shape — and consumers
+    * read per-doc counts without ever touching `text`. The oracle
+    * still re-derives inline (hashes unchanged by construction);
+    * ArtifactsSpec pins artifact == fresh build. */
+  private[operators] def docTokens(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_tokens")(docTokensBuild(s, dir))
+
+  /** The builder, exposed so the plan spec can pin the one-pass
+    * discipline on the BUILD (consumers must be corpus-scan-free). */
+  private[operators] def docTokensBuild(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"),
         // transform-over-singleton is the `let` idiom (winnow kernel
         // scaladoc): the regex runs ONCE per doc — two bare
         // regexp_extract_all projections would each re-scan the text
         // (CollapseProject inlines per reference), doubling the one
-        // kernel this query is made of
+        // kernel this build is made of
         // Spark SQL string literals are backslash-escaping: \s must
         // arrive at the regex engine intact, so the embedded literal
         // doubles it (the DuckDB oracle's dialect does not escape)
@@ -60,7 +74,12 @@ object ExtendedQueries {
            |  a -> struct(CAST(size(a) AS BIGINT) AS n,
            |              CAST(size(array_distinct(a)) AS BIGINT) AS u)), 1)"""
           .stripMargin).as("s"))
-      .select(col("doc_id"), col("s.n").as("n_bpe_tokens"), col("s.u").as("n_uniq_bpe"))
+      .select(col("doc_id"), col("source"),
+        col("s.n").as("n_bpe_tokens"), col("s.u").as("n_uniq_bpe"))
+
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    docTokens(s, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_uniq_bpe"))
       .orderBy(col("doc_id"))
 
   private val q37Sql =

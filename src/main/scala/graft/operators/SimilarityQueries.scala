@@ -803,34 +803,36 @@ object SimilarityQueries {
     * data (a small eigengap) affects its convergence, never its
     * cross-engine equality.
     *
-    * Scale: the Gram matrix is one map-side-combined d²-cell
-    * aggregate — each row's 64×64 outer product flattens scan-side
-    * into (cell, product) pairs that partial-aggregate to d² = 4096
-    * cells per partition before any exchange (N·d² multiply-adds
-    * total, cells bounded regardless of N; no join, no shuffle of
-    * vector rows) — a bounded artifact like q99's LM, so the
-    * driver-side 12-step iteration is O(d²) on 4096 longs, and the
-    * direction broadcasts back as a d-array literal for the
-    * projection pass. Two passes over the persisted code frame (raw
-    * moments — n, per-dim sums and raw Gram in one 4161-cell
-    * aggregate, centered exactly driver-side — then project), all
-    * shuffle-free on the vector side. */
+    * Scale: ONE corpus action total. The moments aggregate is the
+    * native `graft_outer_moments` kernel keyed by label — each row's
+    * 64×64 outer product folds scan-side into a fixed 4161-long buffer
+    * per (partition, label), so the only exchange moves |labels|
+    * buffers per task (N·d² multiply-adds total, zero intermediate
+    * rows, state bounded by the label domain × d² regardless of N; no
+    * join, no shuffle of vector rows, no persist).
+    * Everything downstream is driver arithmetic on those cells: the
+    * global Gram is the label-sum, the 12-step iteration is O(d²) on
+    * 4096 longs, and the per-label projection energy needs no second
+    * corpus pass because Σᵢ dotᵢ² = vᵀ·G_label·v exactly over the
+    * integers (dotᵢ = Σⱼ cvᵢⱼvⱼ, G_label = Σᵢ cvᵢcvᵢᵀ) — computed in
+    * BigInt on the Spark side and HUGEINT in the oracle, so the
+    * division by ‖v‖² happens once per label AFTER the exact sum (the
+    * pre-round-12 form truncated per vector and ran a second corpus
+    * pass + persist to do it). */
   private val AbttIters = 12
 
-  /** q156's raw-moment frame — ONE scan for n, the per-dim sums AND
-    * the raw Gram: the per-row 64×64 outer product flattens row-major
-    * (idx = j*64 + k) with the raw values appended at 4096..4159 and
-    * a count cell at 4160, then everything partial-aggregates
-    * map-side into 4161 cells before the (only) exchange. The former
-    * shape self-joined the exploded frame on vec_id, shuffling N·d
-    * rows pre-aggregate, plus two more full actions for n and the
-    * means (plan pinned join-free/one-scan in NewOpsPlanShapeSpec). */
+  /** q156's raw-moment frame — ONE scan for the per-label n, per-dim
+    * sums AND raw Gram: the native [[graft.functions.OuterMoments]]
+    * aggregate fuses each row's 64×64 outer product straight into a
+    * 4161-long buffer (row-major Gram, raw sums at 4096..4159, count at
+    * 4160), keyed by label, partial-aggregated map-side, so the only
+    * exchange moves one ~33 KB buffer per (task, label). The original
+    * shape self-joined an exploded frame on vec_id, shuffling N·d rows
+    * pre-aggregate (plan pinned join-free/one-scan in
+    * PipelinePlanShapeSpec). */
   private[operators] def abttMoments(arr: DataFrame): DataFrame =
-    arr.select(posexplode(expr(
-        """concat(flatten(transform(q, a -> transform(q, b -> a * b))),
-          |q, array(CAST(1 AS BIGINT)))""".stripMargin))
-        .as(Seq("idx", "p")))
-      .groupBy(col("idx")).agg(sum(col("p")).as("g"))
+    arr.groupBy(col("label"))
+      .agg(expr("graft_outer_moments(q, 64)").as("mom"))
 
   private def q156(s: SparkSession, dir: String): DataFrame = {
     val arr = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
@@ -838,54 +840,51 @@ object SimilarityQueries {
         expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
           .as("q"))
-      .persist()
-    try {
-      val cells = abttMoments(arr)
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = cells.getOrElse(4160, 1L)
-      val sums = Array.tabulate(64)(j => cells.getOrElse(4096 + j, 0L))
-      // per-dim mean, symmetric truncated division
-      val m = sums.map(sv => java.lang.Long.signum(sv).toLong * (math.abs(sv) / n))
-      val mArr = m.mkString("array(", "L,", "L)")
-      val cva = arr.select(col("vec_id"), col("label"),
-        expr(s"zip_with(q, $mArr, (x, m) -> x - m)").as("cv"))
-      // exact centered Gram from the raw moments (all integer, so the
-      // identity Σ(x_j−m_j)(x_k−m_k) = G_raw − m_j·S_k − m_k·S_j
-      // + n·m_j·m_k holds EXACTLY — m is the integer truncated mean,
-      // not a rounded estimate)
-      val gram = (for (j <- 0 until 64; k <- 0 until 64) yield {
-        val graw = cells.getOrElse(j * 64 + k, 0L)
-        (j, k) -> (graw - m(j) * sums(k) - m(k) * sums(j) + n * m(j) * m(k))
-      }).toMap
-      // driver power iteration, max-abs renormalized each step
-      var v = Array.fill(64)(1000L)
-      for (_ <- 1 to AbttIters) {
-        val raw = Array.tabulate(64)(k =>
-          (0 until 64).map(j => gram.getOrElse((j, k), 0L) * v(j)).sum)
-        val mx = raw.map(math.abs).max max 1L
-        v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
-      }
-      val vArr = v.mkString("array(", "L,", "L)")
-      val vnorm = v.map(x => x * x).sum
-      // per-vec projection energy divides by ||v||^2 BEFORE the label
-      // sum: dot^2 alone fits 64-bit per row, but a label-summed dot^2
-      // would overflow at a few hundred vectors
-      val perVec = cva
-        .select(col("label"), col("vec_id"),
-          expr(s"""aggregate(zip_with(cv, $vArr, (a, b) -> a * b),
-                  |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("dot"),
-          expr("""aggregate(transform(cv, x -> x * x),
-                 |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("nsq"))
-        .withColumn("dot2n", expr(s"(dot * dot) DIV $vnorm"))
-      perVec.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("nsq")).as("var_total"),
-          sum(col("dot2n")).as("var_top"))
-        .select(col("label").cast("long").as("label"), col("n_vecs"),
-          col("var_total"), col("var_top"))
-        .withColumn("explained_ppm", expr("(var_top * 1000000) DIV var_total"))
-        .orderBy(col("label"))
-    } finally arr.unpersist()
+    val byLabel: Map[Int, IndexedSeq[Long]] = abttMoments(arr).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val labels = byLabel.keys.toSeq.sorted
+    def cell(l: Int, idx: Int): Long = byLabel(l)(idx)
+    val nL = labels.map(l => l -> cell(l, 4160)).toMap
+    val n = math.max(nL.values.sum, 1L)
+    // global per-dim sums and mean (symmetric truncated division)
+    val sums = Array.tabulate(64)(j => labels.map(cell(_, 4096 + j)).sum)
+    val m = sums.map(sv => java.lang.Long.signum(sv).toLong * (math.abs(sv) / n))
+    // exact per-label centered Gram from the raw moments (all integer,
+    // so the identity Σ(x_j−m_j)(x_k−m_k) = G_raw − m_j·S_k − m_k·S_j
+    // + n·m_j·m_k holds EXACTLY per label — m is the GLOBAL integer
+    // truncated mean, S/n the label's own raw sums/count)
+    def gramL(l: Int): Array[Array[Long]] = {
+      val sL = Array.tabulate(64)(j => cell(l, 4096 + j))
+      Array.tabulate(64, 64)((j, k) =>
+        cell(l, j * 64 + k) - m(j) * sL(k) - m(k) * sL(j) + nL(l) * m(j) * m(k))
+    }
+    val gramsByLabel = labels.map(l => l -> gramL(l)).toMap
+    val gram = Array.tabulate(64, 64)((j, k) =>
+      labels.map(l => gramsByLabel(l)(j)(k)).sum)
+    // driver power iteration, max-abs renormalized each step
+    var v = Array.fill(64)(1000L)
+    for (_ <- 1 to AbttIters) {
+      val raw = Array.tabulate(64)(k =>
+        (0 until 64).map(j => gram(j)(k) * v(j)).sum)
+      val mx = raw.map(math.abs).max max 1L
+      v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
+    }
+    val vnorm = BigInt(v.map(x => x * x).sum)
+    val rows = labels.map { l =>
+      val g = gramsByLabel(l)
+      // var_total = tr(G_label) = Σᵢ‖cvᵢ‖²; var_top = vᵀG_label v / ‖v‖²
+      // = (Σᵢ dotᵢ²) / ‖v‖² — BigInt keeps the quadratic form exact
+      // (it exceeds int64 at ~10⁵ vectors) before the one truncation
+      val varTotal = (0 until 64).map(j => g(j)(j)).sum
+      val vGv = (for (j <- 0 until 64; k <- 0 until 64)
+        yield BigInt(g(j)(k)) * v(j) * v(k)).sum
+      val varTop = (vGv / vnorm).toLong
+      (l.toLong, nL(l), varTotal, varTop,
+        (BigInt(varTop) * 1000000 / varTotal).toLong)
+    }
+    import s.implicits._
+    rows.toDF("label", "n_vecs", "var_total", "var_top", "explained_ppm")
+      .orderBy(col("label"))
   }
 
   private val q156Sql = {
@@ -931,18 +930,21 @@ object SimilarityQueries {
        |         CAST(sum(c.cv * c.cv) AS BIGINT) AS nsq
        |  FROM cvt c JOIN pv$AbttIters p ON p.i = c.i
        |  GROUP BY 1, 2
-       |), pvec2 AS (
-       |  SELECT label, vec_id, nsq,
-       |         (dot * dot) // (SELECT vnorm FROM vn) AS dot2n
-       |  FROM pvec
+       |), lsum AS (
+       |  -- sum the exact dot^2 in HUGEINT, divide by ||v||^2 ONCE per
+       |  -- label (mirrors the Spark side's BigInt v'Gv / vnorm)
+       |  SELECT label,
+       |         CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(sum(nsq) AS BIGINT) AS var_total,
+       |         CAST(sum(CAST(dot AS HUGEINT) * dot)
+       |              // (SELECT CAST(vnorm AS HUGEINT) FROM vn) AS BIGINT)
+       |           AS var_top
+       |  FROM pvec GROUP BY label
        |)
-       |SELECT CAST(label AS BIGINT) AS label,
-       |       CAST(count(*) AS BIGINT) AS n_vecs,
-       |       CAST(sum(nsq) AS BIGINT) AS var_total,
-       |       CAST(sum(dot2n) AS BIGINT) AS var_top,
-       |       (CAST(sum(dot2n) AS BIGINT) * 1000000) // CAST(sum(nsq) AS BIGINT)
-       |         AS explained_ppm
-       |FROM pvec2 GROUP BY label ORDER BY label""".stripMargin
+       |SELECT CAST(label AS BIGINT) AS label, n_vecs, var_total, var_top,
+       |       CAST(CAST(var_top AS HUGEINT) * 1000000
+       |            // CAST(var_total AS HUGEINT) AS BIGINT) AS explained_ppm
+       |FROM lsum ORDER BY label""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, MinHashHex, TopKLongs}
+import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, MinHashHex, OuterMoments, TopKLongs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -83,6 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashHex].getName, "graft_minhash_hex"),
       (children: Seq[Expression]) =>
         MinHashHex(children(0), intLit("graft_minhash_hex", "n", children(1)))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_outer_moments"),
+      new ExpressionInfo(classOf[OuterMoments].getName, "graft_outer_moments"),
+      (children: Seq[Expression]) =>
+        OuterMoments(children(0), intLit("graft_outer_moments", "d", children(1)))
           .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

@@ -103,6 +103,20 @@ class ArtifactsSpec extends SparkSpec {
         s"vs ${coll.getLong(1)} distinct digests")
   }
 
+  test("doc_tokens artifact equals a fresh inline regex-count derivation") {
+    val art = ExtendedQueries.docTokens(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val fresh = ExtendedQueries.docTokensBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(art.nonEmpty)
+    assert(art === fresh)
+    // substrate invariants: doc_id is a KEY, distinct count never
+    // exceeds the total count
+    assert(art.map(_.getAs[Long]("doc_id")).distinct.size === art.size)
+    assert(art.forall(r =>
+      r.getAs[Long]("n_uniq_bpe") <= r.getAs[Long]("n_bpe_tokens")))
+  }
+
   test("doc_nll artifact equals a fresh inline scoring pass") {
     val art = SelectionQueries.docNll(spark, dir)
       .orderBy(col("source"), col("doc_id")).collect().toSeq

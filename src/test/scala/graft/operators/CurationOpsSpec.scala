@@ -413,16 +413,20 @@ class CurationOpsSpec extends SparkSpec {
       val mx = math.max(raw.map(math.abs).max, 1L)
       v = raw.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
     }
-    val vnorm = v.map(x => x * x).sum
+    val vnorm = BigInt(v.map(x => x * x).sum)
     val want = cv.groupBy(_._2).toSeq.sortBy(_._1).map { case (lb, vs) =>
       val dots = vs.map { case (_, _, c) =>
         val dot = (0 until d).map(i => c(i) * v(i)).sum
         val nsq = c.map(x => x * x).sum
-        (dot * dot / vnorm, nsq)
+        (dot, nsq)
       }
-      val varTop = dots.map(_._1).sum
+      // round-12 semantics: the exact dot^2 sum divides by ||v||^2 ONCE
+      // per label (BigInt — matches the engine's v'Gv identity), not
+      // per vector
+      val varTop = (dots.map { case (dt, _) => BigInt(dt) * dt }.sum / vnorm).toLong
       val varTotal = dots.map(_._2).sum
-      (lb, vs.length.toLong, varTotal, varTop, varTop * 1000000L / varTotal)
+      (lb, vs.length.toLong, varTotal, varTop,
+        (BigInt(varTop) * 1000000 / varTotal).toLong)
     }
     val got = run("q156_abtt_whitening").collect().map(r =>
       (r.getAs[Long]("label"), r.getAs[Long]("n_vecs"), r.getAs[Long]("var_total"),

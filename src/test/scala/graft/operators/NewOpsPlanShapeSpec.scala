@@ -196,12 +196,16 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q156 ABTT: the Gram build joins codes by vec_id, never all-pairs") {
+  test("q156 ABTT: the emitted audit is label-domain-sized driver arithmetic") {
+    // round 12: the per-label moments collapse the whole audit into ONE
+    // corpus action (the |labels|*4161-cell aggregate, pinned join-free
+    // in PipelinePlanShapeSpec); the returned frame is the bounded
+    // driver-computed result — never a corpus-scale plan
     val p = finalPlan("q156_abtt_whitening")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"),
-      "the d^2 fanout must come from the vec_id equi join, not a cross")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"q156's result must be the |labels|-row driver frame:\n$p")
+    assert(!p.contains("Scan parquet") && !p.contains("Join"),
+      s"no corpus scan or join may appear in the emitted plan:\n$p")
   }
 
   test("q151 unigram viterbi: the piece inventory rides literals — no cartesian") {

@@ -279,6 +279,21 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"q149 must read the doc_nll artifact, not re-scan documents:\n$p149")
   }
 
+  test("q37 reads the doc_tokens artifact — the regex kernel runs only in the build") {
+    // same store-mode scoping as the docNll consumer pin: the artifact
+    // itself may read back as a parquet FileScan under the store
+    val p37 = finalPlan("q37_bpe_tokens")
+    assert(!p37.contains("documents.parquet") && !p37.contains("text#"),
+      s"q37 must read the doc_tokens artifact, not re-run the regex pass:\n$p37")
+    // and the BUILD is one spread corpus pass, no join
+    val b = ExtendedQueries.docTokensBuild(spark, dir)
+    b.collect()
+    val bp = b.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!bp.contains("Join"), s"the doc_tokens build must not join:\n$bp")
+    val scans = "Scan parquet".r.findAllIn(bp).length
+    assert(scans === 1, s"one corpus pass claimed, $scans scans found:\n$bp")
+  }
+
   test("q100 nb classifier: one lazy plan — model meets the corpus by broadcast only") {
     val p = finalPlan("q100_nb_classifier")
     assert(p.contains("BroadcastHashJoin"),
