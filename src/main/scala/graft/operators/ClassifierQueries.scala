@@ -130,7 +130,19 @@ object ClassifierQueries {
   /** Per-doc NB scores (source, doc_id, y, s): fit on the
     * doc_id % 10 = 0 split, score every doc. The spec asserts
     * learning (held-out accuracy above the majority rate) here. */
-  private[graft] def docScores(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc NB scores as a STANDING ARTIFACT — four registered
+    * consumers (q100 report, q104 calibration, q172 AUC, the q120/q130
+    * gate frame) each re-ran the scoring corpus pass per query. One
+    * build scores the corpus once; consumers read the narrow
+    * (source, doc_id, y, s) frame. The oracle re-derives inline
+    * (scoreCtes), hashes unchanged; ArtifactsSpec pins artifact ==
+    * fresh build. */
+  private[graft] def docScores(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_scores")(docScoresBuild(s, dir))
+
+  /** The builder (exposed for the plan pin: the broadcast-model
+    * discipline lives HERE; consumers must not re-scan the corpus). */
+  private[graft] def docScoresBuild(s: SparkSession, dir: String): DataFrame = {
     val (weights, prior) = nbModel(s, dir)
     // ---- score: the B-row weight table and 1-row prior broadcast
     // into the token stream; ONE per-doc partial-sum agg ----
@@ -285,23 +297,31 @@ object ClassifierQueries {
     * three gates (the LM needs ≥ 2 tokens), inner-join semantics both
     * engines share. */
   /** The three per-doc gate verdicts joined on doc_id — the frame q120
-    * (pairwise agreement) and q130 (per-source pass rates) both read.
-    * Domain = docs scored by all three gates (the LM needs ≥ 2
-    * tokens). */
-  private def gateFrame(s: SparkSession, dir: String): DataFrame = {
+    * (pairwise agreement) and q130 (per-source pass rates) both read,
+    * as a STANDING ARTIFACT: each consumer previously re-joined the
+    * three gate passes per query (and q130 added its own documents
+    * scan for the source column — now carried through from the
+    * doc_scores frame). The build itself reads the three standing
+    * per-doc substrates (doc_nll / doc_scores / doc_entropy), so warm
+    * it costs two doc_id equi-joins of narrow frames and cold exactly
+    * one corpus pass per gate. Domain = docs scored by all three gates
+    * (the LM needs ≥ 2 tokens). */
+  private def gateFrame(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "gate_verdicts")(gateFrameBuild(s, dir))
+
+  private[operators] def gateFrameBuild(s: SparkSession, dir: String): DataFrame = {
     val lm = SelectionQueries.docNll(s, dir)
       .select(col("doc_id"),
         (!(col("nll") > lit(SelectionQueries.PplFlagMnat) * col("nbg")))
           .as("keep_lm"))
-    val nb = docScores(s, dir).select(col("doc_id"), (col("s") > 0L).as("keep_nb"))
-    val ent = Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")).cast("long"))
-      .withColumn("f", expr(TextQueries.entropyFoldExpr("t", "n")))
+    val nb = docScores(s, dir)
+      .select(col("doc_id"), col("source"), (col("s") > 0L).as("keep_nb"))
+    val ent = TextQueries.docEntropy(s, dir)
       .select(col("doc_id"),
-        (expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n") >=
-          TextQueries.EntropyKeepMnats).as("keep_ent"))
+        (col("entropy_mnat") >= TextQueries.EntropyKeepMnats).as("keep_ent"))
     lm.join(nb, Seq("doc_id")).join(ent, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("keep_lm"), col("keep_nb"), col("keep_ent"))
   }
 
   private def q120(s: SparkSession, dir: String): DataFrame = {
@@ -402,15 +422,12 @@ object ClassifierQueries {
     * individual rates look fine is being killed by gate INTERACTION —
     * the read q120's corpus-level kappa can't localize.
     *
-    * Scale: the gate frames are the parent queries' shapes (broadcast
-    * models, scan-side folds); the source join is doc_id-equi on
-    * narrow columns; the unpivot quadruples 3-bit rows before a
-    * |sources|·4-row map-side-combined aggregate. keep_ppm is exact
-    * integer division. */
+    * Scale: one read of the standing gate_verdicts artifact (source
+    * rides the frame — no documents scan at all); the unpivot
+    * quadruples 3-bit rows before a |sources|·4-row map-side-combined
+    * aggregate. keep_ppm is exact integer division. */
   private def q130(s: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     gateFrame(s, dir)
-      .join(src, Seq("doc_id"))
       .select(col("source"), explode(array(
         struct(lit("lm").as("gate"), col("keep_lm").as("keep")),
         struct(lit("nb").as("gate"), col("keep_nb").as("keep")),

@@ -316,7 +316,19 @@ object TextQueries {
        |                          acc.run * graft_ln_small(acc.run, $n)),
        |    'vocab', acc.vocab))""".stripMargin
 
-  private def q111(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc token entropy as a STANDING ARTIFACT — the sorted-run
+    * entropy fold is a heavy per-doc map pass that q111 and the
+    * q120/q130 gate frame each re-ran per query. One build emits the
+    * narrow (doc_id, n_tokens, vocab, entropy_mnat) frame; consumers
+    * threshold/rollup it corpus-scan-free. The oracle re-derives
+    * inline, hashes unchanged; ArtifactsSpec pins artifact == fresh
+    * build. */
+  private[operators] def docEntropy(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_entropy")(docEntropyBuild(s, dir))
+
+  /** The builder (exposed for the plan pin: the zero-exchange scan-
+    * local fold discipline lives HERE). */
+  private[operators] def docEntropyBuild(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
@@ -326,6 +338,9 @@ object TextQueries {
         col("n").as("n_tokens"),
         col("f.vocab").as("vocab"),
         expr("greatest(CAST(0 AS BIGINT), -f.ssum) DIV n").as("entropy_mnat"))
+
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    docEntropy(s, dir)
       .withColumn("keep", col("entropy_mnat") >= EntropyKeepMnats)
       .orderBy(col("doc_id"))
 

@@ -117,6 +117,27 @@ class ArtifactsSpec extends SparkSpec {
       r.getAs[Long]("n_uniq_bpe") <= r.getAs[Long]("n_bpe_tokens")))
   }
 
+  test("doc_scores / doc_entropy / gate_verdicts artifacts equal fresh inline passes") {
+    val scoresArt = ClassifierQueries.docScores(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val scoresFresh = ClassifierQueries.docScoresBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(scoresArt.nonEmpty && scoresArt === scoresFresh)
+    val entArt = TextQueries.docEntropy(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val entFresh = TextQueries.docEntropyBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(entArt.nonEmpty && entArt === entFresh)
+    val gatesArt = ClassifierQueries.gateFrameBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    // the gate frame re-derives from the per-gate substrates; doc_id is
+    // a KEY of all three frames
+    assert(gatesArt.nonEmpty)
+    assert(gatesArt.map(_.getAs[Long]("doc_id")).distinct.size === gatesArt.size)
+    assert(scoresArt.map(_.getAs[Long]("doc_id")).distinct.size === scoresArt.size)
+    assert(entArt.map(_.getAs[Long]("doc_id")).distinct.size === entArt.size)
+  }
+
   test("doc_nll artifact equals a fresh inline scoring pass") {
     val art = SelectionQueries.docNll(spark, dir)
       .orderBy(col("source"), col("doc_id")).collect().toSeq

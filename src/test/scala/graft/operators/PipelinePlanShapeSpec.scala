@@ -294,14 +294,22 @@ class PipelinePlanShapeSpec extends SparkSpec {
     assert(scans === 1, s"one corpus pass claimed, $scans scans found:\n$bp")
   }
 
-  test("q100 nb classifier: one lazy plan — model meets the corpus by broadcast only") {
-    val p = finalPlan("q100_nb_classifier")
+  test("q100 nb classifier: the scoring build meets the corpus by broadcast only") {
+    // the discipline lives in the doc_scores BUILDER — q100/q104/q172
+    // and the gate frame all read the standing artifact
+    val df = ClassifierQueries.docScoresBuild(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),
       s"the B-row weight table must broadcast into the scoring scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus must never shuffle to meet the model:\n$p")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"the spread exchange under the hash kernel must survive AQE:\n$p")
+    // and the registered consumer never re-scores the corpus
+    val cp = finalPlan("q100_nb_classifier")
+    assert(!cp.contains("documents.parquet") && !cp.contains("text#"),
+      s"q100 must read the doc_scores artifact, not re-score documents:\n$cp")
   }
 
   test("q108 hard negatives: candidates come from the bucket equi-join, top-k is rank-limited") {

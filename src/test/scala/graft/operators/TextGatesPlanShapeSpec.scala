@@ -17,17 +17,24 @@ class TextGatesPlanShapeSpec extends SparkSpec {
   }
 
   test("q111 entropy gate: zero exchanges below the output sort") {
-    val p = executedPlan("q111_entropy_gate")
-    // per-doc math is scan-local: the ONLY exchanges allowed are the
-    // explicit spread repartition and the final ORDER BY's range
-    // partitioning — no hash exchange from any agg/join
+    // the fold discipline lives in the doc_entropy BUILDER (q111's
+    // registered form reads the standing artifact)
+    val b = TextQueries.docEntropyBuild(spark, dir)
+    b.collect()
+    val p = b.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // per-doc math is scan-local: the ONLY exchange allowed is the
+    // explicit spread repartition — no hash exchange from any agg/join
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      s"q111 must not join:\n$p")
+      s"the doc_entropy build must not join:\n$p")
     val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(hashEx.isEmpty || hashEx.forall(_.contains("REPARTITION_BY_NUM")),
       s"only the explicit spread may hash-exchange:\n$p")
     assert(p.contains("graft_ln_small") || p.contains("lnsmall"),
       "the native ladder expression must be in the plan")
+    // and the registered consumer never re-runs the fold on the corpus
+    val cp = executedPlan("q111_entropy_gate")
+    assert(!cp.contains("documents.parquet") && !cp.contains("text#"),
+      s"q111 must read the doc_entropy artifact, not re-fold documents:\n$cp")
   }
 
   test("q110 boilerplate: eager bounded result, cache released on exit") {
