@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Host-storm detector for bench windows (SCALE.md rounds 10-12: the VM
+# host shows multi-hour windows where kernel time dwarfs user time and
+# shuffle/build-heavy Spark stages run 3-10x slow; sys > user on a
+# medium probe is the documented signature).
+#
+# Runs ONE medium shuffle-heavy query (q59 BM25 at the 100x replica,
+# ~2-4 s calm, sys << user) and prints CALM or STORM with the numbers.
+# Usage: scripts/stormprobe.sh [replica_dir]   (default tmp_sf100)
+set -u
+cd "$(dirname "$0")/.."
+source scripts/bare_jvm_env.sh
+DIR="${1:-/root/repo/tmp_sf100}"
+OUT=$(mktemp)
+/usr/bin/env bash -c "time env SPARK_GRAFT_SF_DIR=$DIR SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_PARTS=32 SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_OUT=$OUT.json \
+  java -Xmx16g -cp 'target/scala-2.13/classes:/opt/spark/jars/*' \
+  graft.Bench q59_bm25_scoring > $OUT.log 2>&1" 2> "$OUT.time"
+REAL=$(awk '/^real/{print $2}' "$OUT.time")
+USERT=$(awk '/^user/{print $2}' "$OUT.time" | awk -Fm '{print $1*60+$2}' | sed 's/s//')
+SYST=$(awk '/^sys/{print $2}' "$OUT.time" | awk -Fm '{print $1*60+$2}' | sed 's/s//')
+Q=$(grep -o '"q59_bm25_scoring":[0-9.]*' "$OUT.json" 2>/dev/null | cut -d: -f2)
+VERDICT="CALM"
+# storm signature: kernel time exceeds user time, or the probe query
+# runs far above its calm band (~2-4 s at the 100x replica)
+awk -v s="$SYST" -v u="$USERT" -v q="${Q:-0}" 'BEGIN{exit !(s > u || q > 8)}' \
+  && VERDICT="STORM"
+echo "$VERDICT wall=$REAL user=${USERT}s sys=${SYST}s q59=${Q:-fail}s dir=$DIR"
+rm -f "$OUT" "$OUT.log" "$OUT.json" "$OUT.time"
+[ "$VERDICT" = "CALM" ]
