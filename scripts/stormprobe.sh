@@ -20,11 +20,18 @@ REAL=$(awk '/^real/{print $2}' "$OUT.time")
 USERT=$(awk '/^user/{print $2}' "$OUT.time" | awk -Fm '{print $1*60+$2}' | sed 's/s//')
 SYST=$(awk '/^sys/{print $2}' "$OUT.time" | awk -Fm '{print $1*60+$2}' | sed 's/s//')
 Q=$(grep -o '"q59_bm25_scoring":[0-9.]*' "$OUT.json" 2>/dev/null | cut -d: -f2)
+# a probe that produced no per-query time is BROKEN (missing replica
+# dir, unbuilt classes, JVM crash — graft.Bench swallows per-query
+# exceptions, so an empty/0 time must never read as CALM)
+if [ -z "${Q:-}" ] || awk -v q="$Q" 'BEGIN{exit !(q < 0.2)}'; then
+  echo "BROKEN wall=$REAL user=${USERT}s sys=${SYST}s q59=${Q:-none} dir=$DIR (probe did not run — see $OUT.log)"
+  exit 2
+fi
 VERDICT="CALM"
 # storm signature: kernel time exceeds user time, or the probe query
 # runs far above its calm band (~2-4 s at the 100x replica)
-awk -v s="$SYST" -v u="$USERT" -v q="${Q:-0}" 'BEGIN{exit !(s > u || q > 8)}' \
+awk -v s="$SYST" -v u="$USERT" -v q="$Q" 'BEGIN{exit !(s > u || q > 8)}' \
   && VERDICT="STORM"
-echo "$VERDICT wall=$REAL user=${USERT}s sys=${SYST}s q59=${Q:-fail}s dir=$DIR"
+echo "$VERDICT wall=$REAL user=${USERT}s sys=${SYST}s q59=${Q}s dir=$DIR"
 rm -f "$OUT" "$OUT.log" "$OUT.json" "$OUT.time"
 [ "$VERDICT" = "CALM" ]

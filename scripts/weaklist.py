@@ -45,6 +45,9 @@ ABS_BAR = 0.7
 def load(path):
     txt = open(path).read()
     m = re.search(r'\{"metric".*\}', txt)
+    if m is None:
+        sys.exit(f"weaklist: {path} contains no graft.Bench JSON line "
+                 "(expected {\"metric\":...})")
     return json.loads(m.group(0))["queries"]
 
 
@@ -64,7 +67,12 @@ def main():
     si, di = argv.index("--spark"), argv.index("--duck")
     spark_files = argv[si + 1:di] if si < di else argv[si + 1:]
     duck_files = argv[di + 1:si] if di < si else argv[di + 1:]
+    if not spark_files or not duck_files:
+        sys.exit("weaklist: need at least one file after --spark and --duck")
     spark, duck = min_over(spark_files), min_over(duck_files)
+    if not set(spark) & set(duck):
+        sys.exit("weaklist: the spark and duckdb files share no query names "
+                 "— wrong file pairing?")
 
     rows = []
     for q in sorted(spark):

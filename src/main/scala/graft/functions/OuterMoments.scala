@@ -52,13 +52,16 @@ case class OuterMoments(
       if (a.numElements() != d)
         throw new IllegalArgumentException(
           s"graft_outer_moments($d): input vector has ${a.numElements()} elements")
-      val q = a.toLongArray()
+      // index the ArrayData directly — toLongArray would copy the
+      // vector into a fresh array per input row in the one hot loop
+      // this kernel exists to keep allocation-free (inputs are the
+      // containsNull=false transform output, so getLong is total)
       var j = 0
       while (j < d) {
-        val qj = q(j)
+        val qj = a.getLong(j)
         val row = j * d
         var k = 0
-        while (k < d) { buf(row + k) += qj * q(k); k += 1 }
+        while (k < d) { buf(row + k) += qj * a.getLong(k); k += 1 }
         buf(d * d + j) += qj
         j += 1
       }

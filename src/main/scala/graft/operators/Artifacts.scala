@@ -63,6 +63,27 @@ object Artifacts {
 
   private def enabled: Boolean = !sys.env.contains("SPARK_GRAFT_NO_ARTIFACTS")
 
+  /** NO_ARTIFACTS audit-mode fidelity for multi-branch consumers: with
+    * the layer disabled, `frame()` returns the bare lazy builder, so a
+    * query whose plan references the frame in several branches would
+    * re-run the build once per branch — while the pre-artifact code it
+    * is supposed to reproduce persisted the frame for the query's
+    * duration. `pinned(s, frame)(consume)` restores that: disabled →
+    * persist, materialize the (bounded) result into a LocalRelation,
+    * unpersist; enabled → the standing blocks already materialize the
+    * frame once, so consume lazily. Use ONLY where `consume` yields a
+    * bounded (|S|-row) result — the LocalRelation holds it all. */
+  private[operators] def pinned(s: SparkSession, frame: DataFrame)(
+      consume: DataFrame => DataFrame): DataFrame =
+    if (enabled) consume(frame)
+    else {
+      val p = frame.persist()
+      try {
+        val out = consume(p)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally p.unpersist()
+    }
+
   private def key(s: SparkSession, dir: String, name: String): String =
     s"${s.sparkContext.applicationId}|$dir|$name"
 

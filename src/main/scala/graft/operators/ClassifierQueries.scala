@@ -306,7 +306,7 @@ object ClassifierQueries {
     * it costs two doc_id equi-joins of narrow frames and cold exactly
     * one corpus pass per gate. Domain = docs scored by all three gates
     * (the LM needs ≥ 2 tokens). */
-  private def gateFrame(s: SparkSession, dir: String): DataFrame =
+  private[operators] def gateFrame(s: SparkSession, dir: String): DataFrame =
     Artifacts.frame(s, dir, "gate_verdicts")(gateFrameBuild(s, dir))
 
   private[operators] def gateFrameBuild(s: SparkSession, dir: String): DataFrame = {

@@ -874,13 +874,19 @@ object SimilarityQueries {
       val g = gramsByLabel(l)
       // var_total = tr(G_label) = Σᵢ‖cvᵢ‖²; var_top = vᵀG_label v / ‖v‖²
       // = (Σᵢ dotᵢ²) / ‖v‖² — BigInt keeps the quadratic form exact
-      // (it exceeds int64 at ~10⁵ vectors) before the one truncation
+      // (it exceeds int64 at ~10⁵ vectors) before the one truncation.
+      // Degenerate-data guards (all-identical vectors ⇒ zero Gram ⇒
+      // zero v; a label exactly at the global mean ⇒ varTotal 0): emit
+      // NULL like the SQL DIV the pre-round-12 form used, never throw
       val varTotal = (0 until 64).map(j => g(j)(j)).sum
       val vGv = (for (j <- 0 until 64; k <- 0 until 64)
         yield BigInt(g(j)(k)) * v(j) * v(k)).sum
-      val varTop = (vGv / vnorm).toLong
-      (l.toLong, nL(l), varTotal, varTop,
-        (BigInt(varTop) * 1000000 / varTotal).toLong)
+      val varTop: Option[Long] =
+        if (vnorm == 0) None else Some((vGv / vnorm).toLong)
+      val ppm: Option[Long] =
+        if (varTotal == 0L) None
+        else varTop.map(t => (BigInt(t) * 1000000 / varTotal).toLong)
+      (l.toLong, nL(l), varTotal, varTop, ppm)
     }
     import s.implicits._
     rows.toDF("label", "n_vecs", "var_total", "var_top", "explained_ppm")
@@ -932,18 +938,22 @@ object SimilarityQueries {
        |  GROUP BY 1, 2
        |), lsum AS (
        |  -- sum the exact dot^2 in HUGEINT, divide by ||v||^2 ONCE per
-       |  -- label (mirrors the Spark side's BigInt v'Gv / vnorm)
+       |  -- label (mirrors the Spark side's BigInt v'Gv / vnorm);
+       |  -- degenerate guards mirror the engine's NULL-not-throw contract
        |  SELECT label,
        |         CAST(count(*) AS BIGINT) AS n_vecs,
        |         CAST(sum(nsq) AS BIGINT) AS var_total,
-       |         CAST(sum(CAST(dot AS HUGEINT) * dot)
-       |              // (SELECT CAST(vnorm AS HUGEINT) FROM vn) AS BIGINT)
-       |           AS var_top
+       |         CASE WHEN (SELECT vnorm FROM vn) = 0 THEN NULL
+       |              ELSE CAST(sum(CAST(dot AS HUGEINT) * dot)
+       |                   // (SELECT CAST(vnorm AS HUGEINT) FROM vn) AS BIGINT)
+       |         END AS var_top
        |  FROM pvec GROUP BY label
        |)
        |SELECT CAST(label AS BIGINT) AS label, n_vecs, var_total, var_top,
-       |       CAST(CAST(var_top AS HUGEINT) * 1000000
-       |            // CAST(var_total AS HUGEINT) AS BIGINT) AS explained_ppm
+       |       CASE WHEN var_total = 0 OR var_top IS NULL THEN NULL
+       |            ELSE CAST(CAST(var_top AS HUGEINT) * 1000000
+       |                 // CAST(var_total AS HUGEINT) AS BIGINT)
+       |       END AS explained_ppm
        |FROM lsum ORDER BY label""".stripMargin
   }
 

@@ -194,43 +194,52 @@ object TextQueries {
   private[graft] def chunkHashesExpr(w: Int): String =
     s"transform(sequence(0, size(t) DIV $w - 1), i -> md5(array_join(slice(t, i * $w + 1, $w), ' ')))"
 
-  private def q110(s: SparkSession, dir: String): DataFrame = {
-    // full W-token chunks only; a trailing partial chunk is content,
-    // never boilerplate-eligible (it can't recur structurally).
-    // The per-doc frame feeds BOTH the segment chain and the token
-    // totals; pin it so the scan + split + hash pass runs once — and
-    // pin the projection AFTER hashing, so what's cached is digests
-    // and counts, never the text.
-    val docs = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+  /** Per-doc stride-W chunk digests as a STANDING ARTIFACT — q110
+    * (source boilerplate profile) and q146 (per-doc paragraph-dedup
+    * removal) derive the IDENTICAL (doc_id, source, n_toks, hs) frame
+    * and each re-ran the scan + split + hash pass per query. Full
+    * W-token chunks only; a trailing partial chunk is content, never
+    * boilerplate-eligible (it can't recur structurally). The digests
+    * are the md5 hex strings both oracles state, so hashes are
+    * unchanged by construction; what stands is digests and counts,
+    * never text. */
+  private[operators] def docChunks(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "doc_chunks")(docChunksBuild(s, dir))
+
+  /** The builder (exposed for the plan pin: one spread corpus pass,
+    * scan-side hashing, no join). */
+  private[operators] def docChunksBuild(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("source"),
         size(col("t")).cast("long").as("n_toks"),
         expr(
           s"""CASE WHEN size(t) >= $BoilerW THEN ${chunkHashesExpr(BoilerW)}
              |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("hs"))
-      .persist()
-    try {
-      val segs = docs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-      val df = segs.groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
-      val perSrc = df.groupBy(col("source"))
-        .agg(
-          sum(col("occ")).as("n_segments"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_segs"),
-          (lit(BoilerW.toLong) * sum(when(col("df") >= 2, col("occ")).otherwise(0L)))
-            .as("removed_tokens"))
-      val tot = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-      val outPlan = tot.join(perSrc, Seq("source"))
-        .withColumn("boiler_ppm",
-          expr("(removed_tokens * 1000000) DIV total_tokens"))
-        .select(col("source"), col("n_docs"), col("total_tokens"), col("n_segments"),
-          col("n_boiler_segs"), col("removed_tokens"), col("boiler_ppm"))
-        .orderBy(col("source"))
-      // |sources| rows: collect once into a LocalRelation (q43 pattern)
-      // so the result survives the unpersist below
-      s.createDataFrame(java.util.Arrays.asList(outPlan.collect(): _*), outPlan.schema)
-    } finally docs.unpersist()
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    // the standing doc_chunks artifact replaced the old per-query
+    // persist + collect-to-LocalRelation dance (Artifacts.pinned keeps
+    // the old single-pass behavior in the NO_ARTIFACTS audit mode)
+    Artifacts.pinned(s, docChunks(s, dir)) { docs =>
+    val segs = docs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val df = segs.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+    val perSrc = df.groupBy(col("source"))
+      .agg(
+        sum(col("occ")).as("n_segments"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_segs"),
+        (lit(BoilerW.toLong) * sum(when(col("df") >= 2, col("occ")).otherwise(0L)))
+          .as("removed_tokens"))
+    val tot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    tot.join(perSrc, Seq("source"))
+      .withColumn("boiler_ppm",
+        expr("(removed_tokens * 1000000) DIV total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_segments"),
+        col("n_boiler_segs"), col("removed_tokens"), col("boiler_ppm"))
+      .orderBy(col("source"))
+    }
   }
 
   private val q110Sql =

@@ -128,14 +128,27 @@ class ArtifactsSpec extends SparkSpec {
     val entFresh = TextQueries.docEntropyBuild(spark, dir)
       .orderBy(col("doc_id")).collect().toSeq
     assert(entArt.nonEmpty && entArt === entFresh)
-    val gatesArt = ClassifierQueries.gateFrameBuild(spark, dir)
+    val gatesArt = ClassifierQueries.gateFrame(spark, dir)
       .orderBy(col("doc_id")).collect().toSeq
-    // the gate frame re-derives from the per-gate substrates; doc_id is
-    // a KEY of all three frames
-    assert(gatesArt.nonEmpty)
+    val gatesFresh = ClassifierQueries.gateFrameBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(gatesArt.nonEmpty && gatesArt === gatesFresh)
+    // doc_id is a KEY of all three frames
     assert(gatesArt.map(_.getAs[Long]("doc_id")).distinct.size === gatesArt.size)
     assert(scoresArt.map(_.getAs[Long]("doc_id")).distinct.size === scoresArt.size)
     assert(entArt.map(_.getAs[Long]("doc_id")).distinct.size === entArt.size)
+  }
+
+  test("doc_chunks artifact equals a fresh inline chunk-hash derivation") {
+    val art = TextQueries.docChunks(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val fresh = TextQueries.docChunksBuild(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(art.nonEmpty && art === fresh)
+    // substrate invariants: doc_id is a KEY; every doc appears (short
+    // docs carry an empty hs array, they are not dropped)
+    assert(art.map(_.getAs[Long]("doc_id")).distinct.size === art.size)
+    assert(art.size === graft.Tables.documents(spark, dir).count())
   }
 
   test("doc_nll artifact equals a fresh inline scoring pass") {

@@ -37,21 +37,25 @@ class TextGatesPlanShapeSpec extends SparkSpec {
       s"q111 must read the doc_entropy artifact, not re-fold documents:\n$cp")
   }
 
-  test("q110 boilerplate: eager bounded result, cache released on exit") {
-    // shared test session: start from a clean cache so the emptiness
-    // assertion below sees only what q110 itself leaves behind
+  test("q110/q146 read the standing doc_chunks artifact — no per-query chunk pass") {
+    // round 12: the per-query persist + collect-to-LocalRelation dance
+    // is gone — both consumers plan over the shared standing frame and
+    // leave no SQL-cache entry behind
     spark.catalog.clearCache()
-    val df = graft.QueryCatalog.all.find(_.name == "q110_boilerplate_profile")
-      .get.fn(spark, dir)
-    // the q43 contract: the heavy chain executed INSIDE the query while
-    // its digest-frame pin was alive; what escapes is a |sources|-row
-    // LocalRelation with no lazy lineage to re-run after the unpersist
-    assert(df.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
-      "q110 must return the collected LocalRelation, not a lazy plan")
-    assert(df.count() <= 20L)
-    // and no cache entry survives the call
+    Seq("q110_boilerplate_profile", "q146_paragraph_dedup").foreach { q =>
+      val cp = executedPlan(q)
+      assert(!cp.contains("documents.parquet") && !cp.contains("text#"),
+        s"$q must read the doc_chunks artifact, not re-hash documents:\n$cp")
+    }
     assert(spark.sharedState.cacheManager.isEmpty,
-      "q110 must release its digest-frame pin before returning")
+      "the consumers must not pin SQL-cache entries")
+    // and the BUILD is one spread corpus pass, scan-side hashing, no join
+    val b = TextQueries.docChunksBuild(spark, dir)
+    b.collect()
+    val bp = b.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!bp.contains("Join"), s"the doc_chunks build must not join:\n$bp")
+    val scans = "Scan parquet".r.findAllIn(bp).length
+    assert(scans === 1, s"one corpus pass claimed, $scans scans found:\n$bp")
   }
 
   test("q113 epoch shards: one hash exchange on the grouping key, no global sort of docs") {
