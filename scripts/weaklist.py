@@ -33,9 +33,18 @@ ADJUDICATED = {
     "q159_incremental_clusters":
         "BASELINE.md round 9: per-round RDD CC action latency on a toy "
         "delta graph; design is O(batch) at scale",
-    "q53_approx_percentiles":
+    "q53_approx_percentile":
         "BASELINE.md round 11: FloorProbe-backed sketch scan+exchange "
         "floor (accuracy=1000, exec min 0.53-0.69 s)",
+    "q76_mixture_sampling":
+        "BASELINE.md round 12: two-linear-scan + broadcast-ladder floor; "
+        "0.66 s (under bar) in the r11 calm pair on unchanged code",
+    "q138_quantile_drift":
+        "BASELINE.md round 12: bounded quantCdf grid, one events scan; "
+        "0.52 s (under bar) in the r11 calm pair on unchanged code",
+    "q155_kcenter_coreset":
+        "BASELINE.md round 12: driver-side batched k-center iteration "
+        "(analyze-bound); 0.63 s (under bar) in the r11 calm pair",
 }
 
 RATIO_BAR = 2.0
