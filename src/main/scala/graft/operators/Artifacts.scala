@@ -24,6 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     q94 + q143)
   *   - `winnow_fp` — the MOSS winnowing fingerprint index
   *     (PipelineQueries, q162)
+  *   - `doc_tokens` / `doc_scores` / `doc_entropy` / `gate_verdicts` /
+  *     `doc_chunks` — the round-12 per-doc substrate frames: regex
+  *     token counts (q37), NB scores (q100/q104/q172 + the gate
+  *     frame), token entropy (q111 + the gate frame), the joined
+  *     3-gate verdicts with source (q120/q130), and the stride-W chunk
+  *     digests (q110/q146)
   *
   * Why: seven registered queries (q97/q109/q128/q142/q150/q152/q153)
   * consume the clustering and each re-derived the full shingle → pair
