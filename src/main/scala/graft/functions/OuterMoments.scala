@@ -54,8 +54,18 @@ case class OuterMoments(
           s"graft_outer_moments($d): input vector has ${a.numElements()} elements")
       // index the ArrayData directly — toLongArray would copy the
       // vector into a fresh array per input row in the one hot loop
-      // this kernel exists to keep allocation-free (inputs are the
-      // containsNull=false transform output, so getLong is total)
+      // this kernel exists to keep allocation-free. getLong on a null
+      // element silently reads 0 (or an uninitialized word for
+      // UnsafeArrayData), so a cheap O(d) null sweep guards the O(d²)
+      // unchecked loop for SQL callers whose arrays carry nulls —
+      // q156's transform output is null-free, arbitrary callers aren't.
+      var p = 0
+      while (p < d) {
+        if (a.isNullAt(p))
+          throw new IllegalArgumentException(
+            s"graft_outer_moments($d): input vector has a NULL element at index $p")
+        p += 1
+      }
       var j = 0
       while (j < d) {
         val qj = a.getLong(j)

@@ -831,7 +831,12 @@ object SimilarityQueries {
     * pre-aggregate (plan pinned join-free/one-scan in
     * PipelinePlanShapeSpec). */
   private[operators] def abttMoments(arr: DataFrame): DataFrame =
-    arr.groupBy(col("label"))
+    // cast the key to int IN THE PLAN: the schema contract admits
+    // int32 OR int64 label footers (the round-6 drift mode), and the
+    // driver-side collect below reads the key with a typed getInt —
+    // without this cast a regenerated int64 testdata would CCE at
+    // runtime instead of failing the contract spec first
+    arr.groupBy(col("label").cast("int").as("label"))
       .agg(expr("graft_outer_moments(q, 64)").as("mom"))
 
   private def q156(s: SparkSession, dir: String): DataFrame = {
@@ -841,7 +846,12 @@ object SimilarityQueries {
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
           .as("q"))
     val byLabel: Map[Int, IndexedSeq[Long]] = abttMoments(arr).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+      .map { r =>
+        // explicit failure beats the bare getInt's silent-0 NPE path:
+        // the audit is defined over non-null labels only
+        require(!r.isNullAt(0), "q156: NULL label in embeddings")
+        r.getInt(0) -> r.getSeq[Long](1).toIndexedSeq
+      }.toMap
     val labels = byLabel.keys.toSeq.sorted
     def cell(l: Int, idx: Int): Long = byLabel(l)(idx)
     val nL = labels.map(l => l -> cell(l, 4160)).toMap

@@ -74,6 +74,16 @@ class OuterMomentsSpec extends SparkSpec {
     assert(got("b").forall(_ === 0L))
   }
 
+  test("a NULL element inside a vector fails loudly (never silently reads 0)") {
+    val rows = Seq(("a", Array[java.lang.Long](1L, null, 3L)))
+      .toDF("grp", "q")
+    val e = intercept[Exception] {
+      rows.groupBy(col("grp")).agg(expr("graft_outer_moments(q, 3)")).collect()
+    }
+    assert(e.getMessage.contains("NULL element") ||
+      (e.getCause != null && e.getCause.getMessage.contains("NULL element")))
+  }
+
   test("wrong-dimension input fails loudly, wrong type fails analysis") {
     val rows = Seq(("a", Array(1L, 2L))).toDF("grp", "q")
     val e = intercept[Exception] {
