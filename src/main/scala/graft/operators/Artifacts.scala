@@ -19,7 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `bigram_lm` / `nb_model` — pruned model LocalRelations
   *     (SelectionQueries / ClassifierQueries)
   *   - `pq_model` / `ivfpq_model` / `ivf_index` — the ANN index state
-  *     (PqQueries / IvfQueries)
+  *     (PqQueries / IvfQueries); `ivf_index` spans `ivf_assigned`,
+  *     `ivf_centroids` AND (round 13) `ivf_margins` — the per-vector
+  *     top-2 assignment similarities written from the same final
+  *     scoring pass (q123's silhouette input)
   *   - `rrf_fused` — the hybrid-retrieval fused list (RetrievalQueries,
   *     q94 + q143)
   *   - `winnow_fp` — the MOSS winnowing fingerprint index
@@ -30,6 +33,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     frame), token entropy (q111 + the gate frame), the joined
   *     3-gate verdicts with source (q120/q130), and the stride-W chunk
   *     digests (q110/q146)
+  *   - under `spark.graft.wideDigest=1`, the gram-digest tables store
+  *     as `doc_grams8w` / `src_grams8w` (a second independent 60-bit
+  *     digest column; see CorpusQueries.wideDigest) — distinct names
+  *     so a store never serves one width to the other's session
   *
   * Why: seven registered queries (q97/q109/q128/q142/q150/q152/q153)
   * consume the clustering and each re-derived the full shingle → pair

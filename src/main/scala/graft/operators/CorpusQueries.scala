@@ -579,12 +579,40 @@ object CorpusQueries {
     * multiplicity (no re-distinct on the digest — both engines agree
     * by construction). */
   private[graft] def docGrams8Frame(s: SparkSession, dir: String): DataFrame =
-    Artifacts.frame(s, dir, "doc_grams8")(docGrams8Build(s, dir))
+    Artifacts.frame(s, dir, if (wideDigest(s)) "doc_grams8w" else "doc_grams8")(
+      docGrams8Build(s, dir))
+
+  /** The documented ≥10⁹-gram widening, now BUILT behind a flag: with
+    * `spark.graft.wideDigest=1` (or env `SPARK_GRAFT_WIDE_DIGEST=1`)
+    * every gram digest carries a SECOND independent 60-bit column
+    * (md5 hex chars 16–30) and all membership joins key on BOTH — 120
+    * bits keeps the birthday expectation ≪ 1 far past 10⁹ distinct
+    * grams, where the single column's guarantee (pinned zero-collision
+    * over the test vocabulary in ArtifactsSpec) runs out. Results are
+    * width-invariant while the narrow digest is collision-free, which
+    * is exactly what WideDigestSpec pins; wide-mode artifacts store
+    * under distinct names so a store never serves one width to a
+    * session configured for the other. */
+  private[graft] def wideDigest(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.wideDigest",
+      sys.env.getOrElse("SPARK_GRAFT_WIDE_DIGEST", "")) == "1"
+
+  /** The digest join key set under the configured width. */
+  private def ghKeys(s: SparkSession): Seq[String] =
+    if (wideDigest(s)) Seq("gh", "gh2") else Seq("gh")
+
+  /** Attach the digest column(s) to a frame carrying gram strings `g`. */
+  private def withGh(s: SparkSession, df: DataFrame): DataFrame = {
+    val base = df.withColumn("gh",
+      conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint"))
+    if (wideDigest(s))
+      base.withColumn("gh2",
+        conv(substring(md5(col("g")), 16, 15), 16, 10).cast("bigint"))
+    else base
+  }
 
   private[graft] def docGrams8Build(s: SparkSession, dir: String): DataFrame =
-    grams8(s, dir)
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint").as("gh"))
+    withGh(s, grams8(s, dir)).drop("g")
 
   private val docGrams8Sql =
     s"""SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
@@ -600,12 +628,14 @@ object CorpusQueries {
     * strings, move through the join. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val g = docGrams8Frame(s, dir)
-    val bench = g.filter(col("doc_id") % 50 === 0).select(col("gh")).distinct()
+    val keys = ghKeys(s)
+    val bench = g.filter(col("doc_id") % 50 === 0)
+      .select(keys.map(col): _*).distinct()
     val train = g.filter(col("doc_id") % 50 =!= 0)
     // ONE aggregation: broadcast-left-join the (distinct) benchmark
     // fingerprints as a membership flag, count total and hit shingles in
     // the same hash agg — no second pass, no agg-agg join
-    train.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gh"), "left")
+    train.join(broadcast(bench.withColumn("hit", lit(1L))), keys, "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
@@ -649,13 +679,15 @@ object CorpusQueries {
         (size(col("t")) - 1).cast("long").as("n_bigrams"),
         dupOcc("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
           .as("dup_occ"))
-    docs
+    // Det.ordered: maxRun/dupOcc are heavy exchange-free array work —
+    // a bare orderBy re-ran the whole scan for the range sample
+    Det.ordered(docs
       .withColumn("top_token_frac", Det.rate(col("top_c").cast("double") / col("n_tokens")))
       .withColumn("dup_bigram_frac", Det.rate(col("dup_occ").cast("double") / col("n_bigrams")))
       .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
       .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),
-        col("dup_bigram_frac"), col("keep"))
-      .orderBy(col("doc_id"))
+        col("dup_bigram_frac"), col("keep")),
+      col("doc_id"))
   }
 
   private val q56Sql =
@@ -1092,7 +1124,8 @@ object CorpusQueries {
     * the corpus-scale pass q122 (exact containment) and q135 (minhash
     * sketch) share. */
   private def srcGrams8(s: SparkSession, dir: String): DataFrame =
-    Artifacts.frame(s, dir, "src_grams8")(srcGrams8Build(s, dir))
+    Artifacts.frame(s, dir, if (wideDigest(s)) "src_grams8w" else "src_grams8")(
+      srcGrams8Build(s, dir))
 
   private def srcGrams8Build(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir), col("doc_id"))
@@ -1105,9 +1138,8 @@ object CorpusQueries {
       // self-join sorts/shuffles 8-byte longs instead of ~50-byte gram
       // strings (q122 measured n·log n on strings at 100×); both
       // engines derive it identically so parity is structural, and at
-      // ≥10⁹ grams the documented widening is a second digest column
-      .withColumn("gh",
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint"))
+      // ≥10⁹ grams the wideDigest flag adds the second digest column
+      .transform(df => withGh(s, df))
 
   private val srcGrams8Sql =
     """SELECT source, g, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
@@ -1122,8 +1154,9 @@ object CorpusQueries {
     val sg = srcGrams8(s, dir).persist()
     sg.count() // domain + both join sides scan sg: settle the cache once
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val shared = sg.select(col("source").as("src_a"), col("gh"))
-      .join(sg.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+    val keys = ghKeys(s)
+    val shared = sg.select(col("source").as("src_a") +: keys.map(col): _*)
+      .join(sg.select(col("source").as("src_b") +: keys.map(col): _*), keys)
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1341,10 +1374,11 @@ object CorpusQueries {
     * [[docGrams8Frame]] standing artifact (shared with q55). */
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val g = docGrams8Frame(s, dir)
+    val keys = ghKeys(s)
     val held = g.filter(col("doc_id") % 50 === 0)
-    val hits = g.filter(col("doc_id") % 50 =!= 0).select(col("gh"))
-      .join(broadcast(held), Seq("gh"))
-      .select(col("doc_id"), col("gh")).distinct()
+    val hits = g.filter(col("doc_id") % 50 =!= 0).select(keys.map(col): _*)
+      .join(broadcast(held), keys)
+      .select(col("doc_id") +: keys.map(col): _*).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     held.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       // hits is bounded by |held docs| — broadcast, so the per-doc merge

@@ -26,6 +26,19 @@ object Det {
 
   /** 6-decimal rate rounding. Oracle: floor(x*1e6 + 0.5)/1e6. */
   def rate(c: Column): Column = rnd(c, 6)
+
+  /** Total-order a finished frame WITHOUT double-executing its
+    * derivation: a global ORDER BY's RangePartitioner SAMPLES its
+    * child, so an exchange-free pre-sort chain (scan → heavy per-row
+    * compute, or a join/agg whose distribution the child already
+    * satisfies) runs twice — once for the sample pass, once for real
+    * (SCALE.md round 13: two back-to-back 14 s jobs inside one q72).
+    * The eager checkpoint materializes the output-sized rows so the
+    * sample reads blocks. Use ONLY where the pre-sort chain is
+    * expensive AND exchange-free — behind a shuffle the sample pass
+    * reuses map outputs and this barrier would be pure overhead. */
+  def ordered(df: DataFrame, keys: Column*): DataFrame =
+    df.localCheckpoint().orderBy(keys: _*)
 }
 
 /** Share-of-total WITHOUT an unpartitioned window: the total is a

@@ -57,8 +57,28 @@ object IvfQueries {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
+  /** Everything the final assignment pass yields: assignments,
+    * centroids, and the per-vector top-2 margin frame — the N·K
+    * cosine scoring runs ONCE and all three views share it (`scored`
+    * is the persisted rk ≤ 2 frame both derive from; callers unpersist
+    * it once the artifact writes land). */
+  private[operators] case class BuiltIndex(
+      assigned: DataFrame, centroids: DataFrame,
+      margins: DataFrame, scored: DataFrame)
+
   /** Build (vec_id, v, nrm, cell) assignments + final centroids. */
   def buildIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val b = buildIndexFull(s, dir)
+    (b.assigned, b.centroids)
+  }
+
+  /** Build assignments + centroids + the top-2 margin frame in ONE
+    * final scoring pass (the r12 verdict's "one scan, two writes":
+    * q123's silhouette needs exactly a_sim = the argmax similarity and
+    * b_sim = the runner-up, both of which the assignment window already
+    * ranks — re-deriving them cost a second N·K cosine pass per cold
+    * session). */
+  private[operators] def buildIndexFull(s: SparkSession, dir: String): BuiltIndex = {
     val vectors = normed(s, dir).persist()
     // Seed cells are assigned on the driver from the collected K-row
     // TakeOrdered result (order already total: md5 value, then vec_id) —
@@ -103,8 +123,30 @@ object IvfQueries {
     // vectors stay cached for the final assign (the caller's first
     // action materializes it); the per-query session hygiene is
     // Verify/Bench clearCache — only the per-ITERATION caches, which
-    // would stack inside a single buildIndex, are retired eagerly above
-    (assign(s, vectors, centroids).persist(), centroids)
+    // would stack inside a single buildIndex, are retired eagerly above.
+    // The final pass keeps rk ≤ 2 (not rk = 1): the runner-up row is
+    // free here and IS q123's separation term — per vector,
+    // a_sim = rk1.sim (the argmax the assignment is defined by) and
+    // b_sim = rk2.sim (all K cells are distinct, so the best
+    // other-cell similarity is exactly the second-ranked row; on ties
+    // both equal the tied value, same as max-over-others).
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("sim", Det.rate(VectorMath.cosine(s, "v", "cv", col("nrm"), col("cnrm"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("sim"), col("rk"))
+      .persist()
+    val assigned = scored.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // groupBy(vec_id) lands on the window's own hash partitioning —
+    // no second exchange (AQE reuses the child distribution)
+    val margins = scored.groupBy(col("vec_id"))
+      .agg(max(when(col("rk") === 1, col("cell"))).as("cell"),
+        max(when(col("rk") === 1, col("sim"))).as("a_sim"),
+        max(when(col("rk") === 2, col("sim"))).as("b_sim"))
+      .select(col("vec_id"), col("cell"), col("a_sim"), col("b_sim"))
+    BuiltIndex(assigned, centroids, margins, scored)
   }
 
   /** The built index as a STANDING ARTIFACT ([[Artifacts]]): k-means
@@ -116,18 +158,34 @@ object IvfQueries {
     * LocalRelation — both DISK-BACKED since round 10, so a warm
     * session never re-trains (r9 verdict #6). [[writeIndex]] keeps
     * the explicit cell-partitioned export path. */
-  private[operators] def index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[operators] def index(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = indexFull(s, dir)
+    (p.assigned, p.centroids)
+  }
+
+  /** The three standing pieces as served to consumers (assignments
+    * already decoded back to `array<double>`). */
+  private[operators] case class IvfParts(
+      assigned: DataFrame, centroids: DataFrame, margins: DataFrame)
+
+  private[operators] def indexFull(s: SparkSession, dir: String): IvfParts =
     Artifacts.value(s, dir, "ivf_index") {
-      // one buildIndex serves both pieces on a cold store; a warm
+      // one buildIndexFull serves all pieces on a cold store; a warm
       // store (or warm memo) never trains at all
-      var built: Option[(DataFrame, DataFrame)] = None
-      def build: (DataFrame, DataFrame) = built.getOrElse {
-        val b = buildIndex(s, dir); built = Some(b); b
+      var built: Option[BuiltIndex] = None
+      def build: BuiltIndex = built.getOrElse {
+        val b = buildIndexFull(s, dir); built = Some(b); b
       }
-      val a = Artifacts.frame(s, dir, "ivf_assigned")(build._1)
-      val c = Artifacts.localFrame(s, dir, "ivf_centroids")(build._2)
-      built.foreach { case (ba, bc) => ba.unpersist(); bc.unpersist() }
-      (a, c)
+      // NOTE: vectors stay array<double> in the store. A float-packed
+      // v2 was measured and REVERTED: the unpack transform re-ran per
+      // JOINED PAIR in q72's self-join (2.9 G evaluations at 100×),
+      // and even cached it lost to the parquet double path — warm
+      // floor 9.6 s (double) vs 14.7-19.0 s (float variants).
+      val a = Artifacts.frame(s, dir, "ivf_assigned")(build.assigned)
+      val c = Artifacts.localFrame(s, dir, "ivf_centroids")(build.centroids)
+      val m = Artifacts.frame(s, dir, "ivf_margins")(build.margins)
+      built.foreach { b => b.scored.unpersist(); b.centroids.unpersist() }
+      IvfParts(a, c, m)
     }
 
   /** Persist the IVF index with vectors CLUSTERED BY CELL — the layout
@@ -137,11 +195,11 @@ object IvfQueries {
     * is the entire point of IVF at 100 TB. Centroids are a tiny side
     * table read whole and broadcast at search time. */
   def writeIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
-    val (assigned, centroids) = buildIndex(s, dir)
-    graft.sources.Sinks.writeParquet(assigned, s"$indexPath/vectors", partitionBy = Seq("cell"))
-    graft.sources.Sinks.writeParquet(centroids, s"$indexPath/centroids")
-    assigned.unpersist()
-    centroids.unpersist()
+    val b = buildIndexFull(s, dir)
+    graft.sources.Sinks.writeParquet(b.assigned, s"$indexPath/vectors", partitionBy = Seq("cell"))
+    graft.sources.Sinks.writeParquet(b.centroids, s"$indexPath/centroids")
+    b.scored.unpersist()
+    b.centroids.unpersist()
   }
 
   /** Search a persisted index: probe ranking against the broadcast
@@ -300,7 +358,7 @@ object IvfQueries {
   private val DedupTau = 0.4
 
   private def q72(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, _) = index(s, dir)
+    val assigned = index(s, dir)._1
     assigned.count() // the pair self-join's two scans race the cold cache
     val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
@@ -316,6 +374,13 @@ object IvfQueries {
         count(lit(1)).as("n_sim"))
       .select(col("vec_id"), col("rep_id"), col("rep_sim"), col("n_sim"),
         col("cell").cast("long").as("cell"))
+      // checkpoint the (small) aggregate before the global sort: the
+      // range partitioner SAMPLES its child, and here that child was
+      // the whole ~N²/K pair join — the event log showed two
+      // back-to-back 14 s jobs (sample + real) at the 100× replica.
+      // Blocks truncate the lineage so the sort's sample pass reads
+      // the materialized rows instead of re-running the join.
+      .localCheckpoint()
       .orderBy(col("vec_id"))
   }
 
@@ -341,26 +406,24 @@ object IvfQueries {
     * decides whether K fits the corpus BEFORE trusting q42/q98 recall
     * or q72's within-cell dedup to be stable.
     *
-    * Scale: vectors × broadcast(K centroids) — one map-side pass over
-    * the corpus, no vector-vector pairs anywhere (classic silhouette's
-    * N² is exactly what this centroid form avoids); the (vec, cell)
-    * partial aggregate collapses the K rows per vector BEFORE the
-    * exchange, so only N rows shuffle. Compute is N·K flops map-side,
-    * and with the kFor √N rule K grows as √N — this query is in the
-    * same documented N^1.5 class as q72/q157/q98 (measured 198× wall
-    * at the 100× replica where K went 36 → 354; the exchange stays
-    * N rows). */
+    * Scale: the N·K cosine scoring is NOT re-run here — the index
+    * build's final assignment window already ranks every (vector,
+    * centroid) pair, and `ivf_margins` keeps its rk1/rk2 similarities
+    * as a standing N-row frame (buildIndexFull: one scan, two writes).
+    * This query is one linear scan of that frame plus a ≤K-group
+    * aggregate; no vector-vector pairs anywhere (classic silhouette's
+    * N² is exactly what the centroid form avoids), and the N^1.5
+    * assignment cost lives in the index build, paid once per corpus. */
   private val BoundaryMargin = 0.05
 
   private def q123(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, centroids) = index(s, dir)
-    assigned
-      .crossJoin(broadcast(centroids.select(
-        col("cell").as("ccell"), col("cv"), col("cnrm"))))
-      .withColumn("sim", Det.rate(VectorMath.cosine(s, "v", "cv", col("nrm"), col("cnrm"))))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(max(when(col("ccell") === col("cell"), col("sim"))).as("a_sim"),
-        max(when(col("ccell") =!= col("cell"), col("sim"))).as("b_sim"))
+    // a_sim/b_sim come from the standing `ivf_margins` frame — the
+    // final assignment window already ranked every (vector, centroid)
+    // similarity, so the silhouette terms are rk1/rk2 of that pass
+    // (see buildIndexFull); re-deriving them here was a second N·K
+    // cosine pass per session (r12 verdict cold item: 81 s on the
+    // 100× replica's first toucher). One N-row scan remains.
+    indexFull(s, dir).margins
       // per-row µ-unit BIGINTs from the already-µ-rounded doubles: the
       // float value sits within ~1e-13 of its k/1e6 target, so the
       // +0.5 floor re-reads k exactly in both engines — and the cell

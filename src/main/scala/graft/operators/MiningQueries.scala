@@ -44,7 +44,11 @@ object MiningQueries {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val tk = toks.select(explode(col("t")).as("tok"))
     val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = tk.agg(count(lit(1)).as("n_total"))
+    // total tokens = Σ unigram counts: derived from uni's (vocabulary-
+    // scale) output instead of a THIRD full corpus scan — the event
+    // log showed three concurrent ~19 s scan jobs at the 100× replica
+    // (uni, tot, pairs each re-ran the documents split)
+    val tot = uni.agg(sum(col("c")).as("n_total"))
     // unordered co-occurring pair per (position, offset ≤ 3): linear in
     // tokens, stays inside whole-stage codegen; self-pairs excluded
     val pairs = toks.select(explode(expr(

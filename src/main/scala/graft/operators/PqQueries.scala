@@ -610,13 +610,23 @@ object PqQueries {
     val lutLit = typedlit(luts)
     val qidsLit = typedlit(qPanel.map(_._1).toSeq)
 
-    def top10(df: DataFrame, score: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      df.withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col(score), col("vec_id"))))
-        .filter(col("rn") <= TopK)
-        .select(col("qid"), col("vec_id"))
-    }
+    // (score asc, vec_id asc) top-10 as ONE bounded hash aggregate:
+    // the row_number window shuffled AND per-partition-sorted the full
+    // Q·N candidate stream (2 × ~10 M rows at the 100× replica) — the
+    // q157 graft_topk move. Packing: distances are exact integer sums
+    // bounded by d·(2·Scale·max|x|)² ≈ 2²⁷ here (embeddings live in
+    // [-0.58, 0.52]; 3× headroom under the 2²⁸−1 cap), ids get 35
+    // bits, and "packed DESC" == "(score ASC, vec_id ASC)" exactly.
+    val DCap = (1L << 28) - 1
+    val VMask = (1L << 35) - 1
+    def top10(df: DataFrame, score: String): DataFrame =
+      df.select(col("qid"),
+          ((lit(DCap) - col(score)) * lit(1L << 35) +
+            (lit(VMask) - col("vec_id"))).as("pk"))
+        .groupBy(col("qid"))
+        .agg(expr(s"graft_topk(pk, $TopK)").as("top"))
+        .select(col("qid"), explode(col("top")).as("pk"))
+        .select(col("qid"), (lit(VMask) - (col("pk") % lit(1L << 35))).as("vec_id"))
 
     // ---- ground truth: exact L2, panel broadcast into the scan ----
     import s.implicits._

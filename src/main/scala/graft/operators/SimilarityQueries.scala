@@ -328,9 +328,10 @@ object SimilarityQueries {
     * nibbles, generated RELATIONALLY (a 1024-row frame both engines
     * build from the same string hashes) — no literal matrix to drift.
     *
-    * Scale: explode factor D (the projection reads each coordinate
-    * once), a 1024-row broadcast join, two integer map-side-combined
-    * aggregations keyed by vec_id, and a ≤ ~60-bucket histogram.
+    * Scale: ONE map-side pass — the native
+    * [[graft.functions.RpMoments]] kernel reads each coordinate once
+    * and emits two BIGINTs per vector (projected and raw squared
+    * norms), so the only exchange is the ≤ ~60-bucket histogram.
     * All-zero vectors have no defined distortion and are excluded by
     * the c2 > 0 guard (none exist in the testdata; the spec pins the
     * accounting). */
@@ -338,22 +339,19 @@ object SimilarityQueries {
   private val RpQuant = 64
 
   private def q119(s: SparkSession, dir: String): DataFrame = {
-    val signs = s.range(64L * RpK)
-      .select(expr(s"id div $RpK").as("j"), (col("id") % RpK).as("k"))
-      .withColumn("sgn",
-        when(substring(md5(concat_ws(":", lit("rp"), col("j").cast("string"),
-          col("k").cast("string"))), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L))
-    val codes = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
-      .select(col("vec_id"), col("j").cast("long").as("j"),
-        floor(col("x").cast("double") * RpQuant + lit(0.5)).cast("long").as("code"))
-    val p2 = codes.join(broadcast(signs), Seq("j"))
-      .groupBy(col("vec_id"), col("k"))
-      .agg(sum(col("code") * col("sgn")).as("p"))
-      .groupBy(col("vec_id")).agg(sum(col("p") * col("p")).as("p2"))
-    val c2 = codes.groupBy(col("vec_id")).agg(sum(col("code") * col("code")).as("c2"))
-    c2.join(p2, Seq("vec_id"))
+    // one codegen'd pass per vector: graft_rp_moments folds the whole
+    // projection (p2 = ‖Pv‖² in integer codes) and the raw norm c2
+    // into two BIGINTs per row — the composed posexplode → 1024-row
+    // sign-join → two grouped sums paid an explode factor of D·K
+    // (~1.3 G join rows at the 100× replica, the r12 warm sweep's
+    // 14.3 s line). The sign matrix inside the kernel is the same
+    // md5("rp:j:k") parity the oracle derives relationally, so the
+    // hash match cross-checks the matrix (RpMomentsSpec additionally
+    // pins kernel == composed form). Exchange: the ≤ ~60-bucket
+    // histogram only.
+    Tables.embeddings(s, dir)
+      .select(expr(s"graft_rp_moments(embedding, $RpK, 64, $RpQuant)").as("pm"))
+      .select(col("pm").getItem(0).as("p2"), col("pm").getItem(1).as("c2"))
       .filter(col("c2") > 0)
       .withColumn("ratio", sqrt(col("p2").cast("double") / (lit(RpK) * col("c2"))))
       .withColumn("bucket", floor(col("ratio") * 40).cast("long"))

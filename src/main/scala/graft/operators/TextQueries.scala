@@ -49,14 +49,17 @@ object TextQueries {
       lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
         lit(0.4) * (lit(1.0) - stopRatio) +
         lit(0.2) * least(lit(1.0), col("n_chars").cast("double") / 500.0)
-    Tables.documents(s, dir)
+    // Det.ordered: the tokenize/distinct/filter chain is exchange-free
+    // map work — a bare orderBy re-ran the whole scan for the range
+    // sample (2× the query at every scale)
+    Det.ordered(Tables.documents(s, dir)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         nUniq.as("n_uniq_tokens"),
         Det.rate(stopRatio).as("stop_ratio"),
-        Det.rate(quality).as("quality"))
-      .orderBy(col("doc_id"))
+        Det.rate(quality).as("quality")),
+      col("doc_id"))
   }
 
   private val q21Sql =
@@ -76,12 +79,13 @@ object TextQueries {
     * bit-identical in Spark and DuckDB, so the fingerprint itself is
     * oracle-checkable — unlike engine-specific hash()). */
   private def q22(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // Det.ordered: two full-text md5s per row, exchange-free — see q21
+    Det.ordered(Tables.documents(s, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("fp"),
-        md5(concat_ws(":", col("source"), col("lang"), col("text"))).as("keyed_fp"))
-      .orderBy(col("doc_id"))
+        md5(concat_ws(":", col("source"), col("lang"), col("text"))).as("keyed_fp")),
+      col("doc_id"))
 
   private val q22Sql =
     """SELECT doc_id, md5(text) AS fp,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, MinHashHex, OuterMoments, TopKLongs}
+import graft.functions.{DotProductD, LevenshteinD, LnSmall, Log2Q20, LshSignCodes, Md5Keyed, MinHashHex, OuterMoments, RpMoments, TopKLongs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -90,6 +90,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         OuterMoments(children(0), intLit("graft_outer_moments", "d", children(1)))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rp_moments"),
+      new ExpressionInfo(classOf[RpMoments].getName, "graft_rp_moments"),
+      (children: Seq[Expression]) => {
+        // (v, kdim, dim, quant) — trailing three are int literals
+        def lit(name: String, e: Expression) = intLit("graft_rp_moments", name, e)
+        RpMoments(children(0), lit("kdim", children(1)), lit("dim", children(2)),
+          lit("quant", children(3)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKLongs].getName, "graft_topk"),

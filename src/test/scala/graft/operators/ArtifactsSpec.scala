@@ -421,7 +421,7 @@ class ArtifactsSpec extends SparkSpec {
         .orderBy(col("doc_id")).collect().toSeq
       val stored = new java.io.File(storeDir).listFiles().map(_.getName)
       Seq("pq_model", "ivfpq_model", "bpe_trained", "ivf_assigned",
-        "ivf_centroids", "rrf_fused").foreach(n =>
+        "ivf_centroids", "ivf_margins", "rrf_fused").foreach(n =>
         assert(stored.exists(_.contains(s"_${n}_v")), s"$n missing from store"))
       // second "session" (memo cleared): everything must DECODE from
       // the store — and decode bit-identically to the fresh build

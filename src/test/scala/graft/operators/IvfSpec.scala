@@ -71,6 +71,43 @@ class IvfSpec extends SparkSpec {
       s"the pair stream must hash-aggregate in place:\n${between.mkString("\n")}")
   }
 
+  test("margins frame == the recomputed own-vs-best-other centroid similarities") {
+    // buildIndexFull derives a_sim/b_sim from the assignment window's
+    // rk1/rk2 rows; pin them against the direct definition (max sim to
+    // the OWN cell / max sim to any OTHER cell) computed the way the
+    // pre-round-13 q123 did
+    val b = IvfQueries.buildIndexFull(spark, dir)
+    val got = b.margins.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = b.assigned
+      .crossJoin(broadcast(b.centroids.select(
+        col("cell").as("ccell"), col("cv"), col("cnrm"))))
+      .withColumn("sim", Det.rate(VectorMath.cosine(spark, "v", "cv", col("nrm"), col("cnrm"))))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("ccell") === col("cell"), col("sim"))).as("a_sim"),
+        max(when(col("ccell") =!= col("cell"), col("sim"))).as("b_sim"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === ref)
+    b.scored.unpersist()
+  }
+
+  test("stored assignment vectors survive the float pack/unpack losslessly") {
+    // the standing ivf_assigned table stores v as array<float> (every
+    // element is a float-exact double); the decode must be identity
+    val b = IvfQueries.buildIndexFull(spark, dir)
+    val before = b.assigned.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
+    val roundTrip = b.assigned
+      .select(col("vec_id"),
+        expr("transform(transform(v, x -> CAST(x AS FLOAT)), x -> CAST(x AS DOUBLE))").as("v"),
+        col("nrm"), col("cell"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
+    assert(roundTrip === before)
+    b.scored.unpersist()
+  }
+
   test("q42 recall vs brute force is meaningfully above random") {
     val ivf = SparkEntry.queries("q42_cosine_ivf")(spark, dir).collect()
       .groupBy(_.getAs[Long]("qid"))

@@ -22,11 +22,15 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the training side must never shuffle into a merge join")
   }
 
-  test("q123 cluster margin: centroids broadcast; vectors never pair with vectors") {
+  test("q123 cluster margin: standing margins frame only — no joins, no recompute") {
+    // the N·K centroid scoring lives in the index BUILD (one scan,
+    // two writes — see IvfQueries.buildIndexFull); the query itself
+    // must be a join-free linear pass over ivf_margins
     val p = finalPlan("q123_cluster_margin")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "the K-centroid cross join must ride a broadcast")
-    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Join"),
+      "a_sim/b_sim come from the standing margins frame — no join may reappear")
+    assert(!p.contains("Window"),
+      "no per-vector ranking recompute in the consumer plan")
   }
 
   test("q125 retrieval eval: sampled queries + label histogram broadcast") {

@@ -326,8 +326,14 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the Q-row panel must broadcast — the corpus is the streamed side:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"nothing corpus-scale may shuffle to meet the panel:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-query top-10 must use the rank-limit pushdown, not full window sorts:\n$p")
+    // round 13: per-query top-10 is the graft_topk bounded aggregate —
+    // O(k) state hash agg on packed (score, vec_id) longs, replacing
+    // the row_number window that shuffled AND sorted the full Q·N
+    // candidate stream twice (once per pass)
+    assert(p.contains("graft_topk"),
+      s"per-query top-10 must ride the native bounded top-k aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-query ranking window may remain:\n$p")
   }
 
   test("q162 winnowing: selection is array-side in the doc row — no Window, no corpus join") {
