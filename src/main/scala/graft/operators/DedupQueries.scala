@@ -748,8 +748,12 @@ object DedupQueries {
     * enforces. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val grouped = postingIndex(s, dir).persist()
+    // checkpoint: `sizes` feeds BOTH scored joins — each reference
+    // re-ran the explode+agg over the posting index (round-13
+    // sortaudit); bounded by |docs|
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // batch-involving pairs only: (batch b, corpus c) ∪ (batch b, batch b' < b)
     val inter = grouped
       .select(explode(expr(
@@ -895,6 +899,9 @@ object DedupQueries {
     val sh = shingles(s, dir)
     val bands = bandSigs(s, dir)
     // band agreement count per candidate pair (1..NumHashes/RowsPerBand)
+    // (round-13: a candNb localCheckpoint was A/B-measured SLOWER at
+    // sf0.1 — 1.12 -> 1.38 s; the checkpointed leaf loses its size
+    // estimate and the downstream broadcasts degrade — and reverted)
     val candNb = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("doc_a") < col("doc_b"))

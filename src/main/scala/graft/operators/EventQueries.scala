@@ -432,8 +432,15 @@ object EventQueries {
             floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
               .cast("long"),
             lit(9L)), lit(0L))))
+    // CHECKPOINT at the narrow waist: `counts` is <= types*2*10 rows,
+    // but Spark re-executes every DataFrame REFERENCE from scratch (no
+    // CTE materialization) — tot, milli, and the downstream joins each
+    // replayed the whole events scan+bucket chain (the round-13
+    // sortaudit flagged ~4 near-equal jobs per query). One scan now;
+    // everything below is bounded-frame arithmetic.
     val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = counts.groupBy(col("event_type"), col("is_cur"))
       .agg(sum(col("c")).as("n"))
     val milli = counts.join(tot, Seq("event_type", "is_cur"))
@@ -660,8 +667,15 @@ object EventQueries {
             floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
               .cast("long"),
             lit(9L)), lit(0L))))
+    // CHECKPOINT at the narrow waist: `counts` is <= types*2*10 rows,
+    // but Spark re-executes every DataFrame REFERENCE from scratch (no
+    // CTE materialization) — tot, milli, and the downstream joins each
+    // replayed the whole events scan+bucket chain (the round-13
+    // sortaudit flagged ~4 near-equal jobs per query). One scan now;
+    // everything below is bounded-frame arithmetic.
     val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = counts.groupBy(col("event_type"), col("is_cur"))
       .agg(sum(col("c")).as("n"))
     val milli = counts.join(tot, Seq("event_type", "is_cur"))

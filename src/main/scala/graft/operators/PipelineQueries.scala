@@ -168,6 +168,11 @@ object PipelineQueries {
   private def q77(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // NOTE (r13): no persist/checkpoint here, deliberately — the
+    // scored side's doc_id % 20 filter pushes through the aggregate
+    // and the explode to the SCAN, so its "second pass" only explodes
+    // 5% of the corpus; caching the full tf frame for it was
+    // A/B-measured slower (1.31 -> 1.51 s sf0.1) and reverted.
     val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
@@ -324,13 +329,19 @@ object PipelineQueries {
     * no single-reducer stage anywhere (PipelinePlanShapeSpec pins the
     * absence of an unpartitioned WindowExec). */
   private def q87(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the tokenized frame: `cum` and `bt` each reference it
+    // and Spark re-executes references (two full tokenize scans,
+    // round-13 sortaudit); 3 longs per doc, output-sized
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"),
         (col("doc_id") % PpsBuckets).as("bucket"))
+      .localCheckpoint()
     val perBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = toks.withColumn("cum", sum(col("tok")).over(perBucket))
+    // bt feeds bc (twice: both self-join sides) and tot — B-row frame
     val bt = toks.groupBy(col("bucket")).agg(sum(col("tok")).as("w_b"))
+      .localCheckpoint()
     // bucket-level cumulative mass: B² = 64-row triangular broadcast
     // self-join — deliberately not a window
     val bc = bt.join(

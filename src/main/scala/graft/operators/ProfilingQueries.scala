@@ -159,7 +159,8 @@ object ProfilingQueries {
     // top-10 via ordered limit (TakeOrderedAndProject: per-partition
     // heaps), NOT a global row_number window, which would sort every
     // key on one partition; the two consumers of `counts` share the
-    // same exchange (ReuseExchange — identical canonicalized subplans)
+    // same exchange (ReuseExchange — identical canonicalized subplans;
+    // an explicit checkpoint here was A/B-measured SLOWER, r13)
     val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
       .agg(sum(col("c")).as("top10"))
     val totals = counts.agg(
@@ -216,23 +217,29 @@ object ProfilingQueries {
     * row payload; the diff is one full-outer hash join keyed like the
     * table, and the report is a 4-row aggregate. */
   private def q65(s: SparkSession, dir: String): DataFrame = {
-    def fingerprint(df: DataFrame): DataFrame =
-      df.select(col("o_orderkey").as("k"),
-        md5(concat_ws("|",
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
-          // o_orderdate is TIMESTAMP_NTZ in parquet; the session is
-          // pinned UTC so the cast is instant-preserving vs epoch_ms
-          unix_millis(col("o_orderdate").cast("timestamp")))).as("fp"))
-    val base = Tables.orders(s, dir)
-    val snapA = fingerprint(base.filter(col("o_orderkey") % 11 =!= 0))
-    val snapB = fingerprint(
-      base.filter(col("o_orderkey") % 13 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
-            .otherwise(col("o_totalprice"))))
-    snapA.withColumnRenamed("fp", "fp_a")
-      .join(snapB.withColumnRenamed("fp", "fp_b"), Seq("k"), "full_outer")
+    // Both snapshots derive from the SAME base rows by key-modulus, so
+    // the full-outer join of two filtered scans is equivalently ONE
+    // scan computing both fingerprints with membership conditions —
+    // zero shuffle before the 4-row classification aggregate (the
+    // pre-round-13 shape scanned orders twice and shuffled both
+    // fingerprint streams to meet in the join; at 100 TB the join's
+    // only role was reuniting rows that started out together). The
+    // oracle keeps the literal FULL OUTER form — the hash match proves
+    // the rewrite.
+    def fp(price: org.apache.spark.sql.Column) =
+      md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(price * 100 + lit(0.5)).cast("long"),
+        // o_orderdate is TIMESTAMP_NTZ in parquet; the session is
+        // pinned UTC so the cast is instant-preserving vs epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp"))))
+    val priceB = when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+      .otherwise(col("o_totalprice"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 11 =!= 0, fp(col("o_totalprice"))).as("fp_a"),
+        when(col("o_orderkey") % 13 =!= 0, fp(priceB)).as("fp_b"))
+      .filter(col("fp_a").isNotNull || col("fp_b").isNotNull)
       .select(col("k"),
         when(col("fp_a").isNull, "added")
           .when(col("fp_b").isNull, "removed")
@@ -320,6 +327,9 @@ object ProfilingQueries {
   private def q82(s: SparkSession, dir: String): DataFrame = {
     def est(name: String, a: DataFrame, b: Option[DataFrame]): DataFrame = {
       val ca = a.groupBy(col("k")).agg(count(lit(1)).as("na"))
+      // (round-13: a contrib localCheckpoint was A/B-measured SLOWER
+      // at sf0.1 — 1.17 -> 1.54 s, checkpointed-leaf stats loss — and
+      // reverted; ReuseExchange shares the count aggregates)
       val contrib = b match {
         case None => ca.select(col("k"), (col("na") * col("na")).as("c"))
         case Some(bb) =>
@@ -394,8 +404,12 @@ object ProfilingQueries {
       .select(col("event_type"), col("user_id"),
         hour(col("ts")).cast("long").as("hr"),
         floor(col("value") / 50).cast("long").as("vb"))
+    // checkpoint: `groups` feeds risky AND the final rollup — each
+    // reference replayed the events scan + distinct agg (round-13
+    // sortaudit); bounded by type×hour×value-bucket
     val groups = ev.groupBy(col("event_type"), col("hr"), col("vb"))
       .agg(countDistinct(col("user_id")).as("users"))
+      .localCheckpoint()
     val risky = groups.filter(col("users") < K)
       .select(col("event_type"), col("hr"), col("vb"))
     val exposed = ev.join(broadcast(risky), Seq("event_type", "hr", "vb"))
