@@ -56,20 +56,43 @@ def main():
                 jobs.setdefault(ex, []).append(
                     (e["Completion Time"] - jobstart[jid]) / 1000.0)
 
-    # timed save executions, in submission order == sorted query order
-    saves = [x for x in sorted(execs, key=int)
-             if "save at Bench.scala" in execs[x]]
-    if len(saves) != len(names):
-        print(f"WARNING: {len(saves)} save execs vs {len(names)} queries "
-              f"(reps != 1, or a query failed) — pairing by order anyway")
+    # Preferred pairing: Bench name-tags each timed execution's
+    # description as "graft-bench:<query>:rep<r>" — match by NAME,
+    # which survives reps > 1 and mid-run failures. For each query,
+    # audit the rep with the smallest job total (least host noise).
+    tagged = {}  # name -> [execId]
+    for x, desc in execs.items():
+        if desc and desc.startswith("graft-bench:"):
+            parts = desc.split(":")
+            if len(parts) >= 2:
+                tagged.setdefault(parts[1], []).append(x)
+    if tagged:
+        pairs = [(name, min(tagged[name], key=lambda x: sum(jobs.get(x, []))))
+                 for name in names if name in tagged]
+        missing = [n for n in names if n not in tagged]
+        if missing:
+            print(f"WARNING: {len(missing)} bench queries have no tagged "
+                  f"execution (failed before submit?): {missing[:8]}")
+    else:
+        # legacy logs without tags: submission order == sorted query
+        # order ONLY holds at reps=1 with zero failures — bail rather
+        # than attribute flags to the wrong queries (r13 ADVICE)
+        saves = [x for x in sorted(execs, key=int)
+                 if "save at Bench.scala" in execs[x]]
+        if len(saves) != len(names):
+            sys.exit(f"ERROR: untagged log with {len(saves)} save execs vs "
+                     f"{len(names)} queries (reps != 1, or a query failed) — "
+                     "order-pairing would misattribute flags; re-run with a "
+                     "name-tagging Bench build")
+        pairs = list(zip(names, saves))
     flagged = 0
-    for name, ex in zip(names, saves):
+    for name, ex in pairs:
         ds = sorted(jobs.get(ex, []), reverse=True)
         if len(ds) >= 2 and ds[1] >= min_sec and ds[1] / ds[0] >= 0.6:
             flagged += 1
             print(f"FLAG {name:38s} top jobs: "
                   + ", ".join(f"{d:.2f}s" for d in ds[:4]))
-    print(f"\n{flagged} flagged of {len(names)} "
+    print(f"\n{flagged} flagged of {len(pairs)} "
           f"(threshold: 2nd job >= {min_sec}s and >= 60% of 1st)")
 
 

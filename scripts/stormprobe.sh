@@ -28,10 +28,20 @@ if [ -z "${Q:-}" ] || awk -v q="$Q" 'BEGIN{exit !(q < 0.2)}'; then
   exit 2
 fi
 VERDICT="CALM"
-# storm signature: kernel time exceeds user time, or the probe query
-# runs far above its calm band (~2-4 s at the 100x replica)
+# Three-band verdict (r13 verdict #4 — the script's STORM-only gate and
+# BASELINE.md's documented calm signal disagreed):
+#   STORM    — kernel time exceeds user time, or q59 far above band (>8s)
+#   MARGINAL — sys gate passes but q59 sits above the documented calm
+#              band (~<=3.5 s on round-13+ code): Spark-side drift is
+#              plausible; do NOT adjudicate weak-list entries from this
+#              window, but totals remain roughly comparable
+#   CALM     — sys gate passes and q59 is inside the calm band; the only
+#              verdict weaklist.py accepts for adjudication labeling
 awk -v s="$SYST" -v u="$USERT" -v q="$Q" 'BEGIN{exit !(s > u || q > 8)}' \
   && VERDICT="STORM"
+[ "$VERDICT" = "CALM" ] \
+  && awk -v q="$Q" 'BEGIN{exit !(q > 3.5)}' && VERDICT="MARGINAL"
 echo "$VERDICT wall=$REAL user=${USERT}s sys=${SYST}s q59=${Q}s dir=$DIR"
 rm -f "$OUT" "$OUT.log" "$OUT.json" "$OUT.time"
+# exit 0 only for strict CALM; MARGINAL=1, STORM=1, BROKEN=2
 [ "$VERDICT" = "CALM" ]

@@ -18,6 +18,16 @@ toward the weak total.
 
 Usage: weaklist.py --spark BENCH_local_a.json [BENCH_local_b.json ...]
                    --duck BENCH_duckdb_a.json [BENCH_duckdb_b.json ...]
+                   [--probe "CALM wall=... q59=...s ..."]
+
+--probe takes the stormprobe.sh output line for the measurement window
+verbatim. The window is certified CALM-strict ONLY when that line's
+verdict reads CALM (stormprobe's three-band gate: CALM / MARGINAL /
+STORM); without a CALM probe line the report refuses adjudication
+labeling — entries print as informational and the round must either
+re-measure in a calm window or carry them unadjudicated (r13 verdict
+item 4: three rounds of weak-list adjudications hung on a
+non-machine-checkable "calm window" claim).
 """
 import json
 import re
@@ -73,6 +83,11 @@ def main():
     if "--spark" not in argv or "--duck" not in argv:
         print(__doc__)
         sys.exit(2)
+    probe = None
+    if "--probe" in argv:
+        pi = argv.index("--probe")
+        probe = argv[pi + 1]
+        argv = argv[:pi] + argv[pi + 2:]
     si, di = argv.index("--spark"), argv.index("--duck")
     spark_files = argv[si + 1:di] if si < di else argv[si + 1:]
     duck_files = argv[di + 1:si] if di < si else argv[di + 1:]
@@ -94,6 +109,15 @@ def main():
             rows.append((ratio, ts, td, q))
     rows.sort(reverse=True)
 
+    calm = probe is not None and probe.startswith("CALM ")
+    if calm:
+        print(f"window: CALM-strict (probe: {probe})")
+    elif probe is not None:
+        print(f"window: NOT certified calm (probe: {probe}) — entries below "
+              "are INFORMATIONAL; do not adjudicate or de-list from them")
+    else:
+        print("window: no --probe line supplied — entries below are "
+              "INFORMATIONAL; adjudication requires a CALM stormprobe line")
     common = [q for q in spark if q in duck]
     tot_s = sum(spark[q] for q in common)
     tot_d = sum(duck[q] for q in common)

@@ -69,16 +69,22 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       spark.conf.set("spark.sql.adaptive.enabled",
         aqeEnv.getOrElse(sp.aqe.toString))
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { r =>
         // each timed run pays its own persists: CacheManager matches
         // canonicalized plans, so without this a second run would
         // silently reuse the first run's cached intermediates
         spark.catalog.clearCache()
+        // name-tag the SQL execution so event-log tooling (sortaudit)
+        // can pair executions to queries by NAME instead of by sorted
+        // order, which silently shifted every pairing after a failed
+        // query or with reps > 1 (r13 ADVICE)
+        spark.sparkContext.setJobDescription(s"graft-bench:${sp.name}:rep$r")
         val t0 = System.nanoTime()
         try sp.withConfs(spark) {
           sp.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         }
         catch { case _: Throwable => () }
+        finally spark.sparkContext.setJobDescription(null)
         (System.nanoTime() - t0) / 1e9
       }
       sp.name -> times.min

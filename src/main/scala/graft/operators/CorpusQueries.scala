@@ -868,20 +868,21 @@ object CorpusQueries {
   private val Terms = Seq("spark", "query", "fast")
 
   private def q59(s: SparkSession, dir: String): DataFrame = {
-    // checkpoints at the two narrow waists: `d` feeds g AND the scored
-    // join, `tf` feeds df AND scored — Spark re-executes DataFrame
-    // references, so the pre-round-13 plan tokenized the corpus FOUR
-    // times (sortaudit). Both frames are output-scale (per-doc length;
-    // docs × |Terms| rows).
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-      .localCheckpoint()
+    // scale-gated waists at the two narrow points: `d` feeds g AND the
+    // scored join, `tf` feeds df AND scored — Spark re-executes
+    // DataFrame references, so the pre-round-13 plan tokenized the
+    // corpus FOUR times (sortaudit). Both frames are output-scale
+    // (per-doc length; docs × |Terms| rows). Det.waist only
+    // materializes above Scale's byte threshold: at sf0.1 the eager
+    // job cost more than the re-tokenize it saved (r13 verdict:
+    // 0.29 → 0.64 s), at 100× it is the 4.7 → 1.6 s win.
+    val d = Det.waist(Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl")), dir)
     val g = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = Tables.spread(Tables.documents(s, dir), col("doc_id"))
+    val tf = Det.waist(Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok").isin(Terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")), dir)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), Seq("tok"))

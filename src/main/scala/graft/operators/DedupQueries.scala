@@ -748,12 +748,13 @@ object DedupQueries {
     * enforces. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val grouped = postingIndex(s, dir).persist()
-    // checkpoint: `sizes` feeds BOTH scored joins — each reference
-    // re-ran the explode+agg over the posting index (round-13
-    // sortaudit); bounded by |docs|
-    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // scale-gated waist: `sizes` feeds BOTH scored joins — each
+    // reference re-ran the explode+agg over the posting index
+    // (round-13 sortaudit); bounded by |docs|. Gated because at sf0.1
+    // the eager job cost more than the re-agg it saved (r13 verdict:
+    // 0.41 → 0.69 s).
+    val sizes = Det.waist(grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")), dir)
     // batch-involving pairs only: (batch b, corpus c) ∪ (batch b, batch b' < b)
     val inter = grouped
       .select(explode(expr(

@@ -432,15 +432,18 @@ object EventQueries {
             floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
               .cast("long"),
             lit(9L)), lit(0L))))
-    // CHECKPOINT at the narrow waist: `counts` is <= types*2*10 rows,
-    // but Spark re-executes every DataFrame REFERENCE from scratch (no
-    // CTE materialization) — tot, milli, and the downstream joins each
-    // replayed the whole events scan+bucket chain (the round-13
-    // sortaudit flagged ~4 near-equal jobs per query). One scan now;
-    // everything below is bounded-frame arithmetic.
-    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // SCALE-GATED WAIST at the narrow point: `counts` is <= types*2*10
+    // rows, but Spark re-executes every DataFrame REFERENCE from
+    // scratch (no CTE materialization) — tot, milli, and the
+    // downstream joins each replayed the whole events scan+bucket
+    // chain (the round-13 sortaudit flagged ~4 near-equal jobs per
+    // query). One scan above the threshold; below it the eager block
+    // write cost more than the replays it saved AND amplified host
+    // jitter (r13 verdict: q85 0.55–2.0 s across runs), so small
+    // inputs keep the replay plan.
+    val counts = Det.waist(
+      bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
+        .agg(count(lit(1)).as("c")), dir)
     val tot = counts.groupBy(col("event_type"), col("is_cur"))
       .agg(sum(col("c")).as("n"))
     val milli = counts.join(tot, Seq("event_type", "is_cur"))
@@ -667,15 +670,18 @@ object EventQueries {
             floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
               .cast("long"),
             lit(9L)), lit(0L))))
-    // CHECKPOINT at the narrow waist: `counts` is <= types*2*10 rows,
-    // but Spark re-executes every DataFrame REFERENCE from scratch (no
-    // CTE materialization) — tot, milli, and the downstream joins each
-    // replayed the whole events scan+bucket chain (the round-13
-    // sortaudit flagged ~4 near-equal jobs per query). One scan now;
-    // everything below is bounded-frame arithmetic.
-    val counts = bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // SCALE-GATED WAIST at the narrow point: `counts` is <= types*2*10
+    // rows, but Spark re-executes every DataFrame REFERENCE from
+    // scratch (no CTE materialization) — tot, milli, and the
+    // downstream joins each replayed the whole events scan+bucket
+    // chain (the round-13 sortaudit flagged ~4 near-equal jobs per
+    // query). One scan above the threshold; below it the eager block
+    // write cost more than the replays it saved AND amplified host
+    // jitter (r13 verdict: q85 0.55–2.0 s across runs), so small
+    // inputs keep the replay plan.
+    val counts = Det.waist(
+      bucketed.groupBy(col("event_type"), col("is_cur"), col("bucket"))
+        .agg(count(lit(1)).as("c")), dir)
     val tot = counts.groupBy(col("event_type"), col("is_cur"))
       .agg(sum(col("c")).as("n"))
     val milli = counts.join(tot, Seq("event_type", "is_cur"))

@@ -64,12 +64,25 @@ object IvfQueries {
     * it once the artifact writes land). */
   private[operators] case class BuiltIndex(
       assigned: DataFrame, centroids: DataFrame,
-      margins: DataFrame, scored: DataFrame)
+      margins: DataFrame, scored: DataFrame, vectors: DataFrame) {
+    /** Retire the build's internal caches — the rk ≤ 2 scoring frame
+      * and the normed input vectors (both corpus-scale, both holding
+      * full vectors). Call once every returned view is materialized. */
+    def release(): Unit = { scored.unpersist(); vectors.unpersist() }
+  }
 
-  /** Build (vec_id, v, nrm, cell) assignments + final centroids. */
+  /** Build (vec_id, v, nrm, cell) assignments + final centroids.
+    * The assignment frame is MATERIALIZED (eager localCheckpoint) and
+    * the build's internal rk ≤ 2 cache retired before returning — a
+    * lazy filter over the internal persist leaked that cache (full
+    * vectors) until clearCache, because callers only ever saw this
+    * wrapper's views (r13 ADVICE). Centroids return persisted, as
+    * before (K rows). */
   def buildIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val b = buildIndexFull(s, dir)
-    (b.assigned, b.centroids)
+    val assigned = b.assigned.localCheckpoint(true)
+    b.release()
+    (assigned, b.centroids)
   }
 
   /** Build assignments + centroids + the top-2 margin frame in ONE
@@ -146,7 +159,7 @@ object IvfQueries {
         max(when(col("rk") === 1, col("sim"))).as("a_sim"),
         max(when(col("rk") === 2, col("sim"))).as("b_sim"))
       .select(col("vec_id"), col("cell"), col("a_sim"), col("b_sim"))
-    BuiltIndex(assigned, centroids, margins, scored)
+    BuiltIndex(assigned, centroids, margins, scored, vectors)
   }
 
   /** The built index as a STANDING ARTIFACT ([[Artifacts]]): k-means
@@ -184,7 +197,7 @@ object IvfQueries {
       val a = Artifacts.frame(s, dir, "ivf_assigned")(build.assigned)
       val c = Artifacts.localFrame(s, dir, "ivf_centroids")(build.centroids)
       val m = Artifacts.frame(s, dir, "ivf_margins")(build.margins)
-      built.foreach { b => b.scored.unpersist(); b.centroids.unpersist() }
+      built.foreach { b => b.release(); b.centroids.unpersist() }
       IvfParts(a, c, m)
     }
 
@@ -198,7 +211,7 @@ object IvfQueries {
     val b = buildIndexFull(s, dir)
     graft.sources.Sinks.writeParquet(b.assigned, s"$indexPath/vectors", partitionBy = Seq("cell"))
     graft.sources.Sinks.writeParquet(b.centroids, s"$indexPath/centroids")
-    b.scored.unpersist()
+    b.release()
     b.centroids.unpersist()
   }
 

@@ -48,7 +48,9 @@ object MiningQueries {
     // scale) output instead of a THIRD full corpus scan — the event
     // log showed three concurrent ~19 s scan jobs at the 100× replica
     // (uni, tot, pairs each re-ran the documents split)
-    val tot = uni.agg(sum(col("c")).as("n_total"))
+    // coalesce: sum() over zero rows is NULL where the previous
+    // count() form returned 0 — keep the empty-corpus semantics
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_total"))
     // unordered co-occurring pair per (position, offset ≤ 3): linear in
     // tokens, stays inside whole-stage codegen; self-pairs excluded
     val pairs = toks.select(explode(expr(

@@ -329,19 +329,20 @@ object PipelineQueries {
     * no single-reducer stage anywhere (PipelinePlanShapeSpec pins the
     * absence of an unpartitioned WindowExec). */
   private def q87(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint the tokenized frame: `cum` and `bt` each reference it
-    // and Spark re-executes references (two full tokenize scans,
-    // round-13 sortaudit); 3 longs per doc, output-sized
-    val toks = Tables.documents(s, dir)
+    // scale-gated waist on the tokenized frame: `cum` and `bt` each
+    // reference it and Spark re-executes references (two full tokenize
+    // scans, round-13 sortaudit); 3 longs per doc, output-sized. Gated
+    // because at sf0.1 the eager job cost more than the re-tokenize it
+    // saved (r13 verdict: 0.30 → 0.42 s).
+    val toks = Det.waist(Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"),
-        (col("doc_id") % PpsBuckets).as("bucket"))
-      .localCheckpoint()
+        (col("doc_id") % PpsBuckets).as("bucket")), dir)
     val perBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = toks.withColumn("cum", sum(col("tok")).over(perBucket))
     // bt feeds bc (twice: both self-join sides) and tot — B-row frame
-    val bt = toks.groupBy(col("bucket")).agg(sum(col("tok")).as("w_b"))
-      .localCheckpoint()
+    val bt = Det.waist(
+      toks.groupBy(col("bucket")).agg(sum(col("tok")).as("w_b")), dir)
     // bucket-level cumulative mass: B² = 64-row triangular broadcast
     // self-join — deliberately not a window
     val bc = bt.join(

@@ -619,10 +619,19 @@ object PqQueries {
     // bits, and "packed DESC" == "(score ASC, vec_id ASC)" exactly.
     val DCap = (1L << 28) - 1
     val VMask = (1L << 35) - 1
+    // the packing is only injective while 0 <= score <= DCap and
+    // 0 <= vec_id <= VMask — out-of-contract data would wrap pk
+    // negative and decode GARBAGE neighbors silently (the data
+    // contract gives ~3× headroom, but nothing upstream enforces it),
+    // so fail loudly instead (r13 ADVICE)
+    def packGuarded(score: String): Column =
+      when(col(score).between(0L, DCap) && col("vec_id").between(0L, VMask),
+        (lit(DCap) - col(score)) * lit(1L << 35) + (lit(VMask) - col("vec_id")))
+        .otherwise(raise_error(format_string(
+          s"q101 pack out of contract: score=%d (cap $DCap) vec_id=%d (cap $VMask)",
+          col(score).cast("long"), col("vec_id").cast("long"))))
     def top10(df: DataFrame, score: String): DataFrame =
-      df.select(col("qid"),
-          ((lit(DCap) - col(score)) * lit(1L << 35) +
-            (lit(VMask) - col("vec_id"))).as("pk"))
+      df.select(col("qid"), packGuarded(score).as("pk"))
         .groupBy(col("qid"))
         .agg(expr(s"graft_topk(pk, $TopK)").as("top"))
         .select(col("qid"), explode(col("top")).as("pk"))

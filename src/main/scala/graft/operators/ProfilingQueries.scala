@@ -404,12 +404,12 @@ object ProfilingQueries {
       .select(col("event_type"), col("user_id"),
         hour(col("ts")).cast("long").as("hr"),
         floor(col("value") / 50).cast("long").as("vb"))
-    // checkpoint: `groups` feeds risky AND the final rollup — each
-    // reference replayed the events scan + distinct agg (round-13
-    // sortaudit); bounded by type×hour×value-bucket
-    val groups = ev.groupBy(col("event_type"), col("hr"), col("vb"))
-      .agg(countDistinct(col("user_id")).as("users"))
-      .localCheckpoint()
+    // scale-gated waist: `groups` feeds risky AND the final rollup —
+    // each reference replayed the events scan + distinct agg (round-13
+    // sortaudit); bounded by type×hour×value-bucket. Gated: the fixed
+    // eager job showed in q95's sf0.1 weak-list entry (r13 verdict).
+    val groups = Det.waist(ev.groupBy(col("event_type"), col("hr"), col("vb"))
+      .agg(countDistinct(col("user_id")).as("users")), dir)
     val risky = groups.filter(col("users") < K)
       .select(col("event_type"), col("hr"), col("vb"))
     val exposed = ev.join(broadcast(risky), Seq("event_type", "hr", "vb"))
