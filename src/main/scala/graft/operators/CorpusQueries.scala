@@ -765,13 +765,44 @@ object CorpusQueries {
     * boundaries, which the 256-level discretization makes common. The
     * residual float expression is spelled with identical association
     * in the Spark plan and the oracle SQL, so it is bit-identical. */
-  private def q58(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(s, dir)
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    // Det.ordered before the global sort (ungated — the barrier
+    // replaces a range-sample pass that costs at least as much at
+    // EVERY scale): the event log showed the final ORDER BY's sample
+    // re-running the whole Q·N candidate pass (two back-to-back
+    // ~5.6 s save jobs at the 100× replica — the q72 signature)
+    Det.ordered(q58Core(s, dir), col("qid"), col("rn"))
+
+  /** q58's pre-barrier core (package-visible so the plan-shape spec
+    * can assert the candidate join's BNLJ shape — the checkpoint
+    * barrier in [[q58]] hides everything above it behind an
+    * ExistingRDD scan in the final plan). */
+  private[operators] def q58Core(s: SparkSession, dir: String): DataFrame = {
+    def base = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val stats = base.select(explode(col("v")).as("x"))
-      .agg(min(col("x")).as("qmn"), max(col("x")).as("qmx"))
-    // one 2-double row, broadcast — quantization stays fully relational
-    val quant = base.crossJoin(broadcast(stats))
+    // BOUNDED driver materializations (the q28-family panel contract):
+    // the 2-double quantization stats and the ≤ EvalPanelCap query
+    // panel are collected once and re-enter the plan as literals /
+    // a LocalRelation. Leaving them relational cost 6–9 SEQUENTIAL
+    // broadcast-subquery jobs per run — each downstream query plan
+    // re-executed the stats agg and the panel TakeOrdered as its own
+    // subquery (no cross-query exchange reuse), which dominated the
+    // sub-second sf0.1 time and re-scanned the corpus at 100×. Now:
+    // one stats scan + one pruned panel scan + ONE candidate pass.
+    // Per-row array_min/array_max THEN a global agg (N input rows, not
+    // the 64·N explode — min of minima is the same exact double, no
+    // arithmetic involved).
+    // Both are standing artifacts (the q101 pq_model codebook pattern:
+    // scalar-quantization stats and the eval panel are corpus state) —
+    // a warm session reads them from the store and q58 is ONE
+    // candidate pass + the sort barrier.
+    val stRow = Artifacts.localFrame(s, dir, "sq8_stats") {
+      base.select(array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+        .agg(min(col("mn")).as("qmn"), max(col("mx")).as("qmx"))
+    }.head()
+    val (qmn, qmx) = (stRow.getDouble(0), stRow.getDouble(1))
+    def quantify(df: DataFrame): DataFrame = df
+      .withColumn("qmn", lit(qmn)).withColumn("qmx", lit(qmx))
       // Spark floor → BIGINT (DuckDB's → DOUBLE); cast back so the code
       // arrays are array<double> in both engines (values stay integers)
       .withColumn("q",
@@ -786,29 +817,48 @@ object CorpusQueries {
       .withColumn("nrm", VectorMath.norm(s, "v"))
       .select(col("vec_id"), col("v"), col("nrm"), col("q"), col("sa"),
         col("dn"), col("qmn"), col("sfac"), col("nq"))
-      // persisted: the sampled-query broadcast build materializes it
-      // first, the candidate scan then reads the cache
-      .persist()
-    val qset = quant.filter(col("vec_id") % 50 === 0)
-      .orderBy(col("vec_id")).limit(SimilarityQueries.EvalPanelCap)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("q").as("qq"), col("sa").as("qsa"), col("dn").as("qdn"))
-    val pairs = quant.join(broadcast(qset), col("qid") =!= col("vec_id"))
+    // the panel quantizes its own PRUNED scan (the old shape persisted
+    // the whole quantized corpus — GBs of array blocks at 100× — just
+    // so these ≤ 8 rows could read it) and lands as a LocalRelation
+    val qset = Artifacts.localFrame(s, dir, "sq8_panel") {
+      quantify(base.filter(col("vec_id") % 50 === 0))
+        .orderBy(col("vec_id")).limit(SimilarityQueries.EvalPanelCap)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("q").as("qq"), col("sa").as("qsa"), col("dn").as("qdn"))
+    }
+    val quant = quantify(base)
+    // Both top-5 rankings ride ONE graft_topk pass over the Q·N
+    // candidate stream (the q101/q157 packing): the two row_number
+    // windows each per-partition-SORTED the full stream — at the 100×
+    // replica two Q·N sorts dominated the query. Packing: similarities
+    // are cosines in [-1, 1]; their µ-unit integer floor(x·1e6 + 0.5)
+    // is exactly Det.rate's numerator, so ranking by the packed long
+    // == (sim DESC, vec_id ASC) and the decoded µ/1e6 is bit-identical
+    // to Det.rate's double. µ+10⁶ ∈ [0, 2·10⁶] < 2²¹ and vec_id < 2³⁵
+    // (the q101 id contract) keep the pack injective in 56 bits.
+    val MuShift = 1000000L
+    val VMask = (1L << 35) - 1
+    val simQRaw =
+      when(col("qdn") * col("dn") === lit(0.0), lit(0.0)).otherwise(
+        (col("nq") + col("qmn") * col("sfac") * (col("qsa") + col("sa"))
+          + col("sfac") * col("sfac") * col("sdot")) / (col("qdn") * col("dn")))
+    val simERaw = VectorMath.cosine(s, "qv", "v", col("qn"), col("nrm"))
+    def pack(sim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (floor(sim * lit(1e6) + lit(0.5)).cast("long") + lit(MuShift)) * lit(1L << 35) +
+        (lit(VMask) - col("vec_id"))
+    val tops = quant.join(broadcast(qset), col("qid") =!= col("vec_id"))
       .withColumn("sdot", VectorMath.dot(s, "qq", "q"))
-      .withColumn("sim_q", Det.rate(
-        when(col("qdn") * col("dn") === lit(0.0), lit(0.0)).otherwise(
-          (col("nq") + col("qmn") * col("sfac") * (col("qsa") + col("sa"))
-            + col("sfac") * col("sfac") * col("sdot")) / (col("qdn") * col("dn")))))
-      .withColumn("sim_exact", Det.rate(VectorMath.cosine(s, "qv", "v", col("qn"), col("nrm"))))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy(col("qid")).orderBy(col("sim_q").desc, col("vec_id")))
-        .cast("long"))
-      .withColumn("re", row_number()
-        .over(Window.partitionBy(col("qid")).orderBy(col("sim_exact").desc, col("vec_id"))))
-    pairs.filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("sim_q"),
-        (col("re") <= 5).as("in_exact_topk"))
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), pack(simQRaw).as("pkq"), pack(simERaw).as("pke"))
+      .groupBy(col("qid"))
+      .agg(expr("graft_topk(pkq, 5)").as("qt"), expr("graft_topk(pke, 5)").as("et"))
+    tops
+      .select(col("qid"), col("et"), posexplode(col("qt")).as(Seq("i", "pk")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rn"),
+        (lit(VMask) - (col("pk") % lit(1L << 35))).as("cid"),
+        (((expr("pk DIV 34359738368") - MuShift)).cast("double") / lit(1e6)).as("sim_q"),
+        array_contains(
+          expr(s"transform(et, x -> $VMask - (x % 34359738368))"), // 2^35
+          lit(VMask) - (col("pk") % lit(1L << 35))).as("in_exact_topk"))
   }
 
   private val q58Sql =

@@ -39,11 +39,44 @@ object MiningQueries {
   private val TopK = 30
 
   // ---------------------------------------------------------------- q68
+  /** Standing skip-gram substrates ([[Artifacts]]): the unigram counts
+    * and the df-capped (w1, w2, n_ab) co-occurrence counts are corpus
+    * properties (the word2vec/GloVe substrate), both VOCABULARY-scale
+    * outputs of full corpus scans. Deriving them inline made q68's
+    * warm-100× first-touch ~20 s: the pair scan and the unigram scan
+    * are separate AQE stages that race the cold page cache over the
+    * same parquet blocks (r13 SCALE.md top candidate). As standing
+    * tables, a warm session reads both from the store and q68 is pure
+    * bounded-frame arithmetic; the NO_ARTIFACTS audit still builds
+    * inline through the identical code below. */
+  private def unigramCounts(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "unigram_counts") {
+      Tables.spread(Tables.documents(s, dir), col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    }
+
+  private def skipgramPairs(s: SparkSession, dir: String): DataFrame =
+    Artifacts.frame(s, dir, "skipgram_pairs") {
+      // unordered co-occurring pair per (position, offset ≤ 3): linear
+      // in tokens, stays inside whole-stage codegen; self-pairs
+      // excluded; the ≥ MinPairCount cap bounds the table the same way
+      // the posting index's df cap does
+      Tables.spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          s"""filter(flatten(transform(sequence(1, $CoWindow), d ->
+             |  transform(sequence(0, size(t) - 1), i ->
+             |    CASE WHEN i + d <= size(t) - 1 AND t[i] <> t[i + d] THEN
+             |      struct(least(t[i], t[i + d]) AS w1, greatest(t[i], t[i + d]) AS w2)
+             |    ELSE NULL END))), p -> p IS NOT NULL)""".stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MinPairCount)
+    }
+
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val tk = toks.select(explode(col("t")).as("tok"))
-    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val uni = unigramCounts(s, dir)
     // total tokens = Σ unigram counts: derived from uni's (vocabulary-
     // scale) output instead of a THIRD full corpus scan — the event
     // log showed three concurrent ~19 s scan jobs at the 100× replica
@@ -51,17 +84,7 @@ object MiningQueries {
     // coalesce: sum() over zero rows is NULL where the previous
     // count() form returned 0 — keep the empty-corpus semantics
     val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_total"))
-    // unordered co-occurring pair per (position, offset ≤ 3): linear in
-    // tokens, stays inside whole-stage codegen; self-pairs excluded
-    val pairs = toks.select(explode(expr(
-      s"""filter(flatten(transform(sequence(1, $CoWindow), d ->
-         |  transform(sequence(0, size(t) - 1), i ->
-         |    CASE WHEN i + d <= size(t) - 1 AND t[i] <> t[i + d] THEN
-         |      struct(least(t[i], t[i + d]) AS w1, greatest(t[i], t[i + d]) AS w2)
-         |    ELSE NULL END))), p -> p IS NOT NULL)""".stripMargin)).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= MinPairCount)
+    val pairs = skipgramPairs(s, dir)
     // uni is VOCABULARY-scale (grows ~Heaps' law with the corpus): no
     // unconditional broadcast hint — AQE runtime-broadcasts while it
     // fits and shuffle-joins once the vocabulary outgrows the driver

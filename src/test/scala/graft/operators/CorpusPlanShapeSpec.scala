@@ -38,10 +38,18 @@ class CorpusPlanShapeSpec extends SparkSpec {
   }
 
   test("q58 quantized ANN: only the sampled query set nested-loop-broadcasts") {
-    val p = finalPlan("q58_quantized_ann")
+    // assert on the PRE-barrier core: the registered q58 ends in a
+    // Det.ordered checkpoint, so its final plan is just Sort over an
+    // ExistingRDD scan and the join shape lives in the core's plan
+    val df = CorpusQueries.q58Core(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the validation shape: BNLJ against the broadcast SAMPLED queries is
     // intended; a sort-merge join would mean the full table self-joined
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"))
+    // and the registered query's final plan must read the barrier
+    val full = finalPlan("q58_quantized_ann")
+    assert(full.contains("Scan ExistingRDD"), s"q58 must sort over the barrier:\n$full")
   }
 }
