@@ -162,11 +162,16 @@ object BpeQueries {
     * DuckDB's generate_series(1, 0) yields nothing — the one input on
     * which the two engines' initial segmentation (charSyms vs the
     * oracle's generate_series) would silently diverge. */
+  /** Word-frequency vocabulary — served from the standing
+    * `unigram_counts` artifact (MiningQueries): five call sites across
+    * the BPE/unigram family each re-derived the same corpus scan +
+    * groupBy (q151 alone ran it twice per execution). Filtering the
+    * empty token AFTER the aggregate is row-identical to filtering it
+    * before (it only drops the "" group). */
   private def vocab(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    MiningQueries.unigramCounts(s, dir)
+      .filter(length(col("tok")) > 0)
+      .select(col("tok").as("w"), col("c").as("freq"))
 
   // ---------------------------------------------------------------- q91
   /** Learned BPE merge table over the documents corpus: K = 8 steps of

@@ -49,7 +49,7 @@ object MiningQueries {
     * tables, a warm session reads both from the store and q68 is pure
     * bounded-frame arithmetic; the NO_ARTIFACTS audit still builds
     * inline through the identical code below. */
-  private def unigramCounts(s: SparkSession, dir: String): DataFrame =
+  private[operators] def unigramCounts(s: SparkSession, dir: String): DataFrame =
     Artifacts.frame(s, dir, "unigram_counts") {
       Tables.spread(Tables.documents(s, dir), col("doc_id"))
         .select(explode(split(col("text"), " ")).as("tok"))

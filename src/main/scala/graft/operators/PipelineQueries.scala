@@ -92,43 +92,76 @@ object PipelineQueries {
     * mix pattern over the generator's srcN naming). */
   private val relW = substring(col("source"), 4, 10).cast("int") % 4 + 1
 
+  /** q76's second corpus pass as a frame (package-visible so the
+    * plan-shape spec can assert the broadcast join — the registered
+    * q76 collects this |sources|-row result and finishes driver-side,
+    * so its final plan is just a LocalRelation sort).
+    *
+    * The per-row uniform is deterministic — the first 48 bits of
+    * md5(doc_id) as a fraction of 2^48 (rand(seed) is partition-
+    * layout-dependent and never oracle-safe). md5 rather than a
+    * multiplicative hash: the old `doc_id * 2654435761 % 2^32` form
+    * overflowed signed 64-bit once doc_id ≳ 3.5e9 — Spark wraps
+    * silently where DuckDB raises, so the pair diverged exactly at
+    * 100-TB-sized ids. 48 bits stay exact in double (< 2^53) and the
+    * hex prefix parses identically in both engines (q19/q57 family). */
+  private[operators] def q76KeptFrame(s: SparkSession, dir: String,
+      rates: Seq[(String, Double)]): DataFrame = {
+    val u48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("bigint").cast("double")
+    val ratesDf = { import s.implicits._; rates.toDF("source", "rate") }
+    Tables.documents(s, dir)
+      .join(broadcast(ratesDf), Seq("source"))
+      .filter(u48 < col("rate") * lit(281474976710656e0)) // 2^48
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+  }
+
   private def q76(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // pass 1: per-source counts + relative weights (tiny: |sources| rows)
+    // pass 1: per-source counts + relative weights — BOUNDED
+    // (|sources| rows). Everything between the two corpus passes is
+    // arithmetic over this bounded frame, and every relational step
+    // of it (caps, rates, the share total, the merge) was its own
+    // job: the event log showed 19 jobs per run, each a ~50–100 ms
+    // round trip, on a query whose real work is two map-side scans.
+    // The bounded arithmetic now runs ON THE DRIVER with the exact
+    // double ops the oracle text spells (same IEEE sequence → same
+    // bits), and the query is its two inherent corpus passes + one
+    // LocalRelation sort.
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_orig"))
       .withColumn("rel", relW.cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     // largest feasible output size T under the target mix, and the
-    // total relative weight R — both 1-row aggregates, broadcast back
-    // (not an unpartitioned window: see Share's scaladoc)
-    val caps = counts
-      .crossJoin(broadcast(counts.agg(sum(col("rel")).as("r_tot"))))
-      .withColumn("cap", col("n_orig").cast("double") * col("r_tot") / col("rel"))
-      .agg(min(col("cap")).as("t_max"), max(col("r_tot")).as("r_tot"))
-    val rates = counts.crossJoin(broadcast(caps))
-      .withColumn("rate",
-        col("rel").cast("double") * col("t_max") / (col("r_tot") * col("n_orig")))
-    // pass 2: deterministic per-row uniform — the first 48 bits of
-    // md5(doc_id) as a fraction of 2^48 (rand(seed) is partition-
-    // layout-dependent and never oracle-safe). md5 rather than a
-    // multiplicative hash: the old `doc_id * 2654435761 % 2^32` form
-    // overflowed signed 64-bit once doc_id ≳ 3.5e9 — Spark wraps
-    // silently where DuckDB raises, so the pair diverged exactly at
-    // 100-TB-sized ids. 48 bits stay exact in double (< 2^53) and the
-    // hex prefix parses identically in both engines (q19/q57 family).
-    val u48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-      .cast("bigint").cast("double")
-    val kept = docs
-      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
-      .filter(u48 < col("rate") * lit(281474976710656e0)) // 2^48
-      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    val out = counts.join(kept, Seq("source"), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-    Share.of(out, "n_kept", "kept_share")
-      .crossJoin(broadcast(caps.select(col("r_tot"))))
-      .withColumn("target_share", Det.rate(col("rel").cast("double") / col("r_tot")))
-      .select(col("source"), col("n_orig"), col("rel"), col("n_kept"),
-        col("kept_share"), col("target_share"))
+    // total relative weight R — oracle: min(n_orig::DOUBLE * r_tot / rel)
+    val rTot = counts.map(_._3).sum
+    val tMax = counts.map { case (_, nOrig, rel) => nOrig.toDouble * rTot / rel }.min
+    val rates = counts.map { case (src, nOrig, rel) =>
+      (src, rel.toDouble * tMax / (rTot * nOrig))
+    }
+    // pass 2 (the second inherent corpus scan)
+    val kept = q76KeptFrame(s, dir, rates.toSeq)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // merge + shares, driver-side with the oracle's exact op order:
+    // kept_share = floor(n_kept / total * 1e6 + 0.5) / 1e6 (Det.rate),
+    // target_share = floor(rel / r_tot * 1e6 + 0.5) / 1e6
+    val keptTotal = counts.map { case (src, _, _) => kept.getOrElse(src, 0L) }.sum
+    val sc6 = math.pow(10, 6)
+    def rate6(x: Double): Double = math.floor(x * sc6 + 0.5) / sc6
+    val rows = counts.map { case (src, nOrig, rel) =>
+      val nKept = kept.getOrElse(src, 0L)
+      org.apache.spark.sql.Row(src, nOrig, rel, nKept,
+        rate6(nKept.toDouble / keptTotal), rate6(rel.toDouble / rTot))
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("n_orig", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("rel", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("n_kept", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("kept_share", org.apache.spark.sql.types.DoubleType, false),
+        org.apache.spark.sql.types.StructField("target_share", org.apache.spark.sql.types.DoubleType, false))))
       .orderBy(col("source"))
   }
 

@@ -336,13 +336,16 @@ object ProfilingQueries {
           val cb = bb.groupBy(col("k")).agg(count(lit(1)).as("nb"))
           ca.join(cb, Seq("k")).select(col("k"), (col("na") * col("nb")).as("c"))
       }
-      val heavy = contrib.orderBy(col("c").desc, col("k")).limit(1)
-        .select(col("k").as("heaviest_key"), col("c").as("heaviest_c"))
-      contrib.agg(sum(col("c")).as("est_rows"), count(lit(1)).as("n_keys"))
-        .crossJoin(broadcast(heavy))
+      // ONE aggregate yields totals AND the heaviest key: contrib was
+      // referenced by the TakeOrdered top-1 and the totals agg — two
+      // executions of the whole count-table derivation (plus a
+      // crossJoin stage), where max(struct(c, -k)) is the identical
+      // (c DESC, k ASC) top-1 inside the same pass
+      contrib.agg(sum(col("c")).as("est_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("c"), (-col("k")).as("nk"))).as("h"))
         .select(lit(name).as("join_name"), col("est_rows"), col("n_keys"),
-          col("heaviest_key"),
-          Det.rate(col("heaviest_c").cast("double") / col("est_rows"))
+          (-col("h.nk")).as("heaviest_key"),
+          Det.rate(col("h.c").cast("double") / col("est_rows"))
             .as("heaviest_share"))
     }
     val li = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))

@@ -38,7 +38,13 @@ class PipelinePlanShapeSpec extends SparkSpec {
   }
 
   test("q76 mixture sampling: rates reach the corpus by broadcast, never shuffle") {
-    val p = finalPlan("q76_mixture_sampling")
+    // assert on the kept-pass frame: the registered q76 collects this
+    // |sources|-row result and finishes driver-side, so its own final
+    // plan is a LocalRelation sort with the join already executed
+    val df = PipelineQueries.q76KeptFrame(spark, dir,
+      Seq(("src0", 0.5), ("src1", 0.5)))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "the corpus must never shuffle to meet the |sources|-row rate table")
