@@ -1213,9 +1213,21 @@ object CorpusQueries {
     sg.count() // domain + both join sides scan sg: settle the cache once
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val keys = ghKeys(s)
-    val shared = sg.select(col("source").as("src_a") +: keys.map(col): _*)
-      .join(sg.select(col("source").as("src_b") +: keys.map(col): _*), keys)
-      .filter(col("src_a") =!= col("src_b"))
+    // posting-list pair generation instead of the gh self-join (the
+    // q84 kernel shape): ONE shuffle keyed on the digest builds the
+    // per-gram source list (≤ S elements, S = |sources|), and the
+    // ordered pairs explode from a linear HOF — the join shuffled the
+    // corpus-scale frame TWICE and fanned out inside the join. The
+    // list keeps multiplicity (collect_list, not _set), so under a
+    // digest collision the pair count is exactly the join's row-pair
+    // count — semantics, and therefore oracle hashes, are unchanged.
+    val shared = sg
+      .groupBy(keys.map(col): _*).agg(collect_list(col("source")).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, a ->
+          |  transform(filter(ss, b -> b != a),
+          |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
     val domain = tot.select(col("source").as("src_a"), col("n_grams").as("n_a"))
