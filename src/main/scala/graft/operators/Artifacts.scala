@@ -16,6 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `src_grams8` / `src_minhash_sigs` — source-similarity frames
   *   - `bpe_trained` (driver: merges + pieces) with the DISTRIBUTED
   *     `bpe_ntok_dict` / `bpe_wp_dict` dictionaries (BpeQueries)
+  *   - `unigram_counts` / `skipgram_pairs` — the word2vec-substrate
+  *     frames (round 14): per-token counts (also the BPE family's
+  *     vocab() source) and the df-capped ±3-window co-occurrence
+  *     counts (MiningQueries q68)
+  *   - `pq_codes` / `pq_gt_top10` — the PQ index proper (per-vector
+  *     M-byte codes) and the fixed panel's exact-L2 ground truth (the
+  *     ANN-benchmark GT-file pattern), both round 14 (q101)
+  *   - `sq8_stats` / `sq8_panel` — scalar-quantization stats (2
+  *     doubles) and the quantized eval panel (round 14, q58)
   *   - `bigram_lm` / `nb_model` — pruned model LocalRelations
   *     (SelectionQueries / ClassifierQueries)
   *   - `pq_model` / `ivfpq_model` / `ivf_index` — the ANN index state
