@@ -1294,10 +1294,24 @@ object CorpusQueries {
       .join(cc, Seq("source", "tok"), "left")
       .select(col("source"), col("tok"),
         expr("coalesce(c, 0L) * 1000000L DIV n + 1L").as("p"))
-    val pair = sh.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
-      .join(sh.select(col("source").as("src_b"), col("tok"), col("p").as("pb")),
-        Seq("tok"))
-      .filter(col("src_a") < col("src_b"))
+    // Round-14 (guide §2.4): the previous pair step self-joined `sh`
+    // on tok — TWO executions of the |V|×S smoothed-domain chain
+    // (Spark re-executes per reference) and a two-sided vocab-scale
+    // exchange. q122's posting-list move instead: ONE execution,
+    // ONE groupBy(tok) shuffle to the S-element per-token list
+    // (zero-fill guarantees exactly S entries), and the ordered
+    // pairs explode from a linear HOF — sort_array gives src_a <
+    // src_b in one integer-exact pass, same rows as the old
+    // equi-join + filter.
+    val pair = sh.groupBy(col("tok"))
+      .agg(sort_array(collect_list(struct(col("source"), col("p")))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), b ->
+          |    struct(a.source AS src_a, b.source AS src_b,
+          |           a.p AS pa, b.p AS pb))))""".stripMargin)).as("pr"))
+      .select(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"),
+        col("pr.pa").as("pa"), col("pr.pb").as("pb"))
     val den = col("pa") + col("pb")
     pair.groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("pb") * EventQueries.jsdWeight(col("pb") * 2, den) +

@@ -1178,24 +1178,41 @@ object DedupQueries {
   private[graft] val ParaDupPpm = 500000L
 
   private def q146(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the per-doc chunk-digest frame is the standing doc_chunks
     // artifact shared with q110 (byte-identical derivation);
     // Artifacts.pinned keeps the pre-artifact single-pass behavior in
     // the NO_ARTIFACTS audit mode (three plan branches read `docs`)
     Artifacts.pinned(s, TextQueries.docChunks(s, dir)) { docs =>
-    val perDocChunk = docs
+    // Round-14 shape (guide §2.3/§2.4): the old form pushed the FULL
+    // per-(doc, chunk) stream through `count(*) OVER (PARTITION BY h)`
+    // — a second corpus-scale exchange plus the WindowExec SORT of
+    // every chunk instance, measured as the dominant stage at the
+    // 100× replica. The window only existed to ask "is h in ≥ 2
+    // distinct docs"; that is a (df ≥ 2) aggregate. Build the
+    // duplicated-hash set once (array_distinct collapses within-doc
+    // repeats BEFORE the exchange, so the shuffle carries ≤ one row
+    // per (doc, distinct h) and combines map-side), then count each
+    // doc's duplicated INSTANCES with a semi-join — hash join, no
+    // sort, and n_chunks falls out of size(hs) with no aggregate at
+    // all. Integer counts, identical verdicts, oracle unchanged.
+    val dupH = docs
+      .select(explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("dw"))
+      .filter(col("dw") >= 2)
+      .select(col("h"))
+    val nd = docs
       .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-      .groupBy(col("doc_id"), col("source"), col("h"))
-      .agg(count(lit(1)).as("occ"))
-    val verdict = perDocChunk
-      .withColumn("dw", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(dupH, Seq("h"), "left_semi")
       .groupBy(col("source"), col("doc_id"))
-      .agg(sum(col("occ")).as("n_chunks"),
-        sum(when(col("dw") >= 2, col("occ")).otherwise(0L)).as("n_dup"))
+      .agg(count(lit(1)).as("n_dup"))
+    val verdict = docs
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("hs")).cast("long").as("n_chunks"), col("n_toks"))
+      .join(nd, Seq("source", "doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
       .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_chunks"))
       .withColumn("removed", col("dup_ppm") > ParaDupPpm)
-      .join(docs.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
     val perSrc = verdict.groupBy(col("source"))
       .agg(count(lit(1)).as("n_assessed"),
         sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),

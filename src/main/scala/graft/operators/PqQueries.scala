@@ -267,11 +267,28 @@ object PqQueries {
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val (cent, panel) = pqModel(s, dir)
     val q0 = panel.find(_._1 == 0L).get._2
-    // spread BEFORE the scoring scan: the per-row argmin folds are the
-    // heavy map work and must not serialize onto the testdata's single
-    // scan task (Tables.spread scaladoc)
-    adcApply(Tables.spread(quantized(s, dir)), cent, q0,
-      M, SubDim, K, TopK, queryId = 0L)
+    // Serve the query off the STANDING codes ([[pqCodes]], q101's
+    // index table): ADC = Σ_m lut[m][code_m] is a projection over the
+    // M-byte codes; the per-row argmin re-encode of the whole corpus
+    // (the previous adcApply path — the heavy map work q96 paid every
+    // run) happens once per dataset at index build. Identical output:
+    // the stored codes are the same assignStruct argmin the inline
+    // fold computed, and the oracle scores through its own codes CTE.
+    val lut: Array[Array[Long]] = Array.tabulate(M, K) { (mm, kk) =>
+      (0 until SubDim).map { j =>
+        val d = q0(mm * SubDim + j) - cent(mm)(kk)(j); d * d
+      }.sum
+    }
+    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+    pqCodes(s, dir)
+      .select(col("vec_id"),
+        (0 until M).map(mm =>
+          element_at(element_at(lutLit, mm + 1),
+            element_at(col("codes"), mm + 1) + 1))
+          .reduce(_ + _).as("adc_dist"))
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
   }
 
   // ------------------------------------------------- oracle generators

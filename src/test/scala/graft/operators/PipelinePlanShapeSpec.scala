@@ -183,20 +183,23 @@ class PipelinePlanShapeSpec extends SparkSpec {
 
   test("q96 pq: the ADC pass never joins or shuffles the corpus") {
     val p = finalPlan("q96_pq_adc")
-    // codebook + lut ride as array literals: the final pass must be
-    // scan -> spread -> project -> TakeOrdered, with no join of any
-    // kind and no keyed exchange — the one allowed exchange is the
-    // deliberate round-robin spread under the heavy argmin projection
+    // Round 14: q96 serves off the STANDING pq_codes table (the PQ
+    // index proper) — the plan must be a pure projection over the
+    // codes relation: lut rides as an array literal, ADC is
+    // Σ element_at(lut, code), and the raw embeddings are never
+    // touched (the per-row argmin re-encode is gone — it happens once
+    // at index build).
     assert(!p.contains("Join") && !p.contains("NestedLoop"),
       s"codes and lut are literals — no join may appear:\n$p")
-    assert(!p.contains("Exchange hashpartitioning") &&
-      !p.contains("Exchange rangepartitioning"),
-      s"the corpus must never shuffle by key in the ADC pass:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the codes relation is served as-is — no exchange of any kind:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the ADC top-k must plan per-partition heaps, not a global sort:\n$p")
-    // the query-row exclusion must reach the parquet scan
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"),
-      s"the queryId exclusion should push down to the scan:\n$p")
+    assert(!p.contains("graft_dot") && !p.contains("embedding"),
+      s"the raw embeddings must not be scanned — ADC reads stored codes:\n$p")
+    // the query-row exclusion still filters the codes relation
+    assert(p.contains("NOT (vec_id") || p.contains("Not(EqualTo(vec_id,0))"),
+      s"the queryId exclusion must survive over the codes relation:\n$p")
   }
 
   test("q98 ivfpq: literal codebooks/luts — no join, no keyed exchange, heap top-k") {
