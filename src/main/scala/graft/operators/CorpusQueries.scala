@@ -1208,9 +1208,17 @@ object CorpusQueries {
       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 8))""".stripMargin
 
-  private def q122(s: SparkSession, dir: String): DataFrame = {
-    val sg = srcGrams8(s, dir).persist()
-    sg.count() // domain + both join sides scan sg: settle the cache once
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    // No persist/settle over the STANDING gram table: Artifacts.frame
+    // already materializes it (localCheckpoint blocks in-session,
+    // parquet with a store), so the old corpus-scale persist + count
+    // was a SECOND in-memory copy plus an extra eager job — measured
+    // as run-to-run variance at the 100× replica (11–22 s swings; the
+    // same block-write jitter the r13-waist gate removed elsewhere).
+    // tot and the posting pass each scan the standing blocks once.
+    // Artifacts.pinned keeps the pre-artifact persist in the
+    // NO_ARTIFACTS audit, where the builder would otherwise run twice.
+    Artifacts.pinned(s, srcGrams8(s, dir)) { sg =>
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val keys = ghKeys(s)
     // posting-list pair generation instead of the gh self-join (the
@@ -1238,7 +1246,7 @@ object CorpusQueries {
       .withColumn("containment", Det.rate(col("n_shared").cast("double") / col("n_a")))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"), col("containment"))
       .orderBy(col("src_a"), col("src_b"))
-  }
+    }
 
   private val q122Sql =
     s"""WITH sg AS ($srcGrams8Sql),
