@@ -1284,35 +1284,43 @@ object CorpusQueries {
     * exactly like q89. All-integer arithmetic end to end.
     *
     * Scale: one corpus scan → per-(source, tok) counts (one shuffle,
-    * map-side combined); everything after lives on VOCAB-scale frames:
-    * the |V|×S smoothed domain (q12 zero-fill so absent-token mass is
-    * explicit), a tok equi-join fanning to ≤ S² rows per token, and the
-    * S·(S−1)/2-row result. At 100 TB cap the vocabulary (q99's pruning
-    * move) before the domain cross; the pair matrix itself is bounded
-    * by sources², never by data volume. */
+    * map-side combined); the S-row totals collect to the driver and
+    * re-enter as literals, so everything after is ONE groupBy(tok)
+    * to a per-token (source → c) map — the smoothed S-vector (q12
+    * zero-fill: absent sources get the same 0*10⁶ DIV n + 1 value
+    * the old |V|×S domain cross produced) and its ordered pairs are
+    * linear HOFs over that map, and the result is S·(S−1)/2 rows. At
+    * 100 TB cap the vocabulary (q99's pruning move) before the
+    * grouping; the pair matrix is bounded by sources², never by data
+    * volume. */
   private def q132(s: SparkSession, dir: String): DataFrame = {
     val cc = Tables.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
       .persist()
-    cc.count() // tot + vocab + the left join all rescan cc: settle once
+    // Round-14 (guide §2.4, §5): the per-source grand totals are S
+    // rows — collect them (the action doubles as the persist settle;
+    // it replaces the old count() job) and re-enter the plan as
+    // literal arrays. That deletes the vocab `distinct` shuffle, the
+    // BroadcastNestedLoopJoin domain cross AND the |V|×S left join
+    // the zero-fill used to need: ONE groupBy(tok) collapses cc to a
+    // per-token (source → c) map, and the full sorted S-vector of
+    // smoothed shares — absent sources get 0*10⁶ DIV n + 1 = 1,
+    // exactly the domain-cross value — plus its ordered pairs come
+    // from linear HOFs. Integer arithmetic identical op-for-op
+    // (`coalesce(c,0)*1000000 DIV n + 1`), so results are
+    // bit-identical; the oracle is unchanged.
     val tot = cc.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val vocab = cc.select(col("tok")).distinct()
-    val sh = vocab.crossJoin(broadcast(tot))
-      .join(cc, Seq("source", "tok"), "left")
-      .select(col("source"), col("tok"),
-        expr("coalesce(c, 0L) * 1000000L DIV n + 1L").as("p"))
-    // Round-14 (guide §2.4): the previous pair step self-joined `sh`
-    // on tok — TWO executions of the |V|×S smoothed-domain chain
-    // (Spark re-executes per reference) and a two-sided vocab-scale
-    // exchange. q122's posting-list move instead: ONE execution,
-    // ONE groupBy(tok) shuffle to the S-element per-token list
-    // (zero-fill guarantees exactly S entries), and the ordered
-    // pairs explode from a linear HOF — sort_array gives src_a <
-    // src_b in one integer-exact pass, same rows as the old
-    // equi-join + filter.
-    val pair = sh.groupBy(col("tok"))
-      .agg(sort_array(collect_list(struct(col("source"), col("p")))).as("ps"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val pair = cc.groupBy(col("tok"))
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c")))).as("m"))
+      .withColumn("srcs", typedlit(tot.map(_._1)))
+      .withColumn("ns", typedlit(tot.map(_._2)))
+      .withColumn("ps", expr(
+        """transform(sequence(1, size(srcs)), i ->
+          |  struct(element_at(srcs, i) AS source,
+          |         coalesce(element_at(m, element_at(srcs, i)), 0L)
+          |           * 1000000L DIV element_at(ns, i) + 1L AS p))""".stripMargin))
       .select(explode(expr(
         """flatten(transform(ps, (a, i) ->
           |  transform(slice(ps, i + 2, size(ps)), b ->

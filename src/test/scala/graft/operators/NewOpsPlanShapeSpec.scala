@@ -63,12 +63,16 @@ class NewOpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross join anywhere")
   }
 
-  test("q132 source JSD: totals broadcast into the vocab domain, pair join by equi-hash") {
+  test("q132 source JSD: literal totals, one token grouping, no domain-cross join") {
     val p = finalPlan("q132_source_jsd")
-    assert(!p.contains("CartesianProduct"),
-      "the |V|×S domain cross must ride the broadcast totals frame")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "vocab × broadcast(tot) is the intended domain cross")
+    // round 14: the S-row totals collect to the driver and re-enter
+    // as literals, so the plan must carry NO join of any kind — the
+    // old vocab × broadcast(tot) BroadcastNestedLoopJoin domain cross
+    // and the |V|×S zero-fill left join are both gone; the smoothed
+    // S-vector and its ordered pairs are HOFs over the per-token map.
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+    assert(!p.contains("Join") && !p.contains("NestedLoop"),
+      s"totals are literals — no join may appear:\n$p")
   }
 
   test("q135 source MinHash: everything after the signature agg is signature-scale") {
