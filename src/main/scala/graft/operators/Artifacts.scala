@@ -42,6 +42,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     frame), token entropy (q111 + the gate frame), the joined
   *     3-gate verdicts with source (q120/q130), and the stride-W chunk
   *     digests (q110/q146)
+  *   - `dsir_logits` — the per-doc DSIR importance logits (round 14,
+  *     q93): computed once per (corpus, target) exactly as DSIR's
+  *     published pipeline stores its log-importance weights
   *   - under `spark.graft.wideDigest=1`, the gram-digest tables store
   *     as `doc_grams8w` / `src_grams8w` (a second independent 60-bit
   *     digest column; see CorpusQueries.wideDigest) — distinct names

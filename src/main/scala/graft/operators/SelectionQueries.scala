@@ -54,7 +54,10 @@ object SelectionQueries {
     // a wrong result.
     Artifacts.frame(s, dir, "dsir_logits")(docLogitsBuild(s, dir))
 
-  private def docLogitsBuild(s: SparkSession, dir: String): DataFrame = {
+  /** The builder (exposed for the plan pin, the docChunksBuild
+    * pattern): two corpus passes — fit, then score — with the ≤ B-row
+    * weight table broadcast. */
+  private[operators] def docLogitsBuild(s: SparkSession, dir: String): DataFrame = {
     // tgt and the token array are computed BELOW the spread exchange —
     // once per doc, materialized into the shuffle — so the per-token
     // stages never re-split the text or re-evaluate the target

@@ -213,8 +213,22 @@ class PipelinePlanShapeSpec extends SparkSpec {
       s"the ADC top-k must plan per-partition heaps:\n$p")
   }
 
-  test("q93 dsir: weight table broadcasts, spread survives AQE, no merge join") {
+  test("q93 dsir: serves the standing dsir_logits table; no corpus rescan") {
+    // round 14: the registered query reads the per-doc logits
+    // artifact (the q94/q150 consumer pattern) — the corpus passes
+    // live in the builder, pinned below
     val p = finalPlan("q93_dsir_select")
+    assert(!p.contains("Scan parquet"),
+      s"q93 must serve from the standing dsir_logits table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"the per-source rollup is join-free over the logits:\n$p")
+  }
+
+  test("q93 dsir BUILDER: weight table broadcasts, spread survives AQE, no merge join") {
+    val df = SelectionQueries.docLogitsBuild(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),
       s"the ≤64-row weight table must broadcast into the scoring pass:\n$p")
     assert(!p.contains("SortMergeJoin"),
